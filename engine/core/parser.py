@@ -1,0 +1,265 @@
+"""Vectorized structural parser — the engine's hot path.
+
+Everything here operates on ``pd.Series`` / ``pd.DataFrame`` batches
+(this is what runs inside the Spark Arrow UDF boundary, see
+``engine/spark/parse_udf.py``).  No per-row Python loops: kind dispatch
+is mask-based, string transforms are ``Series.str`` regex passes, block
+segmentation is explode + NumPy cumulative ops.  The one documented
+exception is JSON re-serialisation (``json.loads``/``dumps`` on the
+tool-JSON subset only) — forced by the reference's pretty-print
+semantics (/root/reference/mistralocr_app.py:393-400), amortised by
+Arrow batching.
+
+Replaces the reference's remote OCR call (mistralocr_app.py:241-245)
+with a local structural parse; implements the same spec as the
+sequential oracle (`engine/oracle.py`) — parity is enforced by
+tests/test_parser_parity.py.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import numpy as np
+import pandas as pd
+
+from engine.core import spec
+
+# Pre-compiled spec patterns (compile once per executor process).
+_HTML_DETECT = re.compile(spec.HTML_DETECT_RE, re.I)
+_STRIP_CONTENT = [re.compile(p, re.S | re.I) for p in spec.HTML_STRIP_CONTENT_RES]
+_PRE = re.compile(spec.HTML_PRE_RE, re.S | re.I)
+_HEADINGS = [(re.compile(p, re.S | re.I), h) for p, h in spec.HTML_HEADING_RES]
+_OL = re.compile(spec.HTML_OL_RE, re.S | re.I)
+_UL = re.compile(spec.HTML_UL_RE, re.S | re.I)
+_LI = re.compile(spec.HTML_LI_RE, re.S | re.I)
+_TABLE = re.compile(spec.HTML_TABLE_RE, re.S | re.I)
+_TR = re.compile(spec.HTML_TR_RE, re.S | re.I)
+_CELL = re.compile(spec.HTML_CELL_RE, re.S | re.I)
+_BLOCKQUOTE = re.compile(spec.HTML_BLOCKQUOTE_RE, re.S | re.I)
+_P = re.compile(spec.HTML_P_RE, re.S | re.I)
+_INLINE = [(re.compile(p, re.S | re.I), r) for p, r in spec.HTML_INLINE_RES]
+_ANY_TAG = re.compile(spec.HTML_ANY_TAG_RE, re.S)
+_TRAILING_WS = re.compile(spec.TRAILING_WS_RE)
+_MULTI_BLANK = re.compile(spec.MULTI_BLANK_RE)
+_HEADING_LINE = re.compile(r"(#{1,6}) ")
+_LIST_NUM = re.compile(r"\d+\. ")
+
+
+# ------------------------------------------------------------- normalisation
+def _normalize(s: pd.Series) -> pd.Series:
+    return (
+        s.str.replace(_TRAILING_WS, "\n", regex=True)
+        .str.replace(_MULTI_BLANK, "\n\n", regex=True)
+        .str.strip()
+    )
+
+
+# ----------------------------------------------------------------- detection
+def detect_kinds(texts: pd.Series) -> pd.Series:
+    """Vectorized payload-kind classification (same rules as
+    engine/oracle.py::detect_kind)."""
+    texts = texts.fillna("")
+    stripped = texts.str.strip()
+    kinds = pd.Series(spec.KIND_MARKDOWN, index=texts.index, dtype=object)
+    html = texts.str.contains(_HTML_DETECT, regex=True)
+    first = stripped.str.slice(0, 1)
+    jsonish = stripped.str.startswith(spec.FENCE_PREFIX) | first.isin(["{", "["])
+    kinds[jsonish & ~html] = spec.KIND_TOOL_JSON
+    kinds[html] = spec.KIND_HTML
+    kinds[stripped.eq("")] = spec.KIND_EMPTY
+    return kinds
+
+
+# ---------------------------------------------------------------------- HTML
+def _convert_ol(m: re.Match) -> str:
+    items = _LI.findall(m.group(1))
+    return "\n\n" + "\n".join(f"{i + 1}. {it}" for i, it in enumerate(items)) + "\n\n"
+
+
+def _convert_ul(m: re.Match) -> str:
+    items = _LI.findall(m.group(1))
+    return "\n\n" + "\n".join(f"- {it}" for it in items) + "\n\n"
+
+
+def _convert_table(m: re.Match) -> str:
+    rows = _TR.findall(m.group(1))
+    out = []
+    for r_i, row in enumerate(rows):
+        cells = _CELL.findall(row)
+        out.append("| " + " | ".join(cells) + " |")
+        if r_i == 0:
+            out.append("| " + " | ".join(["---"] * len(cells)) + " |")
+    return "\n\n" + "\n".join(out) + "\n\n"
+
+
+def extract_html_series(s: pd.Series) -> pd.Series:
+    for pat in _STRIP_CONTENT:
+        s = s.str.replace(pat, "", regex=True)
+    s = s.str.replace(_PRE, r"\n\n```\n\1\n```\n\n", regex=True)
+    for pat, hashes in _HEADINGS:
+        s = s.str.replace(pat, rf"\n\n{hashes} \1\n\n", regex=True)
+    s = s.str.replace(_OL, _convert_ol, regex=True)
+    s = s.str.replace(_UL, _convert_ul, regex=True)
+    s = s.str.replace(_TABLE, _convert_table, regex=True)
+    s = s.str.replace(_BLOCKQUOTE, r"\n\n> \1\n\n", regex=True)
+    s = s.str.replace(_P, r"\n\n\1\n\n", regex=True)
+    for pat, repl in _INLINE:
+        s = s.str.replace(pat, repl, regex=True)
+    s = s.str.replace(_ANY_TAG, "", regex=True)
+    for ent, ch in spec.HTML_ENTITIES:
+        s = s.str.replace(ent, ch, regex=False)
+    return _normalize(s)
+
+
+# ----------------------------------------------------------------- tool JSON
+def _pretty_json(raw: str) -> str:
+    try:
+        pretty = json.dumps(json.loads(raw), indent=2, ensure_ascii=False)
+    except json.JSONDecodeError:
+        pretty = json.dumps(
+            {"error": spec.JSON_WRAP_ERROR, "raw_output": raw},
+            indent=2,
+            ensure_ascii=False,
+        )
+    return f"```json\n{pretty}\n```"
+
+
+def extract_tool_json_series(s: pd.Series) -> pd.Series:
+    raw = s.str.strip()
+    fenced = raw.str.startswith("```json")
+    raw = raw.mask(fenced, raw.str.slice(7))
+    closing = raw.str.endswith("```")
+    raw = raw.mask(closing, raw.str.slice(0, -3))
+    raw = raw.str.strip()
+    # json round-trip — the documented per-row boundary (small subset).
+    return raw.map(_pretty_json)
+
+
+# ------------------------------------------------------------------ dispatch
+def extract_markdown_series(texts: pd.Series) -> pd.Series:
+    """Payload text → extracted markdown, vectorized with mask dispatch."""
+    texts = texts.fillna("").astype(object)
+    kinds = detect_kinds(texts)
+    out = pd.Series("", index=texts.index, dtype=object)
+
+    m_html = kinds.eq(spec.KIND_HTML)
+    if m_html.any():
+        out[m_html] = extract_html_series(texts[m_html])
+    m_json = kinds.eq(spec.KIND_TOOL_JSON)
+    if m_json.any():
+        out[m_json] = extract_tool_json_series(texts[m_json])
+    m_md = kinds.eq(spec.KIND_MARKDOWN)
+    if m_md.any():
+        out[m_md] = _normalize(texts[m_md])
+    return out
+
+
+# -------------------------------------------------------------------- blocks
+_BLOCK_COLUMNS = ["block_idx", "block_type", "level", "start", "end", "text"]
+
+
+def segment_blocks_frame(md: pd.Series, keys: pd.DataFrame) -> pd.DataFrame:
+    """Markdown series → exploded span rows (one row per block).
+
+    ``keys`` carries the identifying columns (e.g. conv_id, turn_idx)
+    aligned with ``md``; the result repeats them per block and appends
+    block_idx / block_type / level / start / end / text.  Implemented
+    as explode + NumPy cumulative ops — no per-row Python.
+    """
+    md = md.fillna("").astype(object).reset_index(drop=True)
+    keys = keys.reset_index(drop=True)
+    nonempty = md.str.len() > 0
+    if not nonempty.any():
+        empty = {c: keys[c].iloc[:0] for c in keys.columns}
+        for c in ("block_idx", "level", "start", "end"):
+            empty[c] = pd.Series(dtype="int32")
+        for c in ("block_type", "text"):
+            empty[c] = pd.Series(dtype=object)
+        return pd.DataFrame(empty)[list(keys.columns) + _BLOCK_COLUMNS]
+
+    lines = md[nonempty].str.split("\n")
+    ex = lines.explode()
+    row = ex.index.to_numpy()                       # original row id per line
+    line = ex.to_numpy(dtype=object)
+    line_s = pd.Series(line)
+    llen = line_s.str.len().to_numpy()
+
+    new_row = np.empty(len(row), dtype=bool)
+    new_row[0] = True
+    new_row[1:] = row[1:] != row[:-1]
+
+    # char offset of each line within its row's markdown:
+    # prev_cum = global chars (incl. '\n') before this line; row_base =
+    # prev_cum at the row's first line, propagated forward.
+    step = llen + 1                                  # + '\n'
+    cum = np.cumsum(step)
+    prev_cum = np.concatenate(([0], cum[:-1]))
+    row_base = np.where(new_row, prev_cum, 0)
+    row_base = np.maximum.accumulate(row_base)
+    start = prev_cum - row_base
+
+    is_fence = line_s.str.startswith("```").to_numpy()
+    fence_cum = np.cumsum(is_fence)
+    fence_base = np.zeros(len(row), dtype=np.int64)
+    fence_base[new_row] = np.concatenate(([0], fence_cum[:-1][new_row[1:]]))
+    fence_base = np.maximum.accumulate(fence_base)
+    fence_before = fence_cum - is_fence - fence_base  # delims strictly before
+
+    blank = line_s.str.strip().eq("").to_numpy()
+    is_sep = blank & (fence_before % 2 == 0)
+
+    # block grouping: separators close blocks; block ordinal = cumsum of
+    # separators within row
+    sep_cum = np.cumsum(is_sep)
+    sep_base = np.zeros(len(row), dtype=np.int64)
+    sep_base[new_row] = np.concatenate(([0], sep_cum[:-1][new_row[1:]]))
+    sep_base = np.maximum.accumulate(sep_base)
+    block_in_row = sep_cum - sep_base - is_sep.astype(np.int64)
+
+    keep = ~is_sep
+    g = pd.DataFrame(
+        {
+            "row": row[keep],
+            "block": block_in_row[keep],
+            "line": line[keep],
+            "start": start[keep],
+            "end": start[keep] + llen[keep],
+        }
+    )
+    grouped = g.groupby(["row", "block"], sort=True).agg(
+        text=("line", "\n".join),
+        start=("start", "first"),
+        end=("end", "last"),
+    )
+    grouped = grouped.reset_index()
+    # dense block_idx per row (empty groups impossible after sep removal)
+    grouped["block_idx"] = grouped.groupby("row").cumcount()
+
+    first_line = grouped["text"].str.split("\n").str[0]
+    btype = pd.Series(spec.BLOCK_PARA, index=grouped.index, dtype=object)
+    level = pd.Series(0, index=grouped.index, dtype="int32")
+    h = first_line.str.extract(_HEADING_LINE, expand=False)
+    is_h = h.notna() & first_line.str.match(_HEADING_LINE)
+    btype[is_h] = spec.BLOCK_HEADING
+    level[is_h] = h[is_h].str.len().astype("int32")
+    btype[first_line.str.startswith("```") & ~is_h] = spec.BLOCK_CODE
+    btype[first_line.str.startswith("|") & ~is_h] = spec.BLOCK_TABLE
+    is_list = first_line.str.startswith("- ") | first_line.str.match(_LIST_NUM)
+    btype[is_list & ~is_h] = spec.BLOCK_LIST
+    btype[first_line.str.startswith("> ") & ~is_h] = spec.BLOCK_QUOTE
+    btype[first_line.str.startswith("![") & ~is_h] = spec.BLOCK_IMAGE
+
+    grouped["block_type"] = btype
+    grouped["level"] = level
+
+    # map row ids back to key columns
+    out = keys.iloc[grouped["row"].to_numpy()].reset_index(drop=True)
+    for c in _BLOCK_COLUMNS:
+        out[c] = grouped[c].to_numpy()
+    out["level"] = out["level"].astype("int32")
+    out["block_idx"] = out["block_idx"].astype("int32")
+    out["start"] = out["start"].astype("int32")
+    out["end"] = out["end"].astype("int32")
+    return out
