@@ -187,7 +187,8 @@ def make_transcripts(
             "role": pd.Series(recs_role, dtype="string"),
             "text": pd.Series(recs_text, dtype="string"),
             "tool": pd.Series(recs_tool, dtype="string"),
-            "ts": pd.Series(recs_ts),
+            # microsecond precision: Spark's parquet reader rejects NANOS
+            "ts": pd.Series(recs_ts).astype("datetime64[us, UTC]"),
         }
     )
     return df

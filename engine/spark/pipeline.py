@@ -1,0 +1,83 @@
+"""End-to-end extraction pipeline (the Spark analog of
+process_pdf_to_markdown, /root/reference/mistralocr_app.py:546-765).
+
+One declarative DataFrame DAG:
+
+    scan (column-pruned: conv_id, turn_idx, text)
+      → [map] Arrow-batched structural parse (parse_udf)   — no shuffle
+      → [expr] image discovery + P2 OCR insert + P3 link rewrite
+               (whole-stage-codegen'd Catalyst expressions)  — no shuffle
+      → turns table
+      → [2-phase grouped concat] per-conversation documents — bounded skew
+      → [mapInPandas] span table
+
+The parse stage is shuffle-free: parquet splits give per-task
+parallelism, so a 10^6-turn conversation is already spread across tasks
+(unit of work = turn, not document).  Only document assembly shuffles,
+and it is chunk-salted (assemble.assemble_docs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from engine.core import spec
+from engine.spark import assemble, parse_udf
+
+TURN_COLUMNS = ["conv_id", "turn_idx", "markdown", "images", "n_blocks_hint"]
+
+
+def extract_turns(transcripts: DataFrame, repartition: int | None = None) -> DataFrame:
+    """transcripts(conv_id, turn_idx, role, text, tool, ts) → turns
+    (conv_id, turn_idx, markdown, images).
+
+    ``repartition`` forces a pre-parse round-robin-by-turn shuffle; leave
+    None in production — parquet split sizing already balances the map
+    stage and avoids a full-input shuffle."""
+    df = transcripts.select("conv_id", "turn_idx", "text")
+    if repartition:
+        # spread by turn (not conv) so skewed conversations can't pin a task
+        df = df.repartition(repartition, "conv_id", "turn_idx")
+    parsed = df.withColumn(
+        "markdown", parse_udf.extract_markdown_udf(F.col("text"))
+    ).drop("text")
+    parsed = parsed.withColumn("markdown", F.coalesce("markdown", F.lit("")))
+    parsed = parsed.withColumn("images", assemble.images_col("markdown"))
+    parsed = parsed.withColumn(
+        "markdown",
+        assemble.insert_ocr_blocks(
+            F.col("markdown"), F.col("images"), F.col("conv_id"), F.col("turn_idx")
+        ),
+    )
+    parsed = parsed.withColumn(
+        "markdown",
+        assemble.rewrite_links(
+            F.col("markdown"), F.col("images"), F.col("conv_id"), F.col("turn_idx")
+        ),
+    )
+    return parsed.select("conv_id", "turn_idx", "markdown", "images")
+
+
+def extract_docs(turns: DataFrame, chunk: int = 1024) -> DataFrame:
+    """Per-conversation joined document (mistralocr_app.py:716-717)."""
+    return assemble.assemble_docs(turns, chunk=chunk, sep=spec.DOC_JOIN)
+
+
+def extract_spans(turns: DataFrame) -> DataFrame:
+    """Flat span/block table (block tree kept columnar per north star)."""
+    return parse_udf.explode_spans(turns)
+
+
+def extract_images(turns: DataFrame) -> DataFrame:
+    return assemble.images_table(turns)
+
+
+def run_full(transcripts: DataFrame) -> dict[str, DataFrame]:
+    turns = extract_turns(transcripts)
+    return {
+        "turns": turns,
+        "docs": extract_docs(turns),
+        "spans": extract_spans(turns),
+        "images": extract_images(turns),
+    }

@@ -1,0 +1,186 @@
+"""Spark pipeline vs sequential oracle — the BASELINE.json invariant:
+per-turn text equality under stable ordering by (conv_id, turn_idx).
+"""
+
+import os
+
+import pandas as pd
+import pytest
+
+from engine import fixtures, oracle
+from engine.core import spec
+from engine.spark import lineage, pipeline
+from engine.spark.session import get_spark
+
+N_CONVS = 40
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(cores=4, shuffle_partitions=8, app="engine-tests")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def transcripts_pdf() -> pd.DataFrame:
+    # skew_giant off: keeps unit tests fast; dedicated test covers it
+    return fixtures.make_transcripts(n_convs=N_CONVS, seed=42, skew_giant=False)
+
+
+@pytest.fixture(scope="module")
+def transcripts_path(tmp_path_factory, transcripts_pdf) -> str:
+    p = str(tmp_path_factory.mktemp("data") / "transcripts.parquet")
+    transcripts_pdf.to_parquet(p, index=False)
+    return p
+
+
+@pytest.fixture(scope="module")
+def golden(transcripts_pdf):
+    rows = list(
+        zip(transcripts_pdf["conv_id"], transcripts_pdf["turn_idx"],
+            transcripts_pdf["text"])
+    )
+    return oracle.process_table([(c, int(t), str(x)) for c, t, x in rows])
+
+
+def _spark_turns(spark, transcripts_path):
+    df = spark.read.parquet(transcripts_path)
+    return pipeline.extract_turns(df)
+
+
+def test_per_turn_byte_equality(spark, transcripts_path, golden):
+    got = (
+        _spark_turns(spark, transcripts_path)
+        .orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "markdown")
+        .toPandas()
+    )
+    assert len(got) == len(golden)
+    for (_, row), g in zip(got.iterrows(), golden):
+        assert row["conv_id"] == g.conv_id and row["turn_idx"] == g.turn_idx
+        if row["markdown"] != g.markdown:
+            raise AssertionError(
+                f"turn ({g.conv_id},{g.turn_idx}) mismatch:\n"
+                f"SPARK:\n{row['markdown']!r}\nORACLE:\n{g.markdown!r}"
+            )
+
+
+def test_images_parity(spark, transcripts_path, golden):
+    got = (
+        pipeline.extract_images(_spark_turns(spark, transcripts_path))
+        .orderBy("conv_id", "turn_idx", "img_idx")
+        .toPandas()
+    )
+    want = []
+    for g in golden:
+        for i, (img_id, path) in enumerate(zip(g.image_ids, g.image_paths)):
+            want.append((g.conv_id, g.turn_idx, i + 1, img_id, path))
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_docs_parity(spark, transcripts_path, golden):
+    got = (
+        pipeline.extract_docs(_spark_turns(spark, transcripts_path))
+        .orderBy("conv_id")
+        .toPandas()
+    )
+    want = oracle.assemble_docs(golden)
+    assert list(got["conv_id"]) == sorted(want)
+    for _, row in got.iterrows():
+        assert row["markdown"] == want[row["conv_id"]]
+
+
+def test_docs_chunk_invariance(spark, transcripts_path):
+    """output independent of the salting chunk size (2-phase concat)."""
+    turns = _spark_turns(spark, transcripts_path)
+    a = pipeline.extract_docs(turns, chunk=3).orderBy("conv_id").toPandas()
+    b = pipeline.extract_docs(turns, chunk=1024).orderBy("conv_id").toPandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_spans_parity(spark, transcripts_path, golden):
+    got = (
+        pipeline.extract_spans(_spark_turns(spark, transcripts_path))
+        .orderBy("conv_id", "turn_idx", "block_idx")
+        .toPandas()
+    )
+    want = []
+    for g in golden:
+        for bi, b in enumerate(g.blocks):
+            want.append(
+                (g.conv_id, g.turn_idx, bi, b["block_type"], b["level"],
+                 b["start"], b["end"], b["text"])
+            )
+    assert len(got) == len(want)
+    got_t = [tuple(r) for r in got.itertuples(index=False)]
+    assert got_t == want
+
+
+def test_permutation_invariance(spark, transcripts_pdf, tmp_path):
+    """shuffled input rows → identical ordered output."""
+    shuf = transcripts_pdf.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    p = str(tmp_path / "shuf.parquet")
+    shuf.to_parquet(p, index=False)
+    a = (
+        _spark_turns(spark, p)
+        .orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "markdown")
+        .toPandas()
+    )
+    rows = [(c, int(t), str(x)) for c, t, x in
+            zip(transcripts_pdf["conv_id"], transcripts_pdf["turn_idx"],
+                transcripts_pdf["text"])]
+    want = oracle.process_table(rows)
+    assert list(a["markdown"]) == [g.markdown for g in want]
+
+
+def test_resume_idempotency(spark, transcripts_path, tmp_path):
+    """run-twice == run-once; second run processes 0 buckets."""
+    out = str(tmp_path / "out")
+    df = spark.read.parquet(transcripts_path)
+    r1 = lineage.run_with_resume(spark, df, out, snapshot_id="snap-1",
+                                 n_buckets=8)
+    assert r1["buckets_processed"] > 0
+    first = (
+        spark.read.parquet(os.path.join(out, "turns"))
+        .orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "markdown")
+        .toPandas()
+    )
+    r2 = lineage.run_with_resume(spark, df, out, snapshot_id="snap-1",
+                                 n_buckets=8)
+    assert r2["buckets_processed"] == 0
+    second = (
+        spark.read.parquet(os.path.join(out, "turns"))
+        .orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "markdown")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(first, second)
+    assert r1["turns_total"] == r2["turns_total"]
+
+    # docs survive and are complete
+    docs = spark.read.parquet(os.path.join(out, "docs"))
+    assert docs.select("conv_id").distinct().count() == N_CONVS
+
+
+def test_resume_partial(spark, transcripts_path, tmp_path):
+    """half the buckets pre-done → only the rest get processed, outputs
+    complete afterwards."""
+    out = str(tmp_path / "out2")
+    df = spark.read.parquet(transcripts_path)
+    half = lineage.with_part_hash(df, 8).filter("part_hash < 4")
+    lineage.run_with_resume(spark, half.drop("part_hash"), out,
+                            snapshot_id="snap-2", n_buckets=8)
+    r = lineage.run_with_resume(spark, df, out, snapshot_id="snap-2",
+                                n_buckets=8)
+    assert 0 < r["buckets_processed"] <= 4
+    got = spark.read.parquet(os.path.join(out, "turns")).count()
+    assert got == df.count()
+
+
+def test_doc_join_separator(spark, transcripts_path):
+    docs = pipeline.extract_docs(_spark_turns(spark, transcripts_path))
+    row = docs.filter("conv_id = 'conv-00000001'").collect()[0]
+    assert spec.DOC_JOIN in row["markdown"] or "\n" in row["markdown"]
