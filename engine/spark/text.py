@@ -1,0 +1,89 @@
+"""Text-analysis operators for training-data pipelines — all pure
+Catalyst column expressions (JVM-side, whole-stage codegen; no Python).
+
+Each has an exact ANSI-SQL twin in ``__spark_entry__.oracle_sql`` so the
+driver's DuckDB cross-check validates values, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it", "for", "on")
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+CJK_RE = r"[一-鿿]"
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace token count; empty/blank → 0."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_RE), 0))
+
+
+def alpha_ratio(text: Column) -> Column:
+    n = F.length(text)
+    a = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(F.round(a / n, 4))
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    p = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(F.round(p / n, 4))
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    n = ws_token_count(text)
+    stops = F.size(
+        F.filter(toks, lambda w: w.isin(*STOPWORDS))
+    )
+    return F.when(n == 0, F.lit(0.0)).otherwise(F.round(stops / n, 4))
+
+
+def lang_id(text: Column) -> Column:
+    """n-gram/character heuristic language ID (deterministic)."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    return (
+        F.when(text.rlike(CJK_RE), F.lit("zh"))
+        .when(
+            padded.contains(" the ") | padded.contains(" and ")
+            | padded.contains(" is "),
+            F.lit("en"),
+        )
+        .when(
+            padded.contains(" el ") | padded.contains(" la ")
+            | padded.contains(" de "),
+            F.lit("es"),
+        )
+        .otherwise(F.lit("other"))
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Whitespace-normalised lowercase md5 — document fingerprint."""
+    return F.md5(F.lower(F.regexp_replace(text, r"\s+", " ")))
+
+
+def quality_frame(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        ws_token_count(t).alias("n_tokens"),
+        bpe_token_count(t).alias("n_bpe_tokens"),
+        alpha_ratio(t).alias("alpha_ratio"),
+        punct_ratio(t).alias("punct_ratio"),
+        stopword_ratio(t).alias("stopword_ratio"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
+    )

@@ -1,0 +1,213 @@
+"""Operator tests: dedup, similarity, text stats, multimodal, streaming."""
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from engine.spark import dedup, multimodal, similarity, streaming, text
+from engine.spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(cores=4, shuffle_partitions=8, app="engine-tests")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _planted_docs(spark):
+    """Small corpus with exact + near duplicates planted."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the spark engine "
+        "shuffles partitions across the cluster during a long window of work"
+    )
+    near = base.replace("lazy", "sleepy")  # one-token change
+    rows = [
+        (0, base),
+        (1, base),                          # exact dup of 0
+        (2, near),                          # near dup of 0
+        (3, "completely different text about databases and query planners"),
+        (4, "another unrelated document mentioning arrow batches only"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_planted(spark):
+    d = dedup.exact_dedup(_planted_docs(spark))
+    groups = {r["keep_doc_id"]: r["dup_count"] for r in d.collect()}
+    assert groups[0] == 2          # docs 0 and 1 collapse
+    assert sum(groups.values()) == 5
+
+
+def test_exact_dedup_normalization(spark):
+    rows = [(0, "a  b\tc"), (1, "A B C"), (2, "a b c")]
+    d = dedup.exact_dedup(spark.createDataFrame(rows, ["doc_id", "text"]))
+    assert d.count() == 1 and d.collect()[0]["dup_count"] == 3
+
+
+def test_ngram_jaccard_planted(spark):
+    pairs = dedup.ngram_jaccard_pairs(_planted_docs(spark), n=3).collect()
+    by_pair = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs}
+    assert by_pair[(0, 1)] == 1.0
+    assert by_pair[(0, 2)] > 0.5
+    assert (3, 4) not in by_pair
+
+
+def test_minhash_lsh_planted(spark):
+    pairs = dedup.minhash_lsh_pairs(_planted_docs(spark), num_perm=32,
+                                    bands=16).collect()
+    by_pair = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in pairs}
+    assert by_pair.get((0, 1)) == 1.0
+    assert (0, 2) in by_pair and by_pair[(0, 2)] > 0.3
+
+
+def test_simhash_planted(spark):
+    pairs = dedup.simhash_pairs(_planted_docs(spark), max_hamming=16).collect()
+    by_pair = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs}
+    assert by_pair.get((0, 1)) == 0
+    assert (0, 2) in by_pair and by_pair[(0, 2)] <= 16
+
+
+def test_brute_force_topk_vs_numpy(spark, emb):
+    got = similarity.brute_force_topk(emb, n_queries=3, k=5).toPandas()
+    pdf = emb.toPandas()
+    vecs = {int(r.vec_id): np.array(r.embedding, dtype=np.float64)
+            for r in pdf.itertuples()}
+    for qid in range(3):
+        qv = vecs[qid]
+        sims = {}
+        for nid, v in vecs.items():
+            if nid == qid:
+                continue
+            sims[nid] = float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v)))
+        want = sorted(sims.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:5]
+        sub = got[got["query_id"] == qid].sort_values("rank")
+        assert list(sub["neighbor_id"]) == [w[0] for w in want]
+        np.testing.assert_allclose(
+            list(sub["cosine_sim"]), [round(w[1], 6) for w in want], atol=2e-6
+        )
+
+
+def test_lsh_ann_sane(spark, emb):
+    dim = len(emb.first()["embedding"])
+    # few planes → big buckets → high recall; the test corpus embeddings
+    # are near-random directions, so keep collision probability high
+    ann = similarity.lsh_ann_topk(emb, dim=dim, n_queries=5, k=5,
+                                  n_planes=2).toPandas()
+    assert (ann["rank"] >= 1).all() and (ann["rank"] <= 5).all()
+    assert set(ann["query_id"]) <= set(range(5))
+    # ANN should agree with exact top-k on at least some neighbors
+    exact = similarity.brute_force_topk(emb, n_queries=5, k=5).toPandas()
+    overlap = set(map(tuple, ann[["query_id", "neighbor_id"]].values)) & set(
+        map(tuple, exact[["query_id", "neighbor_id"]].values)
+    )
+    assert len(overlap) > 0
+
+
+def test_quality_frame_values(spark):
+    rows = [(0, "The cat and the dog. One, two!"), (1, ""), (2, "它是中文文本")]
+    q = text.quality_frame(
+        spark.createDataFrame(rows, ["doc_id", "text"])
+    ).orderBy("doc_id").collect()
+    r0 = q[0]
+    assert r0["n_tokens"] == 7
+    assert r0["lang_pred"] == "en"
+    # stopwords: the, and, the → 3/7
+    assert r0["stopword_ratio"] == round(3 / 7, 4)
+    assert q[1]["n_tokens"] == 0 and q[1]["n_chars"] == 0
+    assert q[2]["lang_pred"] == "zh"
+
+
+def test_fingerprint_matches_md5(spark):
+    import hashlib
+
+    rows = [(0, "Hello   World"), (1, "hello world")]
+    q = text.quality_frame(
+        spark.createDataFrame(rows, ["doc_id", "text"])
+    ).orderBy("doc_id").collect()
+    want = hashlib.md5(b"hello world").hexdigest()
+    assert q[0]["fingerprint"] == want == q[1]["fingerprint"]
+
+
+def test_multimodal_features(spark, docs):
+    media = multimodal.media_from_documents(docs)
+    feats = multimodal.extract_features(media).orderBy("media_id")
+    rows = feats.limit(5).collect()
+    src = {r["doc_id"]: r["text"] for r in docs.limit(20).collect()}
+    for r in rows:
+        raw = src[r["media_id"]].encode("utf-8")
+        assert r["n_bytes"] == len(raw)
+        assert r["checksum"] == zlib.crc32(raw)
+        assert 1 <= r["width"] <= 1920
+        if r["kind"] != "video":
+            assert r["n_frames"] == 1
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_stub(b"x", "image/png")
+
+
+def test_streaming_window_counts(spark, tmp_path):
+    import shutil
+
+    # file stream source requires a directory
+    src_dir = tmp_path / "events"
+    src_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src_dir / "part-0.parquet")
+    got = streaming.stream_event_window_counts(
+        spark,
+        str(src_dir),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        sink_table="t_stream_counts",
+    ).toPandas()
+    want = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .toPandas()
+    )
+    got_s = got.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    want_s = want.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
+
+
+def test_streaming_extract_matches_batch(spark, tmp_path):
+    from engine import fixtures
+    from engine.spark import pipeline
+
+    src_dir = tmp_path / "transcripts"
+    src_dir.mkdir()
+    fixtures.write_transcripts_parquet(
+        str(src_dir / "part-0.parquet"), n_convs=15, skew_giant=False
+    )
+    out = str(tmp_path / "out")
+    streaming.stream_extract_turns(
+        spark, str(src_dir), str(tmp_path / "ckpt2"), out
+    )
+    got = (
+        spark.read.parquet(out)
+        .orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "markdown")
+        .toPandas()
+    )
+    batch = (
+        pipeline.extract_turns(spark.read.parquet(str(src_dir)))
+        .orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "markdown")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got, batch)
