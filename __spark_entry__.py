@@ -1,38 +1,671 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship extraction on sf0.001;
+``queries()`` exposes one callable per implemented operator
+(SURVEY.md §2 + the training-data-pipeline ops); ``oracle_sql()``
+gives the DuckDB-equivalent SQL for every SQL-expressible one.
+
+Column names and types are aligned between both sides; doubles from
+cross-engine aggregations are rounded (exact decimal sums underneath)
+so value hashes match.
 """
 
 from __future__ import annotations
 
+import tempfile
+import uuid
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from engine.core import spec
+from engine.spark import assemble, dedup, multimodal, pipeline, similarity
+from engine.spark import text as etext
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- extraction
+# documents.text doubles as the turn payload: conv 'doc-{id}', single turn.
+_PAYLOAD_SUFFIX = "\n\n![img-1.jpeg](img-1.jpeg)\n"
+
+
+def _docs_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.concat(
+            F.lit("# Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("\n\n\n"),
+            F.col("text"),
+            F.lit(_PAYLOAD_SUFFIX),
+        ).alias("text"),
+    )
+
+
+def q_extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    turns = pipeline.extract_turns(_docs_as_transcripts(spark, sf_dir))
+    return turns.select("conv_id", "turn_idx", "markdown")
+
+
+SQL_EXTRACT_MARKDOWN = """
+WITH norm AS (
+  SELECT 'doc-' || doc_id AS conv_id, 0 AS turn_idx, doc_id,
+         '# Doc ' || doc_id || '\n\n' || text ||
+         '\n\n![img-1.jpeg](img-1.jpeg)' AS md
+  FROM documents
+), p2 AS (
+  SELECT conv_id, turn_idx, doc_id,
+         replace(md, '![img-1.jpeg](img-1.jpeg)',
+           '![img-1.jpeg](img-1.jpeg)' ||
+           '\n\n> \U0001F4C4 Image OCR Result:\n\n```json\n' ||
+           '{\n  "unstructured_ocr": "deterministic OCR for img-1.jpeg at turn 0 of doc-'
+           || doc_id || '"\n}' || '\n```') AS md
+  FROM norm
+)
+SELECT conv_id, turn_idx,
+       replace(md, '![img-1.jpeg](img-1.jpeg)',
+               '![img-1.jpeg](images_doc-' || doc_id ||
+               '/page_1_img_1.png)') AS markdown
+FROM p2
+"""
+
+
+def q_extract_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    turns = pipeline.extract_turns(_docs_as_transcripts(spark, sf_dir))
+    return pipeline.extract_images(turns)
+
+
+SQL_EXTRACT_IMAGES = """
+SELECT 'doc-' || doc_id AS conv_id, 0 AS turn_idx, 1 AS img_idx,
+       'img-1.jpeg' AS img_id,
+       'images_doc-' || doc_id || '/page_1_img_1.png' AS path
+FROM documents
+"""
+
+
+def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only check: span offsets aren't reasonably SQL-expressible;
+    # deep parity vs the sequential oracle is in tests/.
+    turns = pipeline.extract_turns(_docs_as_transcripts(spark, sf_dir))
+    return pipeline.extract_spans(turns)
+
+
+def q_doc_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").alias("turn_idx"),
+        F.col("text").alias("markdown"),
+    )
+    out = assemble.assemble_docs(d, chunk=1 << 20)
+    return out.select(
+        F.col("conv_id").alias("source"), F.col("markdown").alias("doc_markdown")
+    )
+
+
+SQL_DOC_ASSEMBLY = """
+SELECT source,
+       string_agg(text, '\n\n---\n\n' ORDER BY doc_id) AS doc_markdown
+FROM documents GROUP BY source
+"""
+
+
+def q_doc_assembly_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").alias("turn_idx"),
+        F.col("text").alias("markdown"),
+    )
+    # small chunk forces the 2-phase (salted) path; result must be identical
+    out = assemble.assemble_docs(d, chunk=17)
+    return out.select(
+        F.col("conv_id").alias("source"), F.col("markdown").alias("doc_markdown")
+    )
+
+
+def q_placeholder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P3 semantics (mistralocr_app.py:76-82, 101-122) as column exprs."""
+    d = _t(spark, sf_dir, "documents")
+    img = F.concat(F.lit("img-"), (F.col("doc_id") % 3).cast("string"),
+                   F.lit(".jpeg"))
+    ph = F.concat(F.lit("!["), img, F.lit("]("), img, F.lit(")"))
+    md = F.concat(ph, F.lit("\n\n"), F.col("text"))
+    path = F.concat(
+        F.lit("images_src/page_"), (F.col("doc_id") + 1).cast("string"),
+        F.lit("_img_1.png"),
+    )
+    out = F.replace(md, ph, F.concat(F.lit("!["), img, F.lit("]("), path,
+                                     F.lit(")")))
+    return d.select("doc_id", out.alias("rewritten"))
+
+
+SQL_PLACEHOLDER_REWRITE = """
+WITH b AS (
+  SELECT doc_id, 'img-' || (doc_id % 3) || '.jpeg' AS img, text FROM documents
+)
+SELECT doc_id,
+       replace('![' || img || '](' || img || ')' || '\n\n' || text,
+               '![' || img || '](' || img || ')',
+               '![' || img || '](images_src/page_' || (doc_id + 1) ||
+               '_img_1.png)') AS rewritten
+FROM b
+"""
+
+
+def q_ocr_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 semantics (mistralocr_app.py:92-99) as column exprs."""
+    d = _t(spark, sf_dir, "documents")
+    img = F.lit("img-0.jpeg")
+    ph = F.concat(F.lit("!["), img, F.lit("]("), img, F.lit(")"))
+    md = F.concat(ph, F.lit("\n\n"), F.col("text"))
+    ocr = assemble.ocr_json_col(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")), F.lit(0), img
+    )
+    out = F.replace(
+        md, ph,
+        F.concat(ph, F.lit(spec.OCR_BLOCK_PREFIX), ocr,
+                 F.lit(spec.OCR_BLOCK_SUFFIX)),
+    )
+    return d.select("doc_id", out.alias("with_ocr"))
+
+
+SQL_OCR_INSERT = """
+SELECT doc_id,
+  replace('![img-0.jpeg](img-0.jpeg)' || '\n\n' || text,
+          '![img-0.jpeg](img-0.jpeg)',
+          '![img-0.jpeg](img-0.jpeg)' ||
+          '\n\n> \U0001F4C4 Image OCR Result:\n\n```json\n' ||
+          '{\n  "unstructured_ocr": "deterministic OCR for img-0.jpeg at turn 0 of doc-'
+          || doc_id || '"\n}' || '\n```') AS with_ocr
+FROM documents
+"""
+
+
+def q_fence_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fence-strip semantics of mistralocr_app.py:386-390."""
+    d = _t(spark, sf_dir, "documents")
+    d = d.withColumn(
+        "s",
+        F.when(F.col("doc_id") % 3 == 0, F.col("text")).otherwise(
+            F.concat(F.lit("```json\n"), F.col("text"), F.lit("\n```"))
+        ),
+    )
+    d = d.withColumn(
+        "s1",
+        F.when(F.col("s").startswith("```json"), F.expr("substring(s, 8)"))
+        .otherwise(F.col("s")),
+    )
+    d = d.withColumn(
+        "s2",
+        F.when(
+            F.col("s1").endswith("```"),
+            F.expr("substring(s1, 1, length(s1) - 3)"),
+        ).otherwise(F.col("s1")),
+    )
+    return d.select(
+        "doc_id", F.expr("trim(BOTH ' \n\t' FROM s2)").alias("stripped")
+    )
+
+
+SQL_FENCE_STRIP = """
+WITH b AS (
+  SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN text
+                      ELSE '```json' || chr(10) || text || chr(10) || '```'
+                 END AS s
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+         CASE WHEN starts_with(s, '```json') THEN substr(s, 8) ELSE s END AS s1
+  FROM b
+), s2 AS (
+  SELECT doc_id,
+         CASE WHEN ends_with(s1, '```')
+              THEN substr(s1, 1, length(s1) - 3) ELSE s1 END AS s2
+  FROM s1
+)
+SELECT doc_id, trim(s2, ' ' || chr(10) || chr(9)) AS stripped FROM s2
+"""
+
+
+def q_sanitize_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        assemble.stem_col(
+            F.concat(F.col("source"), F.lit(" "), F.col("lang"))
+        ).alias("stem"),
+    )
+
+
+SQL_SANITIZE_STEM = """
+SELECT doc_id, replace(source || ' ' || lang, ' ', '_') AS stem FROM documents
+"""
+
+
+# ---------------------------------------------------------------- relational
+def q_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(18,4)")
+    disc = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    g = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec(F.col("l_quantity"))).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(dec(F.col("l_extendedprice"))).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc).cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.sum(dec(F.col("l_quantity"))).cast("double") / F.count("*"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+    return g
+
+
+SQL_Q1_PRICING = """
+SELECT l_returnflag, l_linestatus,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
+  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_disc_price,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    dec = lambda col: F.col(col).cast("decimal(18,4)")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(dec("o_totalprice")).cast("double"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name,
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+  count(*) AS n_orders,
+  count(DISTINCT c_custkey) AS n_customers
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_orders_no_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+SQL_ORDERS_NO_LINEITEMS = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+
+def q_top3_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+SQL_TOP3_ORDERS = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2).alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+  count(*) AS n_events,
+  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double"),
+            2,
+        ).alias("running_value"),
+    )
+
+
+SQL_RUNNING_USER_VALUE = """
+SELECT user_id, event_id,
+  round(CAST(sum(CAST(value AS DECIMAL(18,4)))
+        OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+  AS running_value
+FROM events WHERE user_id < 40
+"""
+
+
+# ----------------------------------------------------- text / training-data
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.groupBy("lang").agg(
+        F.sum(etext.ws_token_count(t).cast("long")).alias("total_tokens"),
+        F.sum(etext.bpe_token_count(t).cast("long")).alias("total_bpe_tokens"),
+        F.round(F.avg(etext.ws_token_count(t)), 4).alias("avg_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+SQL_TOKEN_STATS = r"""
+WITH b AS (
+  SELECT lang,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
+  FROM documents
+)
+SELECT lang, sum(n_tok)::BIGINT AS total_tokens,
+       sum(n_bpe)::BIGINT AS total_bpe_tokens,
+       round(avg(n_tok), 4) AS avg_tokens, count(*) AS n_docs
+FROM b GROUP BY lang
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    q = etext.quality_frame(d)
+    return q.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        "alpha_ratio",
+        "punct_ratio",
+        "stopword_ratio",
+        "lang_pred",
+        "fingerprint",
+    )
+
+
+SQL_QUALITY_SCORES = r"""
+WITH b AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens, n_bpe_tokens,
+  CASE WHEN n_chars = 0 THEN 0.0
+       ELSE round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / n_chars, 4) END AS alpha_ratio,
+  CASE WHEN n_chars = 0 THEN 0.0
+       ELSE round(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g'))::DOUBLE / n_chars, 4) END AS punct_ratio,
+  CASE WHEN n_tokens = 0 THEN 0.0
+       ELSE round(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                   x -> x IN ('the','and','of','to','a','in','is','it','for','on')))::DOUBLE / n_tokens, 4) END AS stopword_ratio,
+  CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+       WHEN contains(' ' || lower(text) || ' ', ' the ')
+         OR contains(' ' || lower(text) || ' ', ' and ')
+         OR contains(' ' || lower(text) || ' ', ' is ') THEN 'en'
+       WHEN contains(' ' || lower(text) || ' ', ' el ')
+         OR contains(' ' || lower(text) || ' ', ' la ')
+         OR contains(' ' || lower(text) || ' ', ' de ') THEN 'es'
+       ELSE 'other' END AS lang_pred,
+  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+FROM b
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # plant exact duplicates: shifted copy of every doc
+    dd = d.union(d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    return dedup.exact_dedup(dd)
+
+
+SQL_DEDUP_EXACT = r"""
+WITH dd AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents
+)
+SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+       min(doc_id) AS keep_doc_id, count(*) AS dup_count
+FROM dd GROUP BY 1
+"""
+
+
+def q_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = dedup.ngram_jaccard_pairs(d, n=5, min_shared=2)
+    return pairs.orderBy(
+        F.col("jaccard").desc(), F.col("doc_a"), F.col("doc_b")
+    ).limit(50)
+
+
+SQL_NGRAM_PAIRS = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE doc_id < 300
+), g AS (
+  SELECT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+  FROM d, UNNEST(range(1, greatest(len(t) - 5, 0) + 2)) AS r(i)
+), gd AS (
+  SELECT DISTINCT doc_id, shingle FROM g
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM gd GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM gd a JOIN gd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT doc_a, doc_b, shared,
+       round(shared::DOUBLE / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
+FROM shared
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50
+"""
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    out = similarity.brute_force_topk(e, n_queries=8, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+SQL_EMBEDDING_TOPK = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 8
+), scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         round(list_inner_product(q.qv, b.v) /
+               (sqrt(list_inner_product(q.qv, q.qv)) *
+                sqrt(list_inner_product(b.v, b.v))), 6) AS cosine_sim
+  FROM q JOIN base b ON b.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: xxhash64 has no DuckDB twin; planted-dup recall covered
+    # in tests/test_ops.py
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id", "text"
+    )
+    dd = d.union(d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    return dedup.minhash_lsh_pairs(dd, num_perm=32, bands=16).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only (xxhash64-based)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id", "text"
+    )
+    dd = d.union(d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    return dedup.simhash_pairs(dd, max_hamming=3).orderBy("doc_a", "doc_b")
+
+
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: approximate by construction
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    return similarity.lsh_ann_topk(e, dim=dim, n_queries=8, k=5, n_planes=4)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    feats = multimodal.extract_features(multimodal.media_from_documents(d))
+    return feats.select(
+        "media_id", "kind", F.col("n_bytes").cast("long").alias("n_bytes")
+    )
+
+
+SQL_MULTIMODAL_FEATURES = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       octet_length(encode(text)) AS n_bytes
+FROM documents
+"""
+
+
+def q_stream_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from engine.spark import streaming
+
+    # the file stream source needs a directory — stage the parquet file
+    src = tempfile.mkdtemp(prefix="stream_src_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/part-0.parquet")
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    sink = f"stream_counts_{uuid.uuid4().hex[:8]}"
+    return streaming.stream_event_window_counts(spark, src, ckpt,
+                                                sink_table=sink)
+
+
+SQL_STREAM_EVENT_COUNTS = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# -------------------------------------------------------------------- driver
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline on sf0.001 documents-as-turns."""
+    return q_extract_markdown(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_markdown": q_extract_markdown,
+        "extract_images": q_extract_images,
+        "extract_spans": q_extract_spans,
+        "doc_assembly": q_doc_assembly,
+        "doc_assembly_salted": q_doc_assembly_salted,
+        "placeholder_rewrite": q_placeholder_rewrite,
+        "ocr_insert": q_ocr_insert,
+        "fence_strip": q_fence_strip,
+        "sanitize_stem": q_sanitize_stem,
+        "q1_pricing": q_q1_pricing,
+        "revenue_by_nation": q_revenue_by_nation,
+        "orders_no_lineitems": q_orders_no_lineitems,
+        "top3_orders": q_top3_orders,
+        "events_hourly": q_events_hourly,
+        "running_user_value": q_running_user_value,
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "dedup_exact": q_dedup_exact,
+        "ngram_pairs": q_ngram_pairs,
+        "embedding_topk": q_embedding_topk,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "lsh_ann": q_lsh_ann,
+        "multimodal_features": q_multimodal_features,
+        "stream_event_counts": q_stream_event_counts,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_markdown": SQL_EXTRACT_MARKDOWN,
+        "extract_images": SQL_EXTRACT_IMAGES,
+        "doc_assembly": SQL_DOC_ASSEMBLY,
+        "doc_assembly_salted": SQL_DOC_ASSEMBLY,
+        "placeholder_rewrite": SQL_PLACEHOLDER_REWRITE,
+        "ocr_insert": SQL_OCR_INSERT,
+        "fence_strip": SQL_FENCE_STRIP,
+        "sanitize_stem": SQL_SANITIZE_STEM,
+        "q1_pricing": SQL_Q1_PRICING,
+        "revenue_by_nation": SQL_REVENUE_BY_NATION,
+        "orders_no_lineitems": SQL_ORDERS_NO_LINEITEMS,
+        "top3_orders": SQL_TOP3_ORDERS,
+        "events_hourly": SQL_EVENTS_HOURLY,
+        "running_user_value": SQL_RUNNING_USER_VALUE,
+        "token_stats": SQL_TOKEN_STATS,
+        "quality_scores": SQL_QUALITY_SCORES,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "ngram_pairs": SQL_NGRAM_PAIRS,
+        "embedding_topk": SQL_EMBEDDING_TOPK,
+        "multimodal_features": SQL_MULTIMODAL_FEATURES,
+        "stream_event_counts": SQL_STREAM_EVENT_COUNTS,
+        # extract_spans / minhash_lsh / simhash / lsh_ann: rows-only
+    }

@@ -47,7 +47,10 @@ def stream_event_window_counts(
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # decimal sum → exact, deterministic across engines/partitions
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2
+            ).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for the extraction pipeline.
+
+    spark-submit --py-files engine.zip run_extract.py \
+        --input  /path/to/transcripts_parquet_or_table \
+        --output /path/to/output_dir \
+        [--snapshot-id snap-001] [--buckets 4096] [--force]
+
+The CLI analog of the reference's Gradio entry process_pdf
+(/root/reference/mistralocr_app.py:803-956): validate inputs, resolve
+output location, run the staged pipeline with checkpoint resume.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="transcript → markdown extraction")
+    ap.add_argument("--input", required=True,
+                    help="parquet path or table of transcripts")
+    ap.add_argument("--output", required=True, help="output directory")
+    ap.add_argument("--snapshot-id", default="snap-0",
+                    help="input snapshot identifier for lineage rows")
+    ap.add_argument("--buckets", type=int, default=4096,
+                    help="conv_id hash buckets (resume granularity)")
+    ap.add_argument("--cores", type=int, default=None,
+                    help="local[N] cores (ignored under a real master)")
+    ap.add_argument("--force", action="store_true",
+                    help="reprocess even if lineage marks buckets done "
+                         "(reference's use_existing_checkpoints=False)")
+    ap.add_argument("--spans", action="store_true",
+                    help="also write the span/block table")
+    args = ap.parse_args(argv)
+
+    from engine.spark import lineage, pipeline
+    from engine.spark.session import get_spark
+
+    spark = get_spark(cores=args.cores, app="run-extract")
+    t0 = time.time()
+    transcripts = (
+        spark.read.parquet(args.input)
+        if "/" in args.input
+        else spark.read.table(args.input)
+    )
+    stats = lineage.run_with_resume(
+        spark,
+        transcripts,
+        args.output,
+        snapshot_id=args.snapshot_id,
+        n_buckets=args.buckets,
+        force=args.force,
+    )
+    if args.spans:
+        turns = spark.read.parquet(f"{args.output}/turns")
+        pipeline.extract_spans(turns).write.mode("overwrite").parquet(
+            f"{args.output}/spans"
+        )
+    dt = time.time() - t0
+    tps = stats["turns_total"] / dt if dt else 0
+    print(
+        f"done: {stats['buckets_processed']} buckets processed, "
+        f"{stats['turns_total']} turns total, {dt:.1f}s ({tps:,.0f} turns/s)"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

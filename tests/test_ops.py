@@ -177,7 +177,8 @@ def test_streaming_window_counts(spark, tmp_path):
         spark.read.parquet(f"{SF_DIR}/events.parquet")
         .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
         .agg(F.count("*").alias("n_events"),
-             F.round(F.sum("value"), 2).alias("sum_value"))
+             F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"),
+                     2).alias("sum_value"))
         .toPandas()
     )
     got_s = got.sort_values(["window_start", "event_type"]).reset_index(drop=True)
