@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line with per-query seconds.
+
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 python bench.py
+
+Headline: extraction throughput (turns/sec) over the deterministic
+synthetic transcripts corpus (~1M turns, generated once and cached in
+.bench/), plus representative relational / training-data queries from
+__spark_entry__ at the given sf dir.  ``--extract-only`` restricts to
+the extraction job (used by bench_scaling.py to measure the N vs 4N
+scaling criterion from BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "80000"))
+
+
+def ensure_bench_corpus() -> str:
+    """Deterministic transcripts corpus, generated once (seed=42)."""
+    path = os.path.join(BENCH_DIR, f"transcripts_{BENCH_CONVS}")
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker):
+        return path
+    os.makedirs(path, exist_ok=True)
+    from engine import fixtures
+
+    # shard generation so each parquet file maps to a Spark input split
+    shards = 32
+    per = BENCH_CONVS // shards
+    for s in range(shards):
+        df = fixtures.make_transcripts(
+            n_convs=per, seed=42 + s, skew_giant=(s == 0)
+        )
+        # unique conv ids across shards
+        df["conv_id"] = df["conv_id"].str.replace("conv-", f"conv-{s:02d}-")
+        df.to_parquet(os.path.join(path, f"part-{s:04d}.parquet"), index=False)
+    open(marker, "w").close()
+    return path
+
+
+def _timed(job, warmups: int = 1, reps: int = 3) -> float:
+    """Median wall time after warmup.  Single-JVM local mode pays a large
+    serial JIT/worker-spawn cost on first execution of a stage shape —
+    warmup + median isolates steady-state throughput (the quantity that
+    scales with executors on a real cluster)."""
+    import statistics
+
+    for _ in range(warmups):
+        job()
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        job()
+        times.append(time.time() - t0)
+    return statistics.median(times)
+
+
+def run_extraction(spark, corpus: str) -> dict:
+    """Production shape: parse+assemble → write turns table once; docs and
+    spans derive from the committed table (scan, not recompute)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from engine.spark import pipeline
+
+    df = spark.read.parquet(corpus)
+    n_turns = df.count()
+    out = tempfile.mkdtemp(prefix="bench_turns_", dir=BENCH_DIR)
+
+    def parse_job():
+        pipeline.extract_turns(df).write.format("noop").mode("overwrite").save()
+
+    t_parse = _timed(parse_job, warmups=2, reps=3)
+
+    t0 = time.time()
+    pipeline.extract_turns(df).write.mode("overwrite").parquet(f"{out}/turns")
+    t_write = time.time() - t0
+
+    turns = spark.read.parquet(f"{out}/turns")
+    agg = turns.agg(
+        F.sum(F.length("markdown")).alias("md_bytes"),
+        F.sum(F.size("images")).alias("n_images"),
+    ).collect()[0]
+
+    t_docs = _timed(
+        lambda: pipeline.extract_docs(turns)
+        .agg(F.sum(F.length("markdown"))).collect(),
+        warmups=1, reps=1,
+    )
+    t_spans = _timed(
+        lambda: pipeline.extract_spans(turns)
+        .agg(F.count("*"), F.sum("end")).collect(),
+        warmups=1, reps=1,
+    )
+
+    shutil.rmtree(out, ignore_errors=True)
+    return {
+        "n_turns": n_turns,
+        "md_bytes": int(agg["md_bytes"]),
+        "n_images": int(agg["n_images"]),
+        "extract_turns_sec": round(t_parse, 2),
+        "extract_write_sec": round(t_write, 2),
+        "extract_docs_sec": round(t_docs, 2),
+        "extract_spans_sec": round(t_spans, 2),
+        "turns_per_sec": round(n_turns / t_parse, 1),
+    }
+
+
+RELATIONAL = [
+    "q1_pricing",
+    "revenue_by_nation",
+    "top3_orders",
+    "events_hourly",
+    "token_stats",
+    "quality_scores",
+    "dedup_exact",
+    "ngram_pairs",
+    "embedding_topk",
+    "doc_assembly",
+]
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--extract-only", action="store_true")
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = args.cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    corpus = ensure_bench_corpus()
+
+    from engine.spark.session import get_spark
+
+    spark = get_spark(cores=cores, app=f"bench-{cores}")
+
+    t_total0 = time.time()
+    queries: dict[str, float] = {}
+
+    ext = run_extraction(spark, corpus)
+    queries["extract_turns"] = ext["extract_turns_sec"]
+    queries["extract_write"] = ext["extract_write_sec"]
+    queries["extract_docs"] = ext["extract_docs_sec"]
+    queries["extract_spans"] = ext["extract_spans_sec"]
+
+    if not args.extract_only:
+        import __spark_entry__ as entry_mod
+
+        qmap = entry_mod.queries()
+        for name in RELATIONAL:
+            t0 = time.time()
+            df = qmap[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            queries[name] = round(time.time() - t0, 2)
+
+    total = round(time.time() - t_total0, 2)
+    out = {
+        "metric": "extracted turns/sec (bench corpus) + query suite seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": 0.1,
+        "cores": cores,
+        "bench_corpus_turns": ext["n_turns"],
+        "turns_per_sec": ext["turns_per_sec"],
+        "md_bytes": ext["md_bytes"],
+        "n_images": ext["n_images"],
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
