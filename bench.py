@@ -80,7 +80,8 @@ def run_extraction(spark, corpus: str) -> dict:
     def parse_job():
         pipeline.extract_turns(df).write.format("noop").mode("overwrite").save()
 
-    t_parse = _timed(parse_job, warmups=2, reps=3)
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    t_parse = _timed(parse_job, warmups=2, reps=reps)
 
     t0 = time.time()
     pipeline.extract_turns(df).write.mode("overwrite").parquet(f"{out}/turns")
@@ -92,16 +93,19 @@ def run_extraction(spark, corpus: str) -> dict:
         F.sum(F.size("images")).alias("n_images"),
     ).collect()[0]
 
-    t_docs = _timed(
-        lambda: pipeline.extract_docs(turns)
-        .agg(F.sum(F.length("markdown"))).collect(),
-        warmups=1, reps=1,
-    )
-    t_spans = _timed(
-        lambda: pipeline.extract_spans(turns)
-        .agg(F.count("*"), F.sum("end")).collect(),
-        warmups=1, reps=1,
-    )
+    if os.environ.get("SPARK_GRAFT_SKIP_DERIVED"):
+        t_docs = t_spans = 0.0
+    else:
+        t_docs = _timed(
+            lambda: pipeline.extract_docs(turns)
+            .agg(F.sum(F.length("markdown"))).collect(),
+            warmups=1, reps=1,
+        )
+        t_spans = _timed(
+            lambda: pipeline.extract_spans(turns)
+            .agg(F.count("*"), F.sum("end")).collect(),
+            warmups=1, reps=1,
+        )
 
     shutil.rmtree(out, ignore_errors=True)
     return {

@@ -51,9 +51,15 @@ def hardware_curve() -> dict[int, float]:
 
 
 def run_at(cores: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+    """Run the extraction bench with the WHOLE process tree (JVM + python
+    workers) pinned to exactly `cores` CPUs via taskset — otherwise
+    local[N]'s python workers leak onto extra cores and inflate the
+    small-N baseline, understating scaling efficiency."""
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores),
+               SPARK_GRAFT_BENCH_REPS="5", SPARK_GRAFT_SKIP_DERIVED="1")
     out = subprocess.run(
-        [sys.executable, os.path.join(HERE, "bench.py"), "--extract-only",
+        ["taskset", "-c", f"0-{cores - 1}",
+         sys.executable, os.path.join(HERE, "bench.py"), "--extract-only",
          "--cores", str(cores)],
         capture_output=True, text=True, env=env, check=True,
     )
@@ -72,10 +78,13 @@ def main() -> int:
     os.makedirs(os.path.join(HERE, "BENCH"), exist_ok=True)
     stamp = datetime.now(timezone.utc).isoformat(timespec="seconds")
     r = runs[32]
+    def _fmt(v):
+        return str(v) if v else "—"
+
     rows = "\n".join(
         f"| local[{c}] | {runs[c]['queries']['extract_turns']} | "
-        f"{tps[c]:,.0f} | {runs[c]['queries']['extract_docs']} | "
-        f"{runs[c]['queries']['extract_spans']} |"
+        f"{tps[c]:,.0f} | {_fmt(runs[c]['queries']['extract_docs'])} | "
+        f"{_fmt(runs[c]['queries']['extract_spans'])} |"
         for c in (2, 8, 32)
     )
     md = f"""# BENCH/BASELINE — measured throughput & scaling evidence
@@ -102,6 +111,10 @@ scales {hw[8]/(4*hw[2]):.2f} of ideal).
 - input: deterministic synthetic transcripts corpus, seed 42,
   {r['bench_corpus_turns']:,} turns (~{r['md_bytes']/1e6:.0f} MB extracted
   markdown, {r['n_images']:,} image placeholders), 32 parquet shards
+- each run is CPU-affinity-pinned (`taskset -c 0-(N-1)`) so local[N]'s
+  whole process tree (JVM task threads + python UDF workers) really gets
+  N cores — without pinning, local[2]'s python workers leak onto spare
+  cores and inflate the small-N baseline
 
 ## Results
 

@@ -1,0 +1,108 @@
+"""Physical-plan assertions — the plans, not just the answers.
+
+Checks the properties that matter at 100 TB: column pruning reaches the
+scan, the parse stage is shuffle-free, small sides broadcast, and the
+assembly exprs stay JVM-side (no Python eval besides the parse UDF).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from engine import fixtures
+from engine.spark import pipeline, similarity
+from engine.spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(cores=4, shuffle_partitions=8, app="engine-tests")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def transcripts_path(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "t.parquet")
+    fixtures.make_transcripts(30, skew_giant=False).to_parquet(p, index=False)
+    return p
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_parse_stage_prunes_columns(spark, transcripts_path):
+    """Only conv_id, turn_idx, text may reach the scan — role/tool/ts are
+    pruned by Catalyst."""
+    df = spark.read.parquet(transcripts_path)
+    turns = pipeline.extract_turns(df)
+    plan = _plan(turns)
+    m = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert m, plan
+    schema_line = m[0]
+    assert "conv_id" in schema_line and "text" in schema_line
+    for col in ("role", "tool", "ts"):
+        assert col not in schema_line, f"{col} not pruned: {schema_line}"
+
+
+def test_parse_stage_is_shuffle_free(spark, transcripts_path):
+    df = spark.read.parquet(transcripts_path)
+    turns = pipeline.extract_turns(df)
+    assert "Exchange" not in _plan(turns), _plan(turns)
+
+
+def test_parse_stage_single_python_eval(spark, transcripts_path):
+    """Exactly one Arrow eval (the parse UDF); P2/P3 assembly must not
+    introduce more Python."""
+    df = spark.read.parquet(transcripts_path)
+    turns = pipeline.extract_turns(df)
+    plan = _plan(turns)
+    n_python = plan.count("ArrowEvalPython")
+    assert n_python == 1, plan
+
+
+def test_doc_assembly_two_aggregates(spark, transcripts_path):
+    """2-phase concat: exactly two HashAggregate/ObjectHashAggregate pairs
+    (partial+final each), i.e. two shuffles, no more."""
+    df = spark.read.parquet(transcripts_path)
+    docs = pipeline.extract_docs(pipeline.extract_turns(df))
+    plan = _plan(docs)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") <= "1996-01-01").select("l_orderkey")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_broadcast_in_similarity(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    topk = similarity.brute_force_topk(emb, n_queries=4, k=3)
+    assert "BroadcastNestedLoopJoin" in _plan(topk) or "BroadcastHashJoin" in _plan(topk)
+
+
+def test_broadcast_small_dim_join(spark):
+    q = entry_mod.q_revenue_by_nation(spark, SF_DIR)
+    assert "BroadcastHashJoin" in _plan(q), _plan(q)
+
+
+def test_anti_join_strategy(spark):
+    q = entry_mod.q_orders_no_lineitems(spark, SF_DIR)
+    assert "LeftAnti" in _plan(q), _plan(q)
+
+
+def test_dedup_partial_aggregation(spark):
+    """exact dedup must map-side combine (partial_ aggregate before the
+    exchange)."""
+    q = entry_mod.q_dedup_exact(spark, SF_DIR)
+    plan = _plan(q)
+    assert "partial_" in plan and "Exchange hashpartitioning" in plan, plan
