@@ -128,6 +128,50 @@ def q_doc_assembly_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_assembly_display(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 display-path join "\\n\\n" (mistralocr_app.py:90)."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").alias("turn_idx"),
+        F.col("text").alias("markdown"),
+    )
+    out = assemble.assemble_docs(d, chunk=1 << 20, sep="\n\n")
+    return out.select(
+        F.col("conv_id").alias("source"), F.col("markdown").alias("doc_markdown")
+    )
+
+
+SQL_DOC_ASSEMBLY_DISPLAY = """
+SELECT source,
+       string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS doc_markdown
+FROM documents GROUP BY source
+"""
+
+
+def q_translate_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 error-channel semantics (mistralocr_app.py:211-216)."""
+    from engine.spark import translate
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.col("text").alias("markdown"),
+    )
+    out = translate.translate_turns(d, fail_when=F.col("doc_id") % 7 == 0)
+    return out.select("doc_id", "translated")
+
+
+SQL_TRANSLATE_MARKDOWN = """
+SELECT doc_id,
+  CASE WHEN doc_id % 7 = 0
+       THEN '--- ERROR: Translation Failed for Page 1 ---' || chr(10) || chr(10) || text
+       ELSE '> [translated zh-TW]' || chr(10) || chr(10) || text
+  END AS translated
+FROM documents
+"""
+
+
 def q_placeholder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1/P3 semantics (mistralocr_app.py:76-82, 101-122) as column exprs."""
     d = _t(spark, sf_dir, "documents")
@@ -621,6 +665,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_spans": q_extract_spans,
         "doc_assembly": q_doc_assembly,
         "doc_assembly_salted": q_doc_assembly_salted,
+        "doc_assembly_display": q_doc_assembly_display,
+        "translate_markdown": q_translate_markdown,
         "placeholder_rewrite": q_placeholder_rewrite,
         "ocr_insert": q_ocr_insert,
         "fence_strip": q_fence_strip,
@@ -650,6 +696,8 @@ def oracle_sql() -> dict[str, str]:
         "extract_images": SQL_EXTRACT_IMAGES,
         "doc_assembly": SQL_DOC_ASSEMBLY,
         "doc_assembly_salted": SQL_DOC_ASSEMBLY,
+        "doc_assembly_display": SQL_DOC_ASSEMBLY_DISPLAY,
+        "translate_markdown": SQL_TRANSLATE_MARKDOWN,
         "placeholder_rewrite": SQL_PLACEHOLDER_REWRITE,
         "ocr_insert": SQL_OCR_INSERT,
         "fence_strip": SQL_FENCE_STRIP,

@@ -138,6 +138,15 @@ def find_images(markdown: str) -> list[str]:
     return list(seen)
 
 
+def replace_images_in_markdown(markdown: str, images_dict: dict[str, str]) -> str:
+    """Verbatim re-expression of mistralocr_app.py:76-82 (P1)."""
+    for img_name, payload in images_dict.items():
+        markdown = markdown.replace(
+            f"![{img_name}]({img_name})", f"![{img_name}]({payload})"
+        )
+    return markdown
+
+
 def insert_ocr_below_images(markdown: str, ocr_map: dict[str, str]) -> str:
     """Verbatim re-expression of mistralocr_app.py:92-99 (P2)."""
     for img_id, ocr_text in ocr_map.items():

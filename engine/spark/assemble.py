@@ -109,6 +109,41 @@ def rewrite_links(markdown: Column, images: Column, conv_id: Column,
     )
 
 
+def replace_images_inline(markdown: Column, images: Column) -> Column:
+    """P1 (replace_images_in_markdown, mistralocr_app.py:76-82):
+    ``![id](id)`` → ``![id](payload)`` for an array<struct<id,payload>>
+    column, folded in array (= dict insertion) order."""
+    return F.aggregate(
+        images,
+        markdown,
+        lambda acc, s: F.replace(
+            acc,
+            _ph(s["id"]),
+            F.concat(F.lit("!["), s["id"], F.lit("]("), s["payload"],
+                     F.lit(")")),
+        ),
+    )
+
+
+def ocr_map_table(turns: DataFrame) -> DataFrame:
+    """F3 regroup (mistralocr_app.py:513-517): per-(conv, turn) map of
+    img_id → ocr_json via map_from_entries(collect_list(...)).  Session
+    sets mapKeyDedupPolicy=LAST_WIN to match python-dict last-write-wins
+    (mistralocr_app.py:641)."""
+    ex = turns.select(
+        "conv_id", "turn_idx", F.explode("images").alias("img_id")
+    )
+    ex = ex.withColumn(
+        "ocr_json",
+        ocr_json_col(F.col("conv_id"), F.col("turn_idx"), F.col("img_id")),
+    )
+    return ex.groupBy("conv_id", "turn_idx").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("img_id", "ocr_json"))
+        ).alias("ocr_map")
+    )
+
+
 def images_table(turns: DataFrame) -> DataFrame:
     """One row per (conv_id, turn_idx, img) with the rewritten path —
     replaces the per-file image sink of mistralocr_app.py:101-122."""

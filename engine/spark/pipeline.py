@@ -73,6 +73,36 @@ def extract_images(turns: DataFrame) -> DataFrame:
     return assemble.images_table(turns)
 
 
+def export_markdown_files(
+    docs: DataFrame,
+    out_dir: str,
+    suffix: str = "original",
+    limit: int | None = None,
+) -> list[str]:
+    """S4 markdown file sink (mistralocr_app.py:719-747): write
+    ``{stem}_original.md`` / ``{stem}_translated.md`` per conversation,
+    UTF-8, stem sanitised with ``replace(' ', '_')`` (:569).
+
+    Driver-side convenience for small exports/debugging — the production
+    sink is the docs *table*; never loop file writes inside tasks."""
+    import os
+
+    from engine.core import spec as _spec
+
+    os.makedirs(out_dir, exist_ok=True)
+    it = docs.select("conv_id", "markdown")
+    if limit:
+        it = it.limit(limit)
+    paths = []
+    for row in it.toLocalIterator():
+        stem = _spec.sanitize_stem(row["conv_id"])
+        path = os.path.join(out_dir, f"{stem}_{suffix}.md")
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(row["markdown"])
+        paths.append(path)
+    return paths
+
+
 def run_full(transcripts: DataFrame) -> dict[str, DataFrame]:
     turns = extract_turns(transcripts)
     return {
