@@ -28,9 +28,9 @@ from engine.core import spec
 
 # Pre-compiled spec patterns (compile once per executor process).
 _HTML_DETECT = re.compile(spec.HTML_DETECT_RE, re.I)
-_STRIP_CONTENT = [re.compile(p, re.S | re.I) for p in spec.HTML_STRIP_CONTENT_RES]
+_STRIP_CONTENT = re.compile(spec.HTML_STRIP_CONTENT_RE, re.S | re.I)
 _PRE = re.compile(spec.HTML_PRE_RE, re.S | re.I)
-_HEADINGS = [(re.compile(p, re.S | re.I), h) for p, h in spec.HTML_HEADING_RES]
+_HEADING = re.compile(spec.HTML_HEADING_RE, re.S | re.I)
 _OL = re.compile(spec.HTML_OL_RE, re.S | re.I)
 _UL = re.compile(spec.HTML_UL_RE, re.S | re.I)
 _LI = re.compile(spec.HTML_LI_RE, re.S | re.I)
@@ -39,7 +39,7 @@ _TR = re.compile(spec.HTML_TR_RE, re.S | re.I)
 _CELL = re.compile(spec.HTML_CELL_RE, re.S | re.I)
 _BLOCKQUOTE = re.compile(spec.HTML_BLOCKQUOTE_RE, re.S | re.I)
 _P = re.compile(spec.HTML_P_RE, re.S | re.I)
-_INLINE = [(re.compile(p, re.S | re.I), r) for p, r in spec.HTML_INLINE_RES]
+_INLINE = re.compile(spec.HTML_INLINE_RE, re.S | re.I)
 _ANY_TAG = re.compile(spec.HTML_ANY_TAG_RE, re.S)
 _TRAILING_WS = re.compile(spec.TRAILING_WS_RE)
 _MULTI_BLANK = re.compile(spec.MULTI_BLANK_RE)
@@ -95,18 +95,15 @@ def _convert_table(m: re.Match) -> str:
 
 
 def extract_html_series(s: pd.Series) -> pd.Series:
-    for pat in _STRIP_CONTENT:
-        s = s.str.replace(pat, "", regex=True)
+    s = s.str.replace(_STRIP_CONTENT, "", regex=True)
     s = s.str.replace(_PRE, r"\n\n```\n\1\n```\n\n", regex=True)
-    for pat, hashes in _HEADINGS:
-        s = s.str.replace(pat, rf"\n\n{hashes} \1\n\n", regex=True)
+    s = s.str.replace(_HEADING, spec.heading_repl, regex=True)
     s = s.str.replace(_OL, _convert_ol, regex=True)
     s = s.str.replace(_UL, _convert_ul, regex=True)
     s = s.str.replace(_TABLE, _convert_table, regex=True)
     s = s.str.replace(_BLOCKQUOTE, r"\n\n> \1\n\n", regex=True)
     s = s.str.replace(_P, r"\n\n\1\n\n", regex=True)
-    for pat, repl in _INLINE:
-        s = s.str.replace(pat, repl, regex=True)
+    s = s.str.replace(_INLINE, spec.inline_repl, regex=True)
     s = s.str.replace(_ANY_TAG, "", regex=True)
     for ent, ch in spec.HTML_ENTITIES:
         s = s.str.replace(ent, ch, regex=False)
@@ -218,28 +215,44 @@ def segment_blocks_frame(md: pd.Series, keys: pd.DataFrame) -> pd.DataFrame:
     sep_base = np.maximum.accumulate(sep_base)
     block_in_row = sep_cum - sep_base - is_sep.astype(np.int64)
 
+    # drop separator lines; block boundaries then fall out of (row, block)
+    # change points — pure index arithmetic, no groupby
     keep = ~is_sep
-    g = pd.DataFrame(
-        {
-            "row": row[keep],
-            "block": block_in_row[keep],
-            "line": line[keep],
-            "start": start[keep],
-            "end": start[keep] + llen[keep],
-        }
-    )
-    grouped = g.groupby(["row", "block"], sort=True).agg(
-        text=("line", "\n".join),
-        start=("start", "first"),
-        end=("end", "last"),
-    )
-    grouped = grouped.reset_index()
-    # dense block_idx per row (empty groups impossible after sep removal)
-    grouped["block_idx"] = grouped.groupby("row").cumcount()
+    row_k = row[keep]
+    block_k = block_in_row[keep]
+    start_k = start[keep]
+    end_k = (start + llen)[keep]
+    line_k = line[keep]
+    if len(row_k) == 0:
+        return segment_blocks_frame(pd.Series([], dtype=object), keys.iloc[:0])
 
-    first_line = grouped["text"].str.split("\n").str[0]
-    btype = pd.Series(spec.BLOCK_PARA, index=grouped.index, dtype=object)
-    level = pd.Series(0, index=grouped.index, dtype="int32")
+    newb = np.empty(len(row_k), dtype=bool)
+    newb[0] = True
+    newb[1:] = (row_k[1:] != row_k[:-1]) | (block_k[1:] != block_k[:-1])
+    idx_first = np.flatnonzero(newb)
+    idx_last = np.append(idx_first[1:] - 1, len(row_k) - 1)
+
+    b_row = row_k[idx_first]
+    b_start = start_k[idx_first]
+    b_end = end_k[idx_last]
+
+    # dense per-row block ordinal
+    ar = np.arange(len(idx_first))
+    newrow_b = np.empty(len(idx_first), dtype=bool)
+    newrow_b[0] = True
+    newrow_b[1:] = b_row[1:] != b_row[:-1]
+    base = np.where(newrow_b, ar, 0)
+    base = np.maximum.accumulate(base)
+    b_idx = ar - base
+
+    # block text = exact slice of the source markdown (spans invariant
+    # text == markdown[start:end] holds by construction)
+    mdv = md.to_numpy(dtype=object)
+    texts = [mdv[r][s:e] for r, s, e in zip(b_row, b_start, b_end)]
+
+    first_line = pd.Series(line_k[idx_first], dtype=object)
+    btype = pd.Series(spec.BLOCK_PARA, index=first_line.index, dtype=object)
+    level = pd.Series(0, index=first_line.index, dtype="int32")
     h = first_line.str.extract(_HEADING_LINE, expand=False)
     is_h = h.notna() & first_line.str.match(_HEADING_LINE)
     btype[is_h] = spec.BLOCK_HEADING
@@ -251,15 +264,11 @@ def segment_blocks_frame(md: pd.Series, keys: pd.DataFrame) -> pd.DataFrame:
     btype[first_line.str.startswith("> ") & ~is_h] = spec.BLOCK_QUOTE
     btype[first_line.str.startswith("![") & ~is_h] = spec.BLOCK_IMAGE
 
-    grouped["block_type"] = btype
-    grouped["level"] = level
-
-    # map row ids back to key columns
-    out = keys.iloc[grouped["row"].to_numpy()].reset_index(drop=True)
-    for c in _BLOCK_COLUMNS:
-        out[c] = grouped[c].to_numpy()
-    out["level"] = out["level"].astype("int32")
-    out["block_idx"] = out["block_idx"].astype("int32")
-    out["start"] = out["start"].astype("int32")
-    out["end"] = out["end"].astype("int32")
+    out = keys.iloc[b_row].reset_index(drop=True)
+    out["block_idx"] = b_idx.astype("int32")
+    out["block_type"] = btype.to_numpy()
+    out["level"] = level.to_numpy()
+    out["start"] = b_start.astype("int32")
+    out["end"] = b_end.astype("int32")
+    out["text"] = texts
     return out

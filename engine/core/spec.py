@@ -91,24 +91,24 @@ HTML_DETECT_RE = (
 )
 
 # ------------------------------------------------------------- HTML grammar
-# Strip-with-content targets (DOM-heuristic boilerplate).  Applied in this
-# exact order, case-insensitive, dotall.
-HTML_STRIP_CONTENT_RES = [
-    r"<script\b[^>]*>.*?</script>",
-    r"<style\b[^>]*>.*?</style>",
-    r"<nav\b[^>]*>.*?</nav>",
-    r"<header\b[^>]*>.*?</header>",
-    r"<footer\b[^>]*>.*?</footer>",
-    r"<aside\b[^>]*>.*?</aside>",
-    r"<div\b[^>]*class=\"[^\"]*(?:cookie|consent|banner|linkfarm|advert|"
-    r"sidebar|promo|related-links)[^\"]*\"[^>]*>.*?</div>",
-    r"<!--.*?-->",
-]
+# Strip-with-content targets (DOM-heuristic boilerplate): one alternation
+# pass, case-insensitive, dotall.  Leftmost match wins, which equals
+# sequential removal for non-pathological nesting.
+HTML_STRIP_CONTENT_RE = (
+    r"<(?P<t>script|style|nav|header|footer|aside)\b[^>]*>.*?</(?P=t)>"
+    r"|<div\b[^>]*class=\"[^\"]*(?:cookie|consent|banner|linkfarm|advert|"
+    r"sidebar|promo|related-links)[^\"]*\"[^>]*>.*?</div>"
+    r"|<!--.*?-->"
+)
 
 HTML_PRE_RE = r"<pre\b[^>]*>\n?(?:<code\b[^>]*>)?(.*?)(?:</code>)?\n?</pre>"
-HTML_HEADING_RES = [
-    (rf"<h{n}\b[^>]*>(.*?)</h{n}>", "#" * n) for n in range(1, 7)
-]
+# single pass over all heading levels; group 'n' = level digit
+HTML_HEADING_RE = r"<h(?P<n>[1-6])\b[^>]*>(?P<body>.*?)</h(?P=n)>"
+
+
+def heading_repl(m) -> str:
+    """Replacement callable shared by oracle and vectorized parser."""
+    return f"\n\n{'#' * int(m.group('n'))} {m.group('body')}\n\n"
 HTML_OL_RE = r"<ol\b[^>]*>(.*?)</ol>"
 HTML_UL_RE = r"<ul\b[^>]*>(.*?)</ul>"
 HTML_LI_RE = r"<li\b[^>]*>(.*?)</li>"
@@ -118,14 +118,35 @@ HTML_CELL_RE = r"<t[hd]\b[^>]*>(.*?)</t[hd]>"
 HTML_BLOCKQUOTE_RE = r"<blockquote\b[^>]*>(.*?)</blockquote>"
 HTML_P_RE = r"<p\b[^>]*>(.*?)</p>"
 
-HTML_INLINE_RES = [
-    (r"<br\s*/?>", "\n"),
-    (r"<(?:b|strong)\b[^>]*>(.*?)</(?:b|strong)>", r"**\1**"),
-    (r"<(?:i|em)\b[^>]*>(.*?)</(?:i|em)>", r"*\1*"),
-    (r"<code\b[^>]*>(.*?)</code>", r"`\1`"),
-    (r'<img\s+src="([^"]*)"\s+alt="([^"]*)"\s*/?>', r"![\2](\1)"),
-    (r'<a\s+href="([^"]*)"[^>]*>(.*?)</a>', r"[\2](\1)"),
-]
+# Inline conversions: one alternation pass, dispatched on the matched
+# branch (single-pass semantics — nested inline tags inside a converted
+# span are NOT re-scanned; remaining tags fall through to the any-tag
+# strip).
+HTML_INLINE_RE = (
+    r"(?P<br><br\s*/?>)"
+    r"|<(?P<bs>b|strong)\b[^>]*>(?P<bsc>.*?)</(?P=bs)>"
+    r"|<(?P<ie>i|em)\b[^>]*>(?P<iec>.*?)</(?P=ie)>"
+    r"|<code\b[^>]*>(?P<cc>.*?)</code>"
+    r"|<img\s+src=\"(?P<isrc>[^\"]*)\"\s+alt=\"(?P<ialt>[^\"]*)\"\s*/?>"
+    r"|<a\s+href=\"(?P<ahref>[^\"]*)\"[^>]*>(?P<atext>.*?)</a>"
+)
+
+
+def inline_repl(m) -> str:
+    """Replacement callable shared by oracle and vectorized parser.
+    Dispatches on m.lastgroup (the final group of the matched branch)."""
+    g = m.lastgroup
+    if g == "br":
+        return "\n"
+    if g == "bsc":
+        return f"**{m.group('bsc')}**"
+    if g == "iec":
+        return f"*{m.group('iec')}*"
+    if g == "cc":
+        return f"`{m.group('cc')}`"
+    if g == "ialt":
+        return f"![{m.group('ialt')}]({m.group('isrc')})"
+    return f"[{m.group('atext')}]({m.group('ahref')})"
 
 HTML_ANY_TAG_RE = r"<[^>]+>"
 

@@ -95,21 +95,18 @@ def _convert_table(m: re.Match) -> str:
 
 
 def extract_html(text: str) -> str:
-    # Phase A — boilerplate strip (DOM heuristics).
-    for pat in spec.HTML_STRIP_CONTENT_RES:
-        text = re.sub(pat, "", text, flags=re.S | re.I)
+    # Phase A — boilerplate strip (DOM heuristics), single alternation.
+    text = re.sub(spec.HTML_STRIP_CONTENT_RE, "", text, flags=re.S | re.I)
     # Phase B — block conversion.
     text = re.sub(spec.HTML_PRE_RE, r"\n\n```\n\1\n```\n\n", text, flags=re.S | re.I)
-    for pat, hashes in spec.HTML_HEADING_RES:
-        text = re.sub(pat, rf"\n\n{hashes} \1\n\n", text, flags=re.S | re.I)
+    text = re.sub(spec.HTML_HEADING_RE, spec.heading_repl, text, flags=re.S | re.I)
     text = re.sub(spec.HTML_OL_RE, _convert_ol, text, flags=re.S | re.I)
     text = re.sub(spec.HTML_UL_RE, _convert_ul, text, flags=re.S | re.I)
     text = re.sub(spec.HTML_TABLE_RE, _convert_table, text, flags=re.S | re.I)
     text = re.sub(spec.HTML_BLOCKQUOTE_RE, r"\n\n> \1\n\n", text, flags=re.S | re.I)
     text = re.sub(spec.HTML_P_RE, r"\n\n\1\n\n", text, flags=re.S | re.I)
-    # Phase C — inline conversion.
-    for pat, repl in spec.HTML_INLINE_RES:
-        text = re.sub(pat, repl, text, flags=re.S | re.I)
+    # Phase C — inline conversion (single alternation pass).
+    text = re.sub(spec.HTML_INLINE_RE, spec.inline_repl, text, flags=re.S | re.I)
     # Phase D — cleanup.
     text = re.sub(spec.HTML_ANY_TAG_RE, "", text, flags=re.S)
     for ent, ch in spec.HTML_ENTITIES:
