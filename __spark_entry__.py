@@ -652,6 +652,48 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming op (applyInPandasWithState session
+    windows).  Emitted = completed sessions; each user's trailing open
+    session stays in state, so the oracle excludes the last session per
+    user."""
+    import shutil
+
+    from engine.spark import streaming
+
+    src = tempfile.mkdtemp(prefix="sess_src_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/part-0.parquet")
+    ckpt = tempfile.mkdtemp(prefix="sess_ckpt_")
+    sink = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    return streaming.stream_sessionize(spark, src, ckpt, sink_table=sink)
+
+
+SQL_STREAM_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0
+         END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+), agg AS (
+  SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,
+         count(*) AS n_events,
+         round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+  FROM s GROUP BY user_id, sid
+), last AS (
+  SELECT user_id, max(sid) AS last_sid FROM agg GROUP BY user_id
+)
+SELECT a.user_id, session_start, session_end, n_events, sum_value
+FROM agg a JOIN last l ON a.user_id = l.user_id AND a.sid < l.last_sid
+"""
+
+
 # -------------------------------------------------------------------- driver
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction pipeline on sf0.001 documents-as-turns."""
@@ -687,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": q_lsh_ann,
         "multimodal_features": q_multimodal_features,
         "stream_event_counts": q_stream_event_counts,
+        "stream_sessionize": q_stream_sessionize,
     }
 
 
@@ -715,5 +758,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "stream_event_counts": SQL_STREAM_EVENT_COUNTS,
+        "stream_sessionize": SQL_STREAM_SESSIONIZE,
         # extract_spans / minhash_lsh / simhash / lsh_ann: rows-only
     }

@@ -52,6 +52,10 @@ def _lineage_path(output_dir: str) -> str:
 
 def read_lineage(spark: SparkSession, output_dir: str) -> DataFrame | None:
     path = _lineage_path(output_dir)
+    # cheap existence probe first — avoids a logged (though caught)
+    # PATH_NOT_FOUND exception on every fresh run
+    if not os.path.exists(path):
+        return None
     try:
         return spark.read.parquet(path)
     except Exception:

@@ -71,6 +71,118 @@ def stream_event_window_counts(
     return spark.table(sink_table)
 
 
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+# open-session carry-over: (start_us, last_us, n, sum_value)
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+
+def _make_session_fn(gap_minutes: int):
+    import pandas as pd
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def fn(key, pdfs, state):
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        user_id = int(key[0])
+
+        ts = rows["ts"]
+        starts_new = ts.diff() > gap           # first row: NaT diff → False
+        session_id = starts_new.cumsum()
+
+        if state.exists:
+            start_us, last_us, n0, sum0 = state.get
+            prev_last = pd.Timestamp(last_us, unit="us")
+        else:
+            prev_last = None
+            start_us, n0, sum0 = None, 0, 0.0
+
+        out = []
+        groups = list(rows.groupby(session_id, sort=True))
+        for gi, (_, g) in enumerate(groups):
+            g_start, g_end = g["ts"].iloc[0], g["ts"].iloc[-1]
+            g_n, g_sum = len(g), float(g["value"].sum())
+            if gi == 0 and prev_last is not None and (g_start - prev_last) <= gap:
+                # continues the open session from state
+                g_start = pd.Timestamp(start_us, unit="us")
+                g_n += n0
+                g_sum += sum0
+            elif gi == 0 and prev_last is not None:
+                # state session closed by the gap → emit it
+                out.append(
+                    (user_id, pd.Timestamp(start_us, unit="us"), prev_last,
+                     n0, round(sum0, 2))
+                )
+            if gi < len(groups) - 1:
+                out.append((user_id, g_start, g_end, g_n, round(g_sum, 2)))
+            else:
+                # trailing session stays open in state
+                state.update((int(g_start.value // 1000),
+                              int(g_end.value // 1000), g_n, g_sum))
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "session_start", "session_end", "n_events",
+                     "sum_value"],
+        )
+
+    return fn
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    sink_table: str = "stream_sessions",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user session windows split on >gap inactivity.  Completed
+    sessions are emitted (append mode); each user's trailing open
+    session is carried in state for the next micro-batch."""
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .load(events_path)
+    )
+    sessions = (
+        src.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_session_fn(gap_minutes),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)
+
+
 def stream_extract_turns(
     spark: SparkSession,
     transcripts_path: str,

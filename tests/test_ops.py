@@ -186,6 +186,78 @@ def test_streaming_window_counts(spark, tmp_path):
     pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
 
 
+def test_stream_sessionize_multibatch_state(spark, tmp_path):
+    """State must carry sessions across micro-batches: split events into
+    two time-ordered files, force one file per batch, and check the
+    emitted sessions equal batch sessionization minus each user's open
+    trailing session."""
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet").sort_values(
+        ["ts", "event_id"]
+    )
+    cut = len(ev) // 2
+    src = tmp_path / "ev"
+    src.mkdir()
+    ev.iloc[:cut].to_parquet(src / "part-0.parquet", index=False)
+    ev.iloc[cut:].to_parquet(src / "part-1.parquet", index=False)
+
+    from pyspark.sql.streaming import StreamingQuery  # noqa: F401
+    from engine.spark import streaming as S
+
+    stream = (
+        spark.readStream.schema(S.EVENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    sessions = (
+        stream.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            S._make_session_fn(30),
+            outputStructType=S.SESSION_OUTPUT_SCHEMA,
+            stateStructType=S.SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("t_sessions_mb")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_sessions_mb").toPandas()
+
+    # batch oracle: sessionize, drop last session per user
+    e = ev.reset_index(drop=True)
+    want_rows = []
+    for uid, g in e.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        sid = (g["ts"].diff() > pd.Timedelta(minutes=30)).cumsum()
+        sess = list(g.groupby(sid))
+        for i, (_, s) in enumerate(sess):
+            if i < len(sess) - 1:
+                want_rows.append(
+                    (uid, s["ts"].iloc[0], s["ts"].iloc[-1], len(s),
+                     round(float(s["value"].sum()), 2))
+                )
+    want = pd.DataFrame(
+        want_rows,
+        columns=["user_id", "session_start", "session_end", "n_events",
+                 "sum_value"],
+    )
+    key = ["user_id", "session_start"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = want.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(want_s)
+    pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
+
+
 def test_streaming_extract_matches_batch(spark, tmp_path):
     from engine import fixtures
     from engine.spark import pipeline
