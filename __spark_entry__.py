@@ -90,10 +90,76 @@ FROM documents
 
 
 def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only check: span offsets aren't reasonably SQL-expressible;
-    # deep parity vs the sequential oracle is in tests/.
+    """Span/block table with char offsets.  The DuckDB twin
+    (SQL_EXTRACT_SPANS) re-derives the segmentation from first
+    principles: split the oracle markdown into lines, window-sum char
+    offsets and fence parity, group on blank-line separators — so the
+    offset arithmetic of the vectorized NumPy path is value-verified,
+    including the ``text = markdown[start:end]`` slice invariant."""
     turns = pipeline.extract_turns(_docs_as_transcripts(spark, sf_dir))
     return pipeline.extract_spans(turns)
+
+
+# Generic fence-aware line-arithmetic segmentation over the markdown
+# produced by SQL_EXTRACT_MARKDOWN (not a hand-coded block list).
+SQL_EXTRACT_SPANS = (
+    "WITH md AS (" + SQL_EXTRACT_MARKDOWN + "),\n"
+    r"""
+ls AS (
+  SELECT conv_id, turn_idx, markdown,
+         regexp_split_to_array(markdown, chr(10)) AS lines
+  FROM md
+),
+ln AS (
+  SELECT conv_id, turn_idx, markdown, i AS line_no,
+         lines[i] AS line, length(lines[i]) AS llen
+  FROM ls, UNNEST(range(1, len(lines) + 1)) r(i)
+),
+off AS (
+  SELECT *,
+    coalesce(sum(llen + 1) OVER w, 0) AS start,
+    coalesce(sum(CASE WHEN starts_with(line, '```') THEN 1 ELSE 0 END)
+             OVER w, 0) AS fence_before,
+    (trim(line, ' ' || chr(9)) = '') AS blank
+  FROM ln
+  WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY line_no
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+sep AS (SELECT *, (blank AND fence_before % 2 = 0) AS is_sep FROM off),
+blk AS (
+  SELECT *,
+    coalesce(sum(CASE WHEN is_sep THEN 1 ELSE 0 END) OVER w, 0) AS block_ord
+  FROM sep
+  WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY line_no
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+grouped AS (
+  SELECT conv_id, turn_idx, block_ord,
+         any_value(markdown) AS markdown,
+         min(start) AS bstart, max(start + llen) AS bend,
+         arg_min(line, line_no) AS first_line
+  FROM blk WHERE NOT is_sep
+  GROUP BY conv_id, turn_idx, block_ord
+)
+SELECT conv_id, turn_idx,
+       (row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY block_ord)
+        - 1)::INT AS block_idx,
+       CASE WHEN regexp_matches(first_line, '^#{1,6} ') THEN 'heading'
+            WHEN starts_with(first_line, '```') THEN 'code'
+            WHEN starts_with(first_line, '|') THEN 'table'
+            WHEN starts_with(first_line, '- ')
+              OR regexp_matches(first_line, '^[0-9]+\. ') THEN 'list'
+            WHEN starts_with(first_line, '> ') THEN 'blockquote'
+            WHEN starts_with(first_line, '![') THEN 'image'
+            ELSE 'para' END AS block_type,
+       CASE WHEN regexp_matches(first_line, '^#{1,6} ')
+            THEN length(regexp_extract(first_line, '^(#+) ', 1))::INT
+            ELSE 0 END AS level,
+       bstart::INT AS start, bend::INT AS "end",
+       substr(markdown, bstart::INT + 1, (bend - bstart)::INT) AS text
+FROM grouped
+"""
+)
 
 
 def q_doc_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -544,9 +610,14 @@ WITH d AS (
   SELECT DISTINCT doc_id, shingle FROM g
 ), sizes AS (
   SELECT doc_id, count(*) AS n_sh FROM gd GROUP BY doc_id
+), rare AS (
+  -- document-frequency cap (dedup.ngram_jaccard_pairs max_df=10000)
+  SELECT shingle FROM gd GROUP BY shingle HAVING count(*) <= 10000
+), gj AS (
+  SELECT gd.doc_id, gd.shingle FROM gd JOIN rare USING (shingle)
 ), shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-  FROM gd a JOIN gd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM gj a JOIN gj b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2 HAVING count(*) >= 2
 )
 SELECT doc_a, doc_b, shared,
@@ -586,8 +657,9 @@ SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: xxhash64 has no DuckDB twin; planted-dup recall covered
-    # in tests/test_ops.py
+    """MinHash-LSH with the portable md5-prefix shingle hash — the full
+    signature → band bucket → candidate → estimate pipeline has an exact
+    DuckDB twin (SQL_MINHASH_LSH)."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
         "doc_id", "text"
     )
@@ -597,8 +669,59 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Doubled corpus shared by the dedup oracles: every doc gets an exact
+# twin shifted by +1000000, guaranteeing planted candidate pairs.
+_SQL_DOUBLED_DOCS = """
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 200
+"""
+
+# Portable 60-bit hash (engine/spark/dedup.portable_hash60 twin).
+_H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+SQL_MINHASH_LSH = rf"""
+WITH d AS ({_SQL_DOUBLED_DOCS}),
+tk AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM d
+),
+g AS (
+  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM tk, UNNEST(range(1, greatest(len(t) - 3, 0) + 2)) r(i)
+),
+gd AS (SELECT DISTINCT doc_id, shingle FROM g),
+code AS (
+  SELECT doc_id, {_H60.format(x='shingle')} % 2147483647 AS code FROM gd
+),
+per AS (
+  SELECT doc_id, i AS perm,
+         min(((2 * i + 1) * code + (i * 2654435761 + 11))
+             % 2305843009213693951) AS mh
+  FROM code, UNNEST(range(0, 32)) r(i)
+  GROUP BY doc_id, i
+),
+sig AS (SELECT doc_id, list(mh ORDER BY perm) AS sig FROM per GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, sig, b AS band,
+         md5(b || ':' || array_to_string(sig[b*2+1 : b*2+2], '-')) AS bucket
+  FROM sig, UNNEST(range(0, 16)) r(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sig AS sig_a, b.sig AS sig_b
+  FROM banded a
+  JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(len(list_filter(range(1, 33), i -> sig_a[i] = sig_b[i])) / 32.0,
+             4) AS est_jaccard
+FROM cand
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only (xxhash64-based)
+    """SimHash near-dup pairs, portable hash, radius-derived blocking
+    (max_hamming=3 → 4 chunks) — exact DuckDB twin in SQL_SIMHASH."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
         "doc_id", "text"
     )
@@ -606,11 +729,94 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(dd, max_hamming=3).orderBy("doc_a", "doc_b")
 
 
+SQL_SIMHASH = rf"""
+WITH d AS ({_SQL_DOUBLED_DOCS}),
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM d
+),
+th AS (SELECT doc_id, {_H60.format(x='tok')} AS h FROM tok),
+votes AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN (h >> i::INT) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, UNNEST(range(0, 60)) r(i)
+  GROUP BY doc_id, i
+),
+sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::BIGINT << i::INT) ELSE 0 END)::BIGINT
+           AS simhash
+  FROM votes GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id, simhash, c AS chunk_idx,
+         (simhash >> (15 * c)::INT) & 32767 AS chunk
+  FROM sh, UNNEST(range(0, 4)) r(c)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM chunks a
+JOIN chunks b
+  ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: approximate by construction
+    """Random-hyperplane LSH ANN with portable md5-derived planes —
+    bucket assignment, candidate set and re-rank all value-verified by
+    SQL_LSH_ANN (same planes, same fold-left dot products)."""
     e = _t(spark, sf_dir, "embeddings")
     dim = len(e.select("embedding").first()[0])
-    return similarity.lsh_ann_topk(e, dim=dim, n_queries=8, k=5, n_planes=4)
+    out = similarity.lsh_ann_topk(e, dim=dim, n_queries=8, k=5, n_planes=4)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# dim=64 in the driver-generated embeddings tables (all scale factors).
+SQL_LSH_ANN = f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+planes AS (
+  SELECT h,
+         list_transform(range(0, 64),
+           d -> ({_H60.format(x="h || ':' || d")} % 100000) / 100000.0 - 0.5)
+           AS p
+  FROM UNNEST(range(0, 4)) r(h)
+),
+bits AS (
+  SELECT vec_id, h,
+         CASE WHEN list_reduce(list_transform(range(1, 65), i -> v[i] * p[i]),
+                               (a, b) -> a + b) >= 0
+              THEN (1::BIGINT << (3 - h)::INT) ELSE 0 END AS term
+  FROM base, planes
+),
+bucketed AS (
+  SELECT b.vec_id, b.v, t.bucket
+  FROM base b
+  JOIN (SELECT vec_id, sum(term)::BIGINT AS bucket FROM bits GROUP BY vec_id) t
+    USING (vec_id)
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+  FROM bucketed WHERE vec_id < 8
+),
+scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         round(list_inner_product(q.qv, b.v) /
+               (sqrt(list_inner_product(q.qv, q.qv)) *
+                sqrt(list_inner_product(b.v, b.v))), 6) AS cosine_sim
+  FROM q JOIN bucketed b ON b.bucket = q.qbucket AND b.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+"""
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -759,5 +965,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "stream_event_counts": SQL_STREAM_EVENT_COUNTS,
         "stream_sessionize": SQL_STREAM_SESSIONIZE,
-        # extract_spans / minhash_lsh / simhash / lsh_ann: rows-only
+        "extract_spans": SQL_EXTRACT_SPANS,
+        "minhash_lsh": SQL_MINHASH_LSH,
+        "simhash": SQL_SIMHASH,
+        "lsh_ann": SQL_LSH_ANN,
     }

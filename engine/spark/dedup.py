@@ -2,21 +2,50 @@
 
 All distributed-by-construction: shingling is explode-based, signatures
 are aggregations, candidate generation is an equi-join on band/bucket
-keys — never an O(n²) cross join.  Exact + n-gram Jaccard have ANSI-SQL
-oracles; MinHash-LSH and SimHash are verified by property tests
-(planted near-duplicates must be found).
+keys — never an O(n²) cross join.
+
+Every operator here is verified value-exact against a DuckDB oracle
+(__spark_entry__.oracle_sql): the shingle/token hash is *portable* —
+the first 15 hex chars of md5 parsed as a 60-bit integer — which both
+engines compute identically (Spark ``conv(substring(md5(x),1,15),16,10)``,
+DuckDB ``('0x' || substr(md5(x),1,15))::BIGINT``).  md5 is slower than
+xxhash64 JVM-side; pass ``fast_hash=True`` on a production cluster where
+cross-engine verifiability isn't needed — the candidate structure is
+identical, only bucket assignments differ.
+
+Scale notes (100 TB):
+  * candidate generation is always a banded/bucketed equi-join;
+  * ``ngram_jaccard_pairs`` caps shingle document frequency before the
+    self-join (``max_df``) so one stop-phrase shingle can't produce a
+    quadratic candidate blowup (standard practice in shingle dedup);
+  * SimHash blocking derives its chunk count from ``max_hamming``
+    (pigeonhole: ``max_hamming + 1`` chunks guarantee a candidate pair
+    within the radius shares at least one exact chunk).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from engine.spark.text import fingerprint
 
+MERSENNE_P = 2305843009213693951  # 2^61 - 1
+
+
+def portable_hash60(col: Column) -> Column:
+    """60-bit non-negative hash both Spark and DuckDB can compute
+    byte-identically: int(md5(x)[:15], 16)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _hash_col(col: Column, fast_hash: bool) -> Column:
+    # xxhash64 (JVM murmur-family, fastest) has no DuckDB twin; the
+    # portable md5 prefix is the verifiable default.
+    return F.xxhash64(col) if fast_hash else portable_hash60(col)
+
+
 # ----------------------------------------------------------------- exact
-
-
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Hash-groupBy exact dedup on normalised text: one shuffle on the
     md5 fingerprint (map-side partial agg), keeps the lowest doc_id."""
@@ -54,14 +83,32 @@ def ngram_jaccard_pairs(
     n: int = 3,
     min_shared: int = 2,
     text_col: str = "text",
+    max_df: int | None = 10000,
 ) -> DataFrame:
     """Candidate pairs sharing ≥min_shared n-gram shingles, with exact
-    Jaccard.  Equi-join on shingle (never cross join); AQE handles hot
-    shingles."""
+    Jaccard over the full shingle sets.
+
+    Equi-join on shingle (never cross join).  Shingles appearing in more
+    than ``max_df`` documents are dropped *before* the self-join — a
+    shingle in f docs emits f² join rows, so one stop-phrase shingle
+    ("the quick brown") would otherwise dominate the job at web scale;
+    AQE skew-split rebalances partitions but cannot reduce that output
+    cardinality.  Jaccard denominators use the uncapped per-doc shingle
+    counts, so the estimate is conservative (shared may be undercounted
+    for pairs that only overlap on ultra-common shingles)."""
     sh = word_shingles(docs, n, text_col)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    joinable = sh
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        joinable = sh.join(rare, "shingle", "left_semi")
+    a = joinable.alias("a")
+    b = joinable.alias("b")
     shared = (
         a.join(b, F.col("a.shingle") == F.col("b.shingle"))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -91,23 +138,26 @@ def ngram_jaccard_pairs(
 
 # ------------------------------------------------------------ MinHash-LSH
 def minhash_signatures(
-    docs: DataFrame, num_perm: int = 32, n: int = 3, text_col: str = "text"
+    docs: DataFrame,
+    num_perm: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    fast_hash: bool = False,
 ) -> DataFrame:
     """(doc_id, sig: array<bigint>) via k universal-hash permutations
-    h_i(x) = (a_i * x + b_i) mod p over xxhash64 shingle codes.
+    h_i(x) = ((2i+1) * x + b_i) mod p over 31-bit shingle codes.
     One explode + one groupBy; min per permutation is a map-side
     combine-friendly aggregate."""
-    p = 2305843009213693951  # 2^61 - 1 (Mersenne prime)
-    # reduce the 64-bit shingle hash into 31 bits so (a*code + b) never
+    # reduce the shingle hash into 31 bits so (a*code + b) never
     # overflows a long for any permutation coefficient below
     sh = word_shingles(docs, n, text_col).withColumn(
-        "code", F.pmod(F.xxhash64("shingle"), F.lit(2147483647))
+        "code", F.pmod(_hash_col(F.col("shingle"), fast_hash), F.lit(2147483647))
     )
     perms = F.transform(
         F.sequence(F.lit(0), F.lit(num_perm - 1)),
         lambda i: F.pmod(
             (F.lit(1) + i * 2) * F.col("code") + (i * 2654435761 + 11),
-            F.lit(p),
+            F.lit(MERSENNE_P),
         ),
     )
     per_perm = sh.select(
@@ -132,18 +182,32 @@ def minhash_lsh_pairs(
     bands: int = 8,
     n: int = 3,
     text_col: str = "text",
+    fast_hash: bool = False,
 ) -> DataFrame:
     """Banded LSH: band-signature equi-join finds candidates, estimated
-    Jaccard = fraction of matching minhashes."""
+    Jaccard = fraction of matching minhashes.  The band bucket key is
+    md5 of the band's minhash slice (portable across engines)."""
     rows = num_perm // bands
-    sig = minhash_signatures(docs, num_perm, n, text_col)
+    sig = minhash_signatures(docs, num_perm, n, text_col, fast_hash)
     banded = sig.select(
         "doc_id",
         "sig",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.hash(F.slice("sig", b * rows + 1, rows), b),
+                lambda b: F.md5(
+                    F.concat(
+                        b.cast("string"),
+                        F.lit(":"),
+                        F.array_join(
+                            F.transform(
+                                F.slice("sig", b * rows + 1, rows),
+                                lambda x: x.cast("string"),
+                            ),
+                            "-",
+                        ),
+                    )
+                ),
             )
         ).alias("band", "bucket"),
     )
@@ -178,16 +242,24 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------- SimHash
-def simhash(docs: DataFrame, bits: int = 64, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash, all JVM-side: explode tokens → xxhash64 → 64
-    per-bit vote sums in a single groupBy (map-side combine) → sign bits
-    reassembled with bitwise ors."""
+def simhash(
+    docs: DataFrame,
+    bits: int = 60,
+    text_col: str = "text",
+    fast_hash: bool = False,
+) -> DataFrame:
+    """SimHash over whitespace tokens, all JVM-side: explode tokens →
+    portable hash → per-bit vote sums in a single groupBy (map-side
+    combine) → sign bits reassembled with bitwise ors.
+
+    Default 60 bits: the portable hash yields 60 usable bits (15 hex
+    chars); with ``fast_hash`` (xxhash64) up to 64 are available."""
     toks = docs.select(
         "doc_id",
         F.explode(
             F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
         ).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", _hash_col(F.col("tok"), fast_hash))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
@@ -206,23 +278,44 @@ def simhash(docs: DataFrame, bits: int = 64, text_col: str = "text") -> DataFram
     return agg.select("doc_id", sh.alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 8,
-                  text_col: str = "text") -> DataFrame:
-    """Near-dup candidates by SimHash: block on 4 16-bit chunks (a pair
-    within hamming ≤ max_hamming shares at least one exact chunk for
-    max_hamming < 4 chunks by pigeonhole), then exact hamming filter."""
-    sh = simhash(docs, 64, text_col)
+def _chunk_bounds(bits: int, n_chunks: int) -> list[tuple[int, int]]:
+    """Split ``bits`` into ``n_chunks`` contiguous (offset, width) chunks,
+    widths as even as possible."""
+    base, extra = divmod(bits, n_chunks)
+    bounds, off = [], 0
+    for c in range(n_chunks):
+        w = base + (1 if c < extra else 0)
+        bounds.append((off, w))
+        off += w
+    return bounds
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 60,
+    text_col: str = "text",
+    fast_hash: bool = False,
+) -> DataFrame:
+    """Near-dup candidate pairs by SimHash with *guaranteed* recall at
+    the requested radius: blocking uses ``max_hamming + 1`` chunks, so by
+    pigeonhole any pair within hamming ≤ max_hamming differs in at most
+    max_hamming chunks and therefore shares at least one exact chunk.
+    (Round-1 shipped a fixed 4-chunk blocking with max_hamming=8, which
+    silently lost pairs at hamming 4–8 — the chunk count is now derived
+    from the radius, so the guarantee holds for any setting.)"""
+    n_chunks = max_hamming + 1
+    if n_chunks > bits:
+        raise ValueError(f"max_hamming={max_hamming} needs more chunks than bits={bits}")
+    sh = simhash(docs, bits, text_col, fast_hash)
+    chunk_cols = [
+        F.shiftright("simhash", off).bitwiseAND(F.lit((1 << width) - 1))
+        for off, width in _chunk_bounds(bits, n_chunks)
+    ]
     chunks = sh.select(
         "doc_id",
         "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF))
-                    for c in range(4)
-                ]
-            )
-        ).alias("chunk_idx", "chunk"),
+        F.posexplode(F.array(*chunk_cols)).alias("chunk_idx", "chunk"),
     )
     a = chunks.alias("a")
     b = chunks.alias("b")
@@ -237,7 +330,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8,
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
+            ham.cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_a", "doc_b"])

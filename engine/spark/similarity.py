@@ -4,8 +4,9 @@
   query set against the corpus, dot products as JVM-side higher-order
   functions (zip_with + aggregate), top-k via window row_number.
 * LSH-bucketed ANN — the scale path: random-hyperplane sign buckets
-  (hyperplanes derived deterministically from xxhash64, no RNG state),
-  candidates restricted to same-bucket, so the join is equi not cross.
+  (hyperplanes derived deterministically from a portable md5-prefix
+  hash, no RNG state), candidates restricted to same-bucket, so the
+  join is equi not cross.
 """
 
 from __future__ import annotations
@@ -66,11 +67,23 @@ def brute_force_topk(
 
 def _hyperplane(h: int, dim: int) -> Column:
     """Deterministic pseudo-random hyperplane: component d ∈ [-0.5, 0.5)
-    derived from xxhash64(h, d) — reproducible across cluster sizes."""
+    derived from a portable md5-prefix hash of "h:d" — reproducible
+    across cluster sizes AND across engines (the DuckDB oracle computes
+    the identical planes, so bucket assignments are value-verified)."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda d: (
-            F.pmod(F.xxhash64(F.lit(h) * 10007 + d), F.lit(100000)) / 100000.0
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{h}:"), d.cast("string"))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(100000),
+            )
+            / 100000.0
             - 0.5
         ),
     )

@@ -83,6 +83,57 @@ def test_simhash_planted(spark):
     assert (0, 2) in by_pair and by_pair[(0, 2)] <= 16
 
 
+@pytest.mark.parametrize("max_hamming", [3, 5, 8])
+def test_simhash_blocking_guarantee(spark, docs, max_hamming):
+    """Recall at the requested radius is GUARANTEED, not probabilistic:
+    blocked candidate pairs must equal brute-force all-pairs hamming ≤
+    radius (the round-1 default max_hamming=8 with 4 fixed chunks
+    violated this — pairs at hamming 4-8 differing in all chunks were
+    silently dropped)."""
+    d = docs.filter(F.col("doc_id") < 120).select("doc_id", "text")
+    sh = dedup.simhash(d).toPandas().set_index("doc_id")["simhash"]
+    ids = sorted(sh.index)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(int(sh[a]) ^ int(sh[b])).count("1") <= max_hamming:
+                want.add((a, b))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_pairs(d, max_hamming=max_hamming).collect()
+    }
+    assert got == want
+
+
+def test_ngram_hot_shingle_df_cap(spark):
+    """One shingle planted in every doc must NOT produce quadratic
+    candidates when capped: with max_df below the corpus size the hot
+    shingle is excluded before the self-join."""
+    hot = "the quick brown"
+    rows = [(i, f"{hot} unique{i} alpha{i} beta{i} gamma{i}") for i in range(60)]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = dedup.ngram_jaccard_pairs(d, n=3, min_shared=1, max_df=10)
+    assert capped.count() == 0  # only overlap is the hot shingle
+    uncapped = dedup.ngram_jaccard_pairs(d, n=3, min_shared=1, max_df=None)
+    assert uncapped.count() == 60 * 59 // 2  # quadratic without the cap
+
+
+def test_portable_hash60_matches_duckdb(spark):
+    import duckdb
+
+    vals = ["hello", "the quick", "它是", "x"]
+    d = spark.createDataFrame([(v,) for v in vals], ["s"])
+    got = {
+        r["s"]: r["h"]
+        for r in d.select("s", dedup.portable_hash60(F.col("s")).alias("h")).collect()
+    }
+    for v in vals:
+        want = duckdb.sql(
+            f"SELECT ('0x' || substr(md5('{v}'), 1, 15))::BIGINT"
+        ).fetchone()[0]
+        assert got[v] == want
+
+
 def test_brute_force_topk_vs_numpy(spark, emb):
     got = similarity.brute_force_topk(emb, n_queries=3, k=5).toPandas()
     pdf = emb.toPandas()
