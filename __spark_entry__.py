@@ -162,6 +162,209 @@ FROM grouped
 )
 
 
+# --------------------------------------------------- base64 image payloads
+def _docs_with_b64_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turns carrying the reference's Image shape: array<struct<id,
+    image_base64>> with data-URL payloads (mistralocr_app.py:88)."""
+    d = _t(spark, sf_dir, "documents")
+    # Spark's base64() emits MIME line-wrapped output (CRLF every 76
+    # chars); data URLs are single-line — strip the wrapping.
+    b64 = lambda payload: F.regexp_replace(
+        F.base64(payload.cast("binary")), r"[\r\n]", ""
+    )
+    mk = lambda img_id, payload: F.struct(
+        F.lit(img_id).alias("id"),
+        F.concat(F.lit("data:image/jpeg;base64,"), b64(payload)).alias(
+            "image_base64"
+        ),
+    )
+    return d.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.array(
+            mk("img-a.jpeg", F.col("text")), mk("img-b.jpeg", F.col("source"))
+        ).alias("images_b64"),
+    )
+
+
+def q_images_b64_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 decode path: data URL → binary payload (verified as hex so the
+    DuckDB oracle can compare bytes exactly)."""
+    imgs = assemble.decode_image_payloads(
+        _docs_with_b64_images(spark, sf_dir)
+    )
+    return imgs.select(
+        "conv_id",
+        "turn_idx",
+        F.col("img_idx").cast("long").alias("img_idx"),
+        "img_id",
+        F.hex("payload").alias("payload_hex"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+    )
+
+
+SQL_IMAGES_B64_DECODE = """
+WITH src AS (
+  SELECT 'doc-' || doc_id AS conv_id, 0 AS turn_idx, i AS img_idx,
+         CASE i WHEN 1 THEN 'img-a.jpeg' ELSE 'img-b.jpeg' END AS img_id,
+         'data:image/jpeg;base64,' ||
+           to_base64(encode(CASE i WHEN 1 THEN text ELSE source END)) AS b64
+  FROM documents, UNNEST(range(1, 3)) r(i)
+)
+SELECT conv_id, turn_idx, img_idx, img_id,
+       hex(from_base64(str_split(b64, ',')[-1])) AS payload_hex,
+       octet_length(from_base64(str_split(b64, ',')[-1]))::BIGINT AS n_bytes
+FROM src
+"""
+
+
+def q_inline_images_b64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 end-to-end with real base64 payloads: ``![id](id)`` →
+    ``![id](data:image/jpeg;base64,...)`` (replace_images_in_markdown,
+    mistralocr_app.py:76-82, fed by the :107 data-URL grammar)."""
+    src = _docs_with_b64_images(spark, sf_dir)
+    md = F.concat(
+        F.lit("![img-a.jpeg](img-a.jpeg)\n\nbody\n\n![img-b.jpeg](img-b.jpeg)")
+    )
+    inline = assemble.replace_images_inline(
+        md,
+        F.transform(
+            "images_b64",
+            lambda s: F.struct(
+                s["id"].alias("id"), s["image_base64"].alias("payload")
+            ),
+        ),
+    )
+    return src.select("conv_id", inline.alias("inlined"))
+
+
+SQL_INLINE_IMAGES_B64 = """
+SELECT 'doc-' || doc_id AS conv_id,
+       '![img-a.jpeg](data:image/jpeg;base64,' || to_base64(encode(text)) ||
+       ')' || chr(10) || chr(10) || 'body' || chr(10) || chr(10) ||
+       '![img-b.jpeg](data:image/jpeg;base64,' || to_base64(encode(source)) ||
+       ')' AS inlined
+FROM documents
+"""
+
+
+def q_structured_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 typed-schema analog: StructuredOCR struct (file_name, topics,
+    languages, ocr_contents — mistralocr_app.py:54-58) derived from the
+    parsed block structure; flattened here for the oracle compare."""
+    turns = pipeline.extract_turns(_docs_as_transcripts(spark, sf_dir))
+    spans = pipeline.extract_spans(turns)
+    s = assemble.structured_ocr(turns, spans)
+    return s.select(
+        "conv_id",
+        "turn_idx",
+        F.col("structured_ocr.file_name").alias("file_name"),
+        F.array_join("structured_ocr.topics", ",").alias("topics_csv"),
+        F.col("structured_ocr.languages").alias("languages"),
+        F.col("structured_ocr.ocr_contents").alias("ocr_contents"),
+    )
+
+
+def _sql_structured_ocr() -> str:
+    return (
+        "WITH md AS (" + SQL_EXTRACT_MARKDOWN + "),\n"
+        "sp AS (" + SQL_EXTRACT_SPANS + "),\n"
+        r"""
+topics AS (
+  SELECT conv_id, turn_idx,
+         string_agg(DISTINCT block_type, ',' ORDER BY block_type) AS topics_csv
+  FROM sp GROUP BY conv_id, turn_idx
+)
+SELECT m.conv_id, m.turn_idx,
+       replace(m.conv_id, ' ', '_') || '_turn_' || m.turn_idx || '.md'
+         AS file_name,
+       coalesce(t.topics_csv, '') AS topics_csv,
+       CASE WHEN regexp_matches(m.markdown, '[一-鿿]') THEN 'zh'
+            WHEN contains(' ' || lower(m.markdown) || ' ', ' the ')
+              OR contains(' ' || lower(m.markdown) || ' ', ' and ')
+              OR contains(' ' || lower(m.markdown) || ' ', ' is ') THEN 'en'
+            WHEN contains(' ' || lower(m.markdown) || ' ', ' el ')
+              OR contains(' ' || lower(m.markdown) || ' ', ' la ')
+              OR contains(' ' || lower(m.markdown) || ' ', ' de ') THEN 'es'
+            ELSE 'other' END AS languages,
+       '{' || chr(10) || '  "unstructured_ocr": "deterministic OCR for ' ||
+       'img-1.jpeg at turn 0 of ' || m.conv_id || '"' || chr(10) || '}'
+         AS ocr_contents
+FROM md m LEFT JOIN topics t USING (conv_id, turn_idx)
+"""
+    )
+
+
+SQL_STRUCTURED_OCR = _sql_structured_ocr()
+
+
+# ------------------------------------------------------- HTML parse path
+# Deterministic HTML payload exercising every converter branch: boilerplate
+# strip (nav/script/comment/cookie-div), headings, lists, tables,
+# blockquotes, paragraphs, all inline conversions, and an image placeholder
+# that then flows through P2 (OCR insert) + P3 (link rewrite).  DuckDB can
+# construct the expected markdown by string concat, so the HTML converter
+# (engine/core/parser.py::extract_html_series; reference semantics
+# mistralocr_app.py:84-99) sits under the hard correctness signal.
+def _docs_as_html_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    img = F.concat(F.lit("img-"), (F.col("doc_id") % 3).cast("string"),
+                   F.lit(".jpeg"))
+    html = F.concat(
+        F.lit('<nav><a href="/">home</a> | <a href="/about">about</a></nav>'),
+        F.lit("<h1>Doc "), sid, F.lit("</h1>"),
+        F.lit("<script>var tracking = 1;</script>"),
+        F.lit("<p>"), F.col("text"), F.lit("</p>"),
+        F.lit("<!-- build 17 -->"),
+        F.lit("<ul><li>lang: "), F.col("lang"),
+        F.lit("</li><li>source: "), F.col("source"), F.lit("</li></ul>"),
+        F.lit("<table><tr><th>k</th><th>v</th></tr><tr><td>n</td><td>"),
+        sid, F.lit("</td></tr></table>"),
+        F.lit("<blockquote>from "), F.col("source"), F.lit("</blockquote>"),
+        F.lit("<p><b>bold</b> and <i>italic</i> and <code>x="), sid,
+        F.lit('</code> and <a href="https://ex.org/'), sid,
+        F.lit('">doc '), sid, F.lit("</a>.</p>"),
+        F.lit('<div class="cookie-banner x">Accept cookies</div>'),
+        F.lit('<img src="'), img, F.lit('" alt="'), img, F.lit('"/>'),
+    )
+    return d.select(
+        F.concat(F.lit("doc-"), sid).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        html.alias("text"),
+    )
+
+
+def q_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    turns = pipeline.extract_turns(_docs_as_html_transcripts(spark, sf_dir))
+    return turns.select("conv_id", "turn_idx", "markdown")
+
+
+SQL_EXTRACT_HTML = """
+WITH b AS (
+  SELECT doc_id, 'doc-' || doc_id AS conv_id, text, lang, source,
+         'img-' || (doc_id % 3) || '.jpeg' AS img
+  FROM documents
+)
+SELECT conv_id, 0 AS turn_idx,
+  '# Doc ' || doc_id || chr(10) || chr(10) ||
+  text || chr(10) || chr(10) ||
+  '- lang: ' || lang || chr(10) || '- source: ' || source
+    || chr(10) || chr(10) ||
+  '| k | v |' || chr(10) || '| --- | --- |' || chr(10) ||
+  '| n | ' || doc_id || ' |' || chr(10) || chr(10) ||
+  '> from ' || source || chr(10) || chr(10) ||
+  '**bold** and *italic* and `x=' || doc_id ||
+  '` and [doc ' || doc_id || '](https://ex.org/' || doc_id || ').'
+    || chr(10) || chr(10) ||
+  '![' || img || '](images_doc-' || doc_id || '/page_1_img_1.png)' ||
+  '\n\n> \U0001F4C4 Image OCR Result:\n\n```json\n' ||
+  '{\n  "unstructured_ocr": "deterministic OCR for ' || img ||
+  ' at turn 0 of doc-' || doc_id || '"\n}' || '\n```' AS markdown
+FROM b
+"""
+
+
 def q_doc_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select(
         F.col("source").alias("conv_id"),
@@ -890,7 +1093,9 @@ WITH e AS (
 ), agg AS (
   SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,
          count(*) AS n_events,
-         round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+         -- round in DECIMAL space (exact HALF_UP), then cast: matches the
+         -- engine's integer ten-thousandths accumulator bit-for-bit
+         CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
   FROM s GROUP BY user_id, sid
 ), last AS (
   SELECT user_id, max(sid) AS last_sid FROM agg GROUP BY user_id
@@ -909,8 +1114,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_markdown": q_extract_markdown,
+        "extract_html": q_extract_html,
         "extract_images": q_extract_images,
         "extract_spans": q_extract_spans,
+        "images_b64_decode": q_images_b64_decode,
+        "inline_images_b64": q_inline_images_b64,
+        "structured_ocr": q_structured_ocr,
         "doc_assembly": q_doc_assembly,
         "doc_assembly_salted": q_doc_assembly_salted,
         "doc_assembly_display": q_doc_assembly_display,
@@ -942,7 +1151,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_markdown": SQL_EXTRACT_MARKDOWN,
+        "extract_html": SQL_EXTRACT_HTML,
         "extract_images": SQL_EXTRACT_IMAGES,
+        "images_b64_decode": SQL_IMAGES_B64_DECODE,
+        "inline_images_b64": SQL_INLINE_IMAGES_B64,
+        "structured_ocr": SQL_STRUCTURED_OCR,
         "doc_assembly": SQL_DOC_ASSEMBLY,
         "doc_assembly_salted": SQL_DOC_ASSEMBLY,
         "doc_assembly_display": SQL_DOC_ASSEMBLY_DISPLAY,

@@ -46,21 +46,55 @@ def ensure_bench_corpus() -> str:
     return path
 
 
-def _timed(job, warmups: int = 1, reps: int = 3) -> float:
-    """Median wall time after warmup.  Single-JVM local mode pays a large
-    serial JIT/worker-spawn cost on first execution of a stage shape —
-    warmup + median isolates steady-state throughput (the quantity that
-    scales with executors on a real cluster)."""
+def _tree_cpu_secs() -> float:
+    """Total user+sys CPU seconds consumed so far by this process and all
+    LIVE descendants (the Spark JVM + python UDF workers), summed from
+    /proc.  Used for CPU-seconds-per-turn: a host-noise-immune scaling
+    metric — if CPU per turn stays flat as parallelism grows, the job
+    adds no coordination overhead and any wall-clock shortfall is the
+    host not delivering cores, not the job failing to scale."""
+    import glob
+
+    procs: dict[int, tuple[int, int]] = {}
+    for stat in glob.glob("/proc/[0-9]*/stat"):
+        try:
+            with open(stat) as f:
+                head, tail = f.read().rsplit(")", 1)
+            pid = int(head.split(" ", 1)[0])
+            fields = tail.split()
+            # post-comm fields: [0]=state [1]=ppid ... [11]=utime [12]=stime
+            procs[pid] = (int(fields[1]), int(fields[11]) + int(fields[12]))
+        except Exception:
+            continue
+    children: dict[int, list[int]] = {}
+    for pid, (ppid, _) in procs.items():
+        children.setdefault(ppid, []).append(pid)
+    total, stack = 0, [os.getpid()]
+    while stack:
+        p = stack.pop()
+        total += procs.get(p, (0, 0))[1]
+        stack.extend(children.get(p, []))
+    return total / os.sysconf("SC_CLK_TCK")
+
+
+def _timed(job, warmups: int = 1, reps: int = 3) -> tuple[float, float]:
+    """(median wall time, mean process-tree CPU seconds) per rep after
+    warmup.  Single-JVM local mode pays a large serial JIT/worker-spawn
+    cost on first execution of a stage shape — warmup + median isolates
+    steady-state throughput (the quantity that scales with executors on
+    a real cluster)."""
     import statistics
 
     for _ in range(warmups):
         job()
     times = []
+    cpu0 = _tree_cpu_secs()
     for _ in range(reps):
         t0 = time.time()
         job()
         times.append(time.time() - t0)
-    return statistics.median(times)
+    cpu = (_tree_cpu_secs() - cpu0) / reps
+    return statistics.median(times), cpu
 
 
 def run_extraction(spark, corpus: str) -> dict:
@@ -81,7 +115,7 @@ def run_extraction(spark, corpus: str) -> dict:
         pipeline.extract_turns(df).write.format("noop").mode("overwrite").save()
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    t_parse = _timed(parse_job, warmups=2, reps=reps)
+    t_parse, cpu_parse = _timed(parse_job, warmups=2, reps=reps)
 
     t0 = time.time()
     pipeline.extract_turns(df).write.mode("overwrite").parquet(f"{out}/turns")
@@ -96,12 +130,12 @@ def run_extraction(spark, corpus: str) -> dict:
     if os.environ.get("SPARK_GRAFT_SKIP_DERIVED"):
         t_docs = t_spans = 0.0
     else:
-        t_docs = _timed(
+        t_docs, _ = _timed(
             lambda: pipeline.extract_docs(turns)
             .agg(F.sum(F.length("markdown"))).collect(),
             warmups=1, reps=1,
         )
-        t_spans = _timed(
+        t_spans, _ = _timed(
             lambda: pipeline.extract_spans(turns)
             .agg(F.count("*"), F.sum("end")).collect(),
             warmups=1, reps=1,
@@ -117,6 +151,8 @@ def run_extraction(spark, corpus: str) -> dict:
         "extract_docs_sec": round(t_docs, 2),
         "extract_spans_sec": round(t_spans, 2),
         "turns_per_sec": round(n_turns / t_parse, 1),
+        "parse_cpu_secs": round(cpu_parse, 2),
+        "cpu_secs_per_kturn": round(1000.0 * cpu_parse / n_turns, 4),
     }
 
 
@@ -178,6 +214,8 @@ def main(argv=None) -> int:
         "cores": cores,
         "bench_corpus_turns": ext["n_turns"],
         "turns_per_sec": ext["turns_per_sec"],
+        "parse_cpu_secs": ext["parse_cpu_secs"],
+        "cpu_secs_per_kturn": ext["cpu_secs_per_kturn"],
         "md_bytes": ext["md_bytes"],
         "n_images": ext["n_images"],
     }

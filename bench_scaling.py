@@ -8,15 +8,23 @@ reporting throughput at both plus
 
     efficiency = (turns/s @ 4N) / (4 × turns/s @ N)
 
-The sandbox VM advertises 32 vCPUs but is hypervisor-capped at ~8.6
-cores of effective compute (measured below with a pure-CPU burn, and
-recorded in the report) — beyond ~8 threads there is no additional
-hardware to scale onto.  The N → 4N evidence therefore uses
-local[2] → local[8], which lies inside the linear region of the
-machine's own scaling curve; local[8] → local[32] is also reported,
-with the measured hardware ceiling alongside.
+Two sandbox realities shape the protocol (both measured, see report):
+
+1. The VM advertises 32 vCPUs but the hypervisor caps effective compute
+   at ~27 cores AND the per-minute capacity swings 2-7× (burstable
+   host).  A single sequential pass (all local[2] runs, then local[8],
+   then local[32]) samples each leg in a different host window — round 1
+   measured eff(8→32) anywhere from 0.12 to 1.74 on identical code.
+2. Wall-clock alone therefore cannot settle the 8→32 leg.  This script
+   (a) INTERLEAVES the legs across R rounds and uses per-leg medians,
+   and (b) reports a host-noise-immune metric: process-tree CPU-seconds
+   per 1k turns (JVM + python UDF workers, from /proc).  If CPU/turn is
+   flat as parallelism quadruples, the job adds no coordination
+   overhead — the work parallelizes perfectly and any wall-clock
+   shortfall is the host not delivering cores.
 
 Writes BENCH/BASELINE.md.  Usage: python bench_scaling.py
+(SPARK_GRAFT_SCALING_ROUNDS to override R=3.)
 """
 
 from __future__ import annotations
@@ -24,20 +32,30 @@ from __future__ import annotations
 import json
 import multiprocessing as mp
 import os
+import statistics
 import subprocess
 import sys
 import time
 from datetime import datetime, timezone
 
 HERE = os.path.dirname(os.path.abspath(__file__))
+LEGS = (2, 8, 32)
 
 
-def _burn(_):
+def _burn(seconds: float) -> int:
     t0 = time.time()
     x = 0
-    while time.time() - t0 < 2:
+    while time.time() - t0 < seconds:
         x += 1
     return x
+
+
+def _burn2(_):
+    return _burn(2.0)
+
+
+def _burn_quick(_):
+    return _burn(1.0)
 
 
 def hardware_curve() -> dict[int, float]:
@@ -46,17 +64,24 @@ def hardware_curve() -> dict[int, float]:
     out = {}
     for n in (1, 2, 8, 32):
         with mp.Pool(n) as p:
-            out[n] = round(sum(p.map(_burn, range(n))) / 1e6, 1)
+            out[n] = round(sum(p.map(_burn2, range(n))) / 1e6, 1)
     return out
+
+
+def host_window_index() -> float:
+    """1-second 8-proc burn: a cheap index of the host's capacity in THIS
+    minute, recorded adjacent to each leg to expose window swings."""
+    with mp.Pool(8) as p:
+        return round(sum(p.map(_burn_quick, range(8))) / 1e6, 1)
 
 
 def run_at(cores: int) -> dict:
     """Run the extraction bench with the WHOLE process tree (JVM + python
     workers) pinned to exactly `cores` CPUs via taskset — otherwise
-    local[N]'s python workers leak onto extra cores and inflate the
+    local[N]'s python workers leak onto spare cores and inflate the
     small-N baseline, understating scaling efficiency."""
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores),
-               SPARK_GRAFT_BENCH_REPS="5", SPARK_GRAFT_SKIP_DERIVED="1")
+               SPARK_GRAFT_BENCH_REPS="3", SPARK_GRAFT_SKIP_DERIVED="1")
     out = subprocess.run(
         ["taskset", "-c", f"0-{cores - 1}",
          sys.executable, os.path.join(HERE, "bench.py"), "--extract-only",
@@ -67,31 +92,59 @@ def run_at(cores: int) -> dict:
     return json.loads(line)
 
 
+def _spread(vals: list[float]) -> float:
+    m = statistics.median(vals)
+    return (max(vals) - min(vals)) / m if m else 0.0
+
+
 def main() -> int:
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
     hw = hardware_curve()
-    runs = {c: run_at(c) for c in (2, 8, 32)}
-    tps = {c: r["turns_per_sec"] for c, r in runs.items()}
+    hw_ceiling_8_32 = hw[32] / (4 * hw[8])
+
+    # interleaved: every round touches every leg, so one bad host window
+    # degrades all legs of that round instead of silently skewing one leg
+    runs: dict[int, list[dict]] = {c: [] for c in LEGS}
+    windows: dict[int, list[float]] = {c: [] for c in LEGS}
+    for r in range(rounds):
+        for c in LEGS:
+            windows[c].append(host_window_index())
+            runs[c].append(run_at(c))
+
+    tps = {c: statistics.median(x["turns_per_sec"] for x in runs[c]) for c in LEGS}
+    cpu = {c: statistics.median(x["cpu_secs_per_kturn"] for x in runs[c]) for c in LEGS}
+    tps_spread = {c: _spread([x["turns_per_sec"] for x in runs[c]]) for c in LEGS}
     eff_2_8 = tps[8] / (4 * tps[2])
     eff_8_32 = tps[32] / (4 * tps[8])
-    hw_ceiling_8_32 = hw[32] / (4 * hw[8])
+    eff_cpu_2_8 = cpu[2] / cpu[8] if cpu[8] else 0.0
+    eff_cpu_8_32 = cpu[8] / cpu[32] if cpu[32] else 0.0
 
     os.makedirs(os.path.join(HERE, "BENCH"), exist_ok=True)
     stamp = datetime.now(timezone.utc).isoformat(timespec="seconds")
-    r = runs[32]
-    def _fmt(v):
-        return str(v) if v else "—"
+    rbig = runs[32][-1]
 
-    rows = "\n".join(
-        f"| local[{c}] | {runs[c]['queries']['extract_turns']} | "
-        f"{tps[c]:,.0f} | {_fmt(runs[c]['queries']['extract_docs'])} | "
-        f"{_fmt(runs[c]['queries']['extract_spans'])} |"
-        for c in (2, 8, 32)
+    leg_rows = "\n".join(
+        f"| local[{c}] | {tps[c]:,.0f} | {tps_spread[c]*100:.0f}% | "
+        f"{cpu[c]:.3f} | "
+        f"{', '.join(format(x['turns_per_sec'], ',.0f') for x in runs[c])} | "
+        f"{', '.join(str(w) for w in windows[c])} |"
+        for c in LEGS
     )
+    round_rows = "\n".join(
+        f"| {r + 1} | "
+        f"{runs[2][r]['turns_per_sec']:,.0f} | {runs[8][r]['turns_per_sec']:,.0f} | "
+        f"{runs[32][r]['turns_per_sec']:,.0f} | "
+        f"{runs[8][r]['turns_per_sec'] / (4 * runs[2][r]['turns_per_sec']):.3f} | "
+        f"{runs[32][r]['turns_per_sec'] / (4 * runs[8][r]['turns_per_sec']):.3f} |"
+        for r in range(rounds)
+    )
+
     md = f"""# BENCH/BASELINE — measured throughput & scaling evidence
 
 Generated {stamp} by `python bench_scaling.py` (identical job, identical
-input, fresh JVM per parallelism level; throughput = median of 3 runs
-after 2 warmups, isolating steady-state from single-JVM JIT warmup).
+input; {rounds} interleaved rounds × 3 parallelism legs, fresh JVM per
+leg; per-leg value = median across rounds; each leg = median of 3 timed
+runs after 2 warmups inside the JVM).
 
 ## Hardware reality of this sandbox
 
@@ -100,38 +153,52 @@ effective compute ceiling: aggregate throughput {hw[1]}M iters ×1 proc,
 {hw[2]}M ×2, {hw[8]}M ×8, {hw[32]}M ×32 — i.e. the hypervisor caps the
 box at ≈{hw[32]/hw[1]:.1f} cores of real compute.  From 8 → 32 procs the
 *hardware itself* only scales {hw_ceiling_8_32:.2f}× of ideal, so no job
-can show 4× there.  The N → 4N criterion is therefore evidenced at
-local[2] → local[8], inside the machine's linear region (hardware there
-scales {hw[8]/(4*hw[2]):.2f} of ideal).
+can show 4× there.  Host capacity also swings minute-to-minute (see the
+host-window column), which is why the legs are interleaved and medianed.
 
 ## Protocol
 
 - job: full per-turn extraction (Arrow-batched structural parse + P2/P3
   Catalyst assembly), `bench.py --extract-only`
 - input: deterministic synthetic transcripts corpus, seed 42,
-  {r['bench_corpus_turns']:,} turns (~{r['md_bytes']/1e6:.0f} MB extracted
-  markdown, {r['n_images']:,} image placeholders), 32 parquet shards
-- each run is CPU-affinity-pinned (`taskset -c 0-(N-1)`) so local[N]'s
-  whole process tree (JVM task threads + python UDF workers) really gets
-  N cores — without pinning, local[2]'s python workers leak onto spare
-  cores and inflate the small-N baseline
+  {rbig['bench_corpus_turns']:,} turns (~{rbig['md_bytes']/1e6:.0f} MB extracted
+  markdown, {rbig['n_images']:,} image placeholders), 32 parquet shards
+- CPU-affinity-pinned (`taskset -c 0-(N-1)`) so local[N]'s whole process
+  tree (JVM task threads + python UDF workers) really gets N cores
+- **CPU-seconds per 1k turns**: user+sys CPU of the whole process tree
+  (/proc, JVM + UDF workers) consumed by the timed parse reps — a
+  host-noise-immune scaling metric: flat CPU/turn across parallelism ⇒
+  zero coordination overhead added by scaling the job
 
-## Results
+## Results (median over {rounds} interleaved rounds)
 
-| parallelism | parse wall (s) | turns/s | docs (s) | spans (s) |
-|---|---|---|---|---|
-{rows}
+| parallelism | turns/s (median) | spread | CPU s/kturn | per-round turns/s | host window idx |
+|---|---|---|---|---|---|
+{leg_rows}
 
-**Scaling efficiency N → 4N (local[2] → local[8]): {eff_2_8:.3f}**
-(criterion: ≥ 0.8)
+**Wall-clock scaling efficiency N → 4N (local[2] → local[8]):
+{eff_2_8:.3f}** (criterion: ≥ 0.8)
 
     efficiency = (turns/s @ local[8]) / (4 × turns/s @ local[2])
                = {tps[8]:,.1f} / (4 × {tps[2]:,.1f}) = {eff_2_8:.3f}
 
-local[8] → local[32]: {eff_8_32:.3f} against a measured hardware ceiling
-of {hw_ceiling_8_32:.3f} for the same step — i.e. the job reaches
-{min(1.0, eff_8_32/hw_ceiling_8_32)*100:.0f}% of what the capped CPUs
-physically allow.
+local[8] → local[32] wall-clock: {eff_8_32:.3f} against a measured
+hardware ceiling of {hw_ceiling_8_32:.3f} for the same step.
+
+**CPU-normalized efficiency (work inflation)** — CPU-seconds per turn
+ratio across the step (1.0 = the job does the same total work at higher
+parallelism, i.e. perfect scaling of the job itself):
+
+    eff_cpu(2→8)  = {cpu[2]:.3f} / {cpu[8]:.3f} = {eff_cpu_2_8:.3f}
+    eff_cpu(8→32) = {cpu[8]:.3f} / {cpu[32]:.3f} = {eff_cpu_8_32:.3f}
+
+## Per-round efficiencies (variance disclosure)
+
+| round | tps@2 | tps@8 | tps@32 | eff(2→8) | eff(8→32) |
+|---|---|---|---|---|---|
+{round_rows}
+
+Per-leg spread = (max−min)/median of turns/s across rounds (table above).
 
 ## Reference comparison
 
@@ -142,10 +209,10 @@ calls — one OCR call per document plus per-image and per-page LLM calls
 page.  This engine extracts {tps[32]:,.0f} turns/s on this single capped
 host.
 
-## Raw JSON
+## Raw JSON (all rounds)
 
 ```json
-{os.linesep.join(json.dumps(runs[c]) for c in (2, 8, 32))}
+{os.linesep.join(json.dumps(x) for c in LEGS for x in runs[c])}
 ```
 """
     path = os.path.join(HERE, "BENCH", "BASELINE.md")
@@ -154,6 +221,7 @@ host.
     print(
         f"tps: 2={tps[2]:,.0f} 8={tps[8]:,.0f} 32={tps[32]:,.0f}; "
         f"eff(2→8)={eff_2_8:.3f} eff(8→32)={eff_8_32:.3f} "
+        f"eff_cpu(2→8)={eff_cpu_2_8:.3f} eff_cpu(8→32)={eff_cpu_8_32:.3f} "
         f"hw-ceiling(8→32)={hw_ceiling_8_32:.3f} → {path}"
     )
     return 0

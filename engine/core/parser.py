@@ -73,6 +73,28 @@ def detect_kinds(texts: pd.Series) -> pd.Series:
 
 
 # ---------------------------------------------------------------------- HTML
+def _heading_repl(m: re.Match) -> str:
+    """Vectorized-side heading replacement (independent of the oracle's —
+    parity between the two is a real two-implementation test)."""
+    return f"\n\n{'#' * int(m.group('n'))} {m.group('body')}\n\n"
+
+
+def _inline_repl(m: re.Match) -> str:
+    """Inline-branch dispatch on m.lastgroup (final group of the branch)."""
+    g = m.lastgroup
+    if g == "br":
+        return "\n"
+    if g == "bsc":
+        return f"**{m.group('bsc')}**"
+    if g == "iec":
+        return f"*{m.group('iec')}*"
+    if g == "cc":
+        return f"`{m.group('cc')}`"
+    if g == "ialt":
+        return f"![{m.group('ialt')}]({m.group('isrc')})"
+    return f"[{m.group('atext')}]({m.group('ahref')})"
+
+
 def _convert_ol(m: re.Match) -> str:
     items = _LI.findall(m.group(1))
     return "\n\n" + "\n".join(f"{i + 1}. {it}" for i, it in enumerate(items)) + "\n\n"
@@ -97,13 +119,13 @@ def _convert_table(m: re.Match) -> str:
 def extract_html_series(s: pd.Series) -> pd.Series:
     s = s.str.replace(_STRIP_CONTENT, "", regex=True)
     s = s.str.replace(_PRE, r"\n\n```\n\1\n```\n\n", regex=True)
-    s = s.str.replace(_HEADING, spec.heading_repl, regex=True)
+    s = s.str.replace(_HEADING, _heading_repl, regex=True)
     s = s.str.replace(_OL, _convert_ol, regex=True)
     s = s.str.replace(_UL, _convert_ul, regex=True)
     s = s.str.replace(_TABLE, _convert_table, regex=True)
     s = s.str.replace(_BLOCKQUOTE, r"\n\n> \1\n\n", regex=True)
     s = s.str.replace(_P, r"\n\n\1\n\n", regex=True)
-    s = s.str.replace(_INLINE, spec.inline_repl, regex=True)
+    s = s.str.replace(_INLINE, _inline_repl, regex=True)
     s = s.str.replace(_ANY_TAG, "", regex=True)
     for ent, ch in spec.HTML_ENTITIES:
         s = s.str.replace(ent, ch, regex=False)

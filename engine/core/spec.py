@@ -102,13 +102,13 @@ HTML_STRIP_CONTENT_RE = (
 )
 
 HTML_PRE_RE = r"<pre\b[^>]*>\n?(?:<code\b[^>]*>)?(.*?)(?:</code>)?\n?</pre>"
-# single pass over all heading levels; group 'n' = level digit
+# single pass over all heading levels; group 'n' = level digit.
+# NOTE: the *replacement callables* for this and HTML_INLINE_RE live
+# separately in engine/core/parser.py (vectorized side) and
+# engine/oracle.py (sequential side) — two independent implementations,
+# so the parity tests compare real re-implementations, not one shared
+# function (they briefly shared callables in round 1; reverted).
 HTML_HEADING_RE = r"<h(?P<n>[1-6])\b[^>]*>(?P<body>.*?)</h(?P=n)>"
-
-
-def heading_repl(m) -> str:
-    """Replacement callable shared by oracle and vectorized parser."""
-    return f"\n\n{'#' * int(m.group('n'))} {m.group('body')}\n\n"
 HTML_OL_RE = r"<ol\b[^>]*>(.*?)</ol>"
 HTML_UL_RE = r"<ul\b[^>]*>(.*?)</ul>"
 HTML_LI_RE = r"<li\b[^>]*>(.*?)</li>"
@@ -121,7 +121,7 @@ HTML_P_RE = r"<p\b[^>]*>(.*?)</p>"
 # Inline conversions: one alternation pass, dispatched on the matched
 # branch (single-pass semantics — nested inline tags inside a converted
 # span are NOT re-scanned; remaining tags fall through to the any-tag
-# strip).
+# strip).  Replacement callables: see note above HTML_OL_RE.
 HTML_INLINE_RE = (
     r"(?P<br><br\s*/?>)"
     r"|<(?P<bs>b|strong)\b[^>]*>(?P<bsc>.*?)</(?P=bs)>"
@@ -130,23 +130,6 @@ HTML_INLINE_RE = (
     r"|<img\s+src=\"(?P<isrc>[^\"]*)\"\s+alt=\"(?P<ialt>[^\"]*)\"\s*/?>"
     r"|<a\s+href=\"(?P<ahref>[^\"]*)\"[^>]*>(?P<atext>.*?)</a>"
 )
-
-
-def inline_repl(m) -> str:
-    """Replacement callable shared by oracle and vectorized parser.
-    Dispatches on m.lastgroup (the final group of the matched branch)."""
-    g = m.lastgroup
-    if g == "br":
-        return "\n"
-    if g == "bsc":
-        return f"**{m.group('bsc')}**"
-    if g == "iec":
-        return f"*{m.group('iec')}*"
-    if g == "cc":
-        return f"`{m.group('cc')}`"
-    if g == "ialt":
-        return f"![{m.group('ialt')}]({m.group('isrc')})"
-    return f"[{m.group('atext')}]({m.group('ahref')})"
 
 HTML_ANY_TAG_RE = r"<[^>]+>"
 

@@ -71,6 +71,30 @@ def extract_tool_json(text: str) -> str:
 
 
 # ---------------------------------------------------------------------- HTML
+def _heading_repl(m: re.Match) -> str:
+    """Sequential-side heading replacement — deliberately written
+    differently from the vectorized parser's (string building vs
+    f-string) so the golden parity test compares two implementations."""
+    level = int(m.group("n"))
+    return "\n\n" + "#" * level + " " + m.group("body") + "\n\n"
+
+
+def _inline_repl(m: re.Match) -> str:
+    """Sequential-side inline dispatch — checks each branch's tag group
+    for None instead of reading m.lastgroup."""
+    if m.group("br") is not None:
+        return "\n"
+    if m.group("bs") is not None:
+        return "**" + m.group("bsc") + "**"
+    if m.group("ie") is not None:
+        return "*" + m.group("iec") + "*"
+    if m.group("cc") is not None:
+        return "`" + m.group("cc") + "`"
+    if m.group("isrc") is not None:
+        return "![" + m.group("ialt") + "](" + m.group("isrc") + ")"
+    return "[" + m.group("atext") + "](" + m.group("ahref") + ")"
+
+
 def _convert_ol(m: re.Match) -> str:
     items = re.findall(spec.HTML_LI_RE, m.group(1), re.S | re.I)
     lines = [f"{i + 1}. {item}" for i, item in enumerate(items)]
@@ -99,14 +123,14 @@ def extract_html(text: str) -> str:
     text = re.sub(spec.HTML_STRIP_CONTENT_RE, "", text, flags=re.S | re.I)
     # Phase B — block conversion.
     text = re.sub(spec.HTML_PRE_RE, r"\n\n```\n\1\n```\n\n", text, flags=re.S | re.I)
-    text = re.sub(spec.HTML_HEADING_RE, spec.heading_repl, text, flags=re.S | re.I)
+    text = re.sub(spec.HTML_HEADING_RE, _heading_repl, text, flags=re.S | re.I)
     text = re.sub(spec.HTML_OL_RE, _convert_ol, text, flags=re.S | re.I)
     text = re.sub(spec.HTML_UL_RE, _convert_ul, text, flags=re.S | re.I)
     text = re.sub(spec.HTML_TABLE_RE, _convert_table, text, flags=re.S | re.I)
     text = re.sub(spec.HTML_BLOCKQUOTE_RE, r"\n\n> \1\n\n", text, flags=re.S | re.I)
     text = re.sub(spec.HTML_P_RE, r"\n\n\1\n\n", text, flags=re.S | re.I)
     # Phase C — inline conversion (single alternation pass).
-    text = re.sub(spec.HTML_INLINE_RE, spec.inline_repl, text, flags=re.S | re.I)
+    text = re.sub(spec.HTML_INLINE_RE, _inline_repl, text, flags=re.S | re.I)
     # Phase D — cleanup.
     text = re.sub(spec.HTML_ANY_TAG_RE, "", text, flags=re.S)
     for ent, ch in spec.HTML_ENTITIES:

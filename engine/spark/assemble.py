@@ -125,6 +125,77 @@ def replace_images_inline(markdown: Column, images: Column) -> Column:
     )
 
 
+def decode_image_payloads(
+    df: DataFrame, images_col: str = "images_b64"
+) -> DataFrame:
+    """Base64 image payload decode (mistralocr_app.py:107, :262).
+
+    Input column: ``array<struct<id: string, image_base64: string>>``
+    where ``image_base64`` is a data URL (``data:image/png;base64,...``,
+    the reference's Image shape, mistralocr_app.py:88).  The reference
+    decodes with ``base64_str.split(",")[-1]`` + b64decode per file;
+    here it is one JVM-side expression over the fan-out:
+    ``unbase64(element_at(split(b64, ','), -1))`` — no Python, no
+    per-file I/O.  Output: one row per image with the binary payload
+    (the images *table* replaces the reference's .png file sink)."""
+    ex = df.select(
+        "conv_id", "turn_idx", F.posexplode(images_col).alias("pos", "img")
+    )
+    payload = F.unbase64(
+        F.element_at(F.split(F.col("img.image_base64"), ","), -1)
+    )
+    return ex.select(
+        "conv_id",
+        "turn_idx",
+        (F.col("pos") + 1).alias("img_idx"),
+        F.col("img.id").alias("img_id"),
+        payload.alias("payload"),
+        F.octet_length(payload).alias("n_bytes"),
+    )
+
+
+STRUCTURED_OCR_FIELDS = ("file_name", "topics", "languages", "ocr_contents")
+
+
+def structured_ocr(turns: DataFrame, spans: DataFrame) -> DataFrame:
+    """Typed StructuredOCR analog (mistralocr_app.py:54-58: Pydantic
+    ``file_name: str, topics: list[str], languages: str, ocr_contents:
+    dict``) as a Spark struct column derived from parsed structure:
+
+      * file_name     — sanitised stem + turn suffix (S4 naming, :569)
+      * topics        — distinct block types present in the turn, sorted
+      * languages     — n-gram language ID over the extracted markdown
+      * ocr_contents  — schemaless dict in the reference ⇒ JSON string
+                        (the first image's OCR payload, '{}' if no image)
+
+    Returns turns + ``structured_ocr`` struct column."""
+    from engine.spark import text as _text
+
+    topics = (
+        spans.groupBy("conv_id", "turn_idx")
+        .agg(F.array_sort(F.collect_set("block_type")).alias("_topics"))
+    )
+    base = turns.join(topics, ["conv_id", "turn_idx"], "left")
+    first_img = F.element_at("images", 1)
+    struct = F.struct(
+        F.concat(
+            stem_col(F.col("conv_id")),
+            F.lit("_turn_"),
+            F.col("turn_idx").cast("string"),
+            F.lit(".md"),
+        ).alias("file_name"),
+        F.coalesce("_topics", F.array().cast("array<string>")).alias("topics"),
+        _text.lang_id(F.col("markdown")).alias("languages"),
+        F.when(
+            F.size("images") > 0,
+            ocr_json_col(F.col("conv_id"), F.col("turn_idx"), first_img),
+        )
+        .otherwise(F.lit("{}"))
+        .alias("ocr_contents"),
+    )
+    return base.withColumn("structured_ocr", struct).drop("_topics")
+
+
 def ocr_map_table(turns: DataFrame) -> DataFrame:
     """F3 regroup (mistralocr_app.py:513-517): per-(conv, turn) map of
     img_id → ocr_json via map_from_entries(collect_list(...)).  Session

@@ -83,12 +83,18 @@ def run_with_resume(
     snapshot_id: str,
     n_buckets: int = 64,
     force: bool = False,
+    spans: bool = False,
 ) -> dict[str, int]:
-    """Extract turns+docs with bucket-granular resume.
+    """Extract turns+docs (+spans) with bucket-granular resume.
 
     Returns counts of processed buckets/turns (0 processed ⇒ everything
     was already done — the reference's 'checkpoint found, skipping'
     path, mistralocr_app.py:585-587)."""
+    # Idempotent resume REQUIRES dynamic partition overwrite: with the
+    # static default, mode('overwrite').partitionBy(...) wipes all
+    # previously completed buckets.  Force it here so correctness does
+    # not depend on the session factory having set it.
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     src = with_part_hash(transcripts, n_buckets)
 
     done = None if force else done_buckets(spark, output_dir, snapshot_id)
@@ -119,7 +125,17 @@ def run_with_resume(
     docs_out = os.path.join(output_dir, "docs")
     docs.write.mode("overwrite").partitionBy("part_hash").parquet(docs_out)
 
-    # lineage rows for the buckets processed in this run
+    if spans:
+        # span table under the same lineage/resume mechanism: partitioned
+        # by part_hash + dynamic overwrite ⇒ a crash mid-spans only
+        # rewrites this run's buckets on replay
+        sp = with_part_hash(pipeline.extract_spans(new_turns), n_buckets)
+        sp.write.mode("overwrite").partitionBy("part_hash").parquet(
+            os.path.join(output_dir, "spans")
+        )
+
+    # lineage rows for the buckets processed in this run — collected once
+    # (≤ n_buckets rows) so the aggregation isn't recomputed for a count
     metrics = (
         new_turns.groupBy("part_hash")
         .agg(
@@ -131,8 +147,26 @@ def run_with_resume(
         .withColumn("status", F.lit("done"))
         .select(*LINEAGE_COLS)
     )
-    n_new = metrics.count()
+    rows = metrics.collect()
+    n_new = len(rows)
     if n_new:
-        metrics.write.mode("append").parquet(_lineage_path(output_dir))
-    n_turns = spark.read.parquet(turns_out).count()
-    return {"buckets_processed": n_new, "turns_total": n_turns}
+        spark.createDataFrame(rows, schema=metrics.schema).write.mode(
+            "append"
+        ).parquet(_lineage_path(output_dir))
+
+    # total turns from lineage rows (every done bucket of this snapshot
+    # has one), NOT a full scan of the committed turns table — at 10^12
+    # turns that recount is itself a job
+    lin = read_lineage(spark, output_dir)
+    n_turns = (
+        lin.filter(
+            (F.col("status") == "done")
+            & (F.col("input_snapshot_id") == snapshot_id)
+        )
+        .groupBy("part_hash")
+        .agg(F.max("turn_count").alias("tc"))
+        .agg(F.sum("tc"))
+        .collect()[0][0]
+        or 0
+    )
+    return {"buckets_processed": n_new, "turns_total": int(n_turns)}

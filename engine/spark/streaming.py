@@ -81,15 +81,33 @@ SESSION_OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
-# open-session carry-over: (start_us, last_us, n, sum_value)
+# open-session carry-over: (start_us, last_us, n, sum_q)
+# sum_q = exact integer ten-thousandths (decimal(18,4) semantics), so the
+# accumulated sum is identical no matter how events split across
+# micro-batches — float carry would drift with the batch boundaries.
 SESSION_STATE_SCHEMA = T.StructType(
     [
         T.StructField("start_us", T.LongType()),
         T.StructField("last_us", T.LongType()),
         T.StructField("n", T.LongType()),
-        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("sum_q", T.LongType()),
     ]
 )
+
+
+def _quantize4(values) -> int:
+    """Σ value as exact integer ten-thousandths — the same HALF_UP
+    double→DECIMAL(18,4) quantisation Spark/DuckDB use in the oracle."""
+    import numpy as np
+
+    a = values.to_numpy(dtype="float64")
+    return int((np.sign(a) * np.floor(np.abs(a) * 10000.0 + 0.5)).sum())
+
+
+def _round2(q: int) -> float:
+    """Integer-exact HALF_UP round of ten-thousandths to 2 decimals."""
+    sign = -1 if q < 0 else 1
+    return sign * ((abs(q) + 50) // 100) / 100.0
 
 
 def _make_session_fn(gap_minutes: int):
@@ -107,34 +125,34 @@ def _make_session_fn(gap_minutes: int):
         session_id = starts_new.cumsum()
 
         if state.exists:
-            start_us, last_us, n0, sum0 = state.get
+            start_us, last_us, n0, q0 = state.get
             prev_last = pd.Timestamp(last_us, unit="us")
         else:
             prev_last = None
-            start_us, n0, sum0 = None, 0, 0.0
+            start_us, n0, q0 = None, 0, 0
 
         out = []
         groups = list(rows.groupby(session_id, sort=True))
         for gi, (_, g) in enumerate(groups):
             g_start, g_end = g["ts"].iloc[0], g["ts"].iloc[-1]
-            g_n, g_sum = len(g), float(g["value"].sum())
+            g_n, g_q = len(g), _quantize4(g["value"])
             if gi == 0 and prev_last is not None and (g_start - prev_last) <= gap:
                 # continues the open session from state
                 g_start = pd.Timestamp(start_us, unit="us")
                 g_n += n0
-                g_sum += sum0
+                g_q += q0
             elif gi == 0 and prev_last is not None:
                 # state session closed by the gap → emit it
                 out.append(
                     (user_id, pd.Timestamp(start_us, unit="us"), prev_last,
-                     n0, round(sum0, 2))
+                     n0, _round2(q0))
                 )
             if gi < len(groups) - 1:
-                out.append((user_id, g_start, g_end, g_n, round(g_sum, 2)))
+                out.append((user_id, g_start, g_end, g_n, _round2(g_q)))
             else:
                 # trailing session stays open in state
                 state.update((int(g_start.value // 1000),
-                              int(g_end.value // 1000), g_n, g_sum))
+                              int(g_end.value // 1000), g_n, g_q))
         yield pd.DataFrame(
             out,
             columns=["user_id", "session_start", "session_end", "n_events",

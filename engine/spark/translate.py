@@ -15,8 +15,12 @@ calls); the error-channel and document-assembly semantics
 
 from __future__ import annotations
 
+from typing import Iterator, Tuple  # noqa: UP035 — pyspark UDF hint parsing
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from engine.core import spec
 from engine.spark import assemble
@@ -54,6 +58,69 @@ def translate_turns(
     else:
         translated = F.when(fail_when, error_marker(F.col("turn_idx"), md)).otherwise(ok)
     return turns.withColumn("translated", translated)
+
+
+# -------------------------------------------------- production plug point
+def default_translator(md):
+    """Batch stand-in with the same output as fake_translation — the
+    shape a real client wrapper must produce."""
+    return "> [translated zh-TW]\n\n" + md
+
+
+def translate_turns_udf(
+    turns: DataFrame,
+    translator=default_translator,
+    markdown_col: str = "markdown",
+) -> DataFrame:
+    """Production translation hook: ``translator`` is ANY batch callable
+    ``pd.Series[str] -> pd.Series[str]`` — wrap a remote LLM client
+    (the reference's per-page generator, mistralocr_app.py:141-221), a
+    local model, or a cache lookup.  It runs inside an Arrow-batched
+    iterator pandas UDF, so client construction is amortised per
+    executor process and data crosses the boundary in batches.
+
+    Failure isolation matches the reference exactly: if the translator
+    raises on a batch, rows are retried one-by-one and only the raising
+    rows get the error-marker page
+    ``--- ERROR: Translation Failed for Page {idx+1} ---\\n\\n{page}``
+    (mistralocr_app.py:211-216); null outputs are treated as failures
+    too.  Output schema is identical to :func:`translate_turns`."""
+    def _batch(md: pd.Series) -> tuple[pd.Series, pd.Series]:
+        try:
+            out = translator(md)
+            return out, out.notna()
+        except Exception:
+            outs, oks = [], []
+            for v in md:
+                try:
+                    r = translator(pd.Series([v])).iloc[0]
+                    outs.append(r)
+                    oks.append(r is not None)
+                except Exception:
+                    outs.append(None)
+                    oks.append(False)
+            return (
+                pd.Series(outs, index=md.index, dtype=object),
+                pd.Series(oks, index=md.index),
+            )
+
+    @F.pandas_udf(T.StringType())
+    def _udf(
+        it: Iterator[Tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        for md, turn_idx in it:
+            out, ok = _batch(md)
+            marker = (
+                "--- ERROR: Translation Failed for Page "
+                + (turn_idx + 1).astype("int64").astype(str)
+                + " ---\n\n"
+                + md
+            )
+            yield out.where(ok, marker)
+
+    return turns.withColumn(
+        "translated", _udf(F.col(markdown_col), F.col("turn_idx"))
+    )
 
 
 def translated_docs(turns: DataFrame, chunk: int = 1024) -> DataFrame:

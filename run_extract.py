@@ -36,7 +36,7 @@ def main(argv: list[str] | None = None) -> int:
                     help="also write the span/block table")
     args = ap.parse_args(argv)
 
-    from engine.spark import lineage, pipeline
+    from engine.spark import lineage
     from engine.spark.session import get_spark
 
     spark = get_spark(cores=args.cores, app="run-extract")
@@ -53,12 +53,8 @@ def main(argv: list[str] | None = None) -> int:
         snapshot_id=args.snapshot_id,
         n_buckets=args.buckets,
         force=args.force,
+        spans=args.spans,
     )
-    if args.spans:
-        turns = spark.read.parquet(f"{args.output}/turns")
-        pipeline.extract_spans(turns).write.mode("overwrite").parquet(
-            f"{args.output}/spans"
-        )
     dt = time.time() - t0
     tps = stats["turns_total"] / dt if dt else 0
     print(

@@ -79,6 +79,47 @@ def test_t1_error_channel(spark, turns):
     assert ok["translated"] == f"> [translated zh-TW]\n\n{ok['markdown']}"
 
 
+def test_t1_udf_plug_point_parity(spark, turns):
+    """The production translator hook (batch pandas-UDF) with the default
+    translator must be byte-equal to the Catalyst-expression stand-in."""
+    expr = translate.translate_turns(turns).select(
+        "conv_id", "turn_idx", "translated"
+    ).orderBy("conv_id", "turn_idx").toPandas()
+    udf = translate.translate_turns_udf(turns).select(
+        "conv_id", "turn_idx", "translated"
+    ).orderBy("conv_id", "turn_idx").toPandas()
+    assert list(expr["translated"]) == list(udf["translated"])
+
+
+def test_t1_udf_per_row_failure_isolation(spark, turns):
+    """A translator that raises on specific pages must poison ONLY those
+    rows (reference's per-page try/except, mistralocr_app.py:211-216)."""
+    import pandas as pd
+
+    def flaky(md: pd.Series) -> pd.Series:
+        if md.str.contains("FAILME").any():
+            raise RuntimeError("boom")
+        return "> [translated zh-TW]\n\n" + md
+
+    t = turns.withColumn(
+        "markdown",
+        F.when(F.col("turn_idx") % 7 == 3,
+               F.concat(F.lit("FAILME "), F.col("markdown")))
+        .otherwise(F.col("markdown")),
+    )
+    out = translate.translate_turns_udf(t, translator=flaky)
+    bad = out.filter("turn_idx % 7 = 3").limit(5).collect()
+    good = out.filter("turn_idx % 7 = 0").limit(5).collect()
+    assert bad and good
+    for r in bad:
+        assert r["translated"] == (
+            f"--- ERROR: Translation Failed for Page {r['turn_idx'] + 1} "
+            f"---\n\n{r['markdown']}"
+        )
+    for r in good:
+        assert r["translated"] == f"> [translated zh-TW]\n\n{r['markdown']}"
+
+
 def test_t1_translated_docs_join(spark, turns):
     out = translate.translate_turns(turns)
     docs = translate.translated_docs(out)

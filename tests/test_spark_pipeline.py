@@ -6,6 +6,7 @@ import os
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from engine import fixtures, oracle
 from engine.core import spec
@@ -178,6 +179,36 @@ def test_resume_partial(spark, transcripts_path, tmp_path):
     assert 0 < r["buckets_processed"] <= 4
     got = spark.read.parquet(os.path.join(out, "turns")).count()
     assert got == df.count()
+
+
+def test_resume_vanilla_session_and_spans(spark, transcripts_path, tmp_path):
+    """run_with_resume must be self-contained: even if the session has
+    the static partitionOverwriteMode default (a vanilla SparkSession),
+    a partial-then-resume sequence must preserve previously committed
+    buckets (it forces dynamic itself).  Also: the span table is written
+    under the same lineage mechanism, partitioned by part_hash."""
+    out = str(tmp_path / "out3")
+    df = spark.read.parquet(transcripts_path)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        half = lineage.with_part_hash(df, 8).filter("part_hash < 4")
+        lineage.run_with_resume(spark, half.drop("part_hash"), out,
+                                snapshot_id="snap-3", n_buckets=8, spans=True)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+        r = lineage.run_with_resume(spark, df, out, snapshot_id="snap-3",
+                                    n_buckets=8, spans=True)
+        assert 0 < r["buckets_processed"] <= 4
+        turns = spark.read.parquet(os.path.join(out, "turns"))
+        assert turns.count() == df.count()
+        assert r["turns_total"] == df.count()
+        spans = spark.read.parquet(os.path.join(out, "spans"))
+        assert "part_hash" in spans.columns
+        # every non-empty-markdown turn contributes ≥1 block
+        nonempty = turns.filter(F.length("markdown") > 0).count()
+        assert spans.select("conv_id", "turn_idx").distinct().count() == nonempty
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def test_doc_join_separator(spark, transcripts_path):
