@@ -106,3 +106,45 @@ def test_dedup_partial_aggregation(spark):
     q = entry_mod.q_dedup_exact(spark, SF_DIR)
     plan = _plan(q)
     assert "partial_" in plan and "Exchange hashpartitioning" in plan, plan
+
+
+def test_b64_decode_shuffle_free_jvm_only(spark):
+    """Base64 payload decode is a pure map: posexplode + unbase64 in one
+    codegen'd project — no shuffle, no Python eval."""
+    q = entry_mod.q_images_b64_decode(spark, SF_DIR)
+    plan = _plan(q)
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_ngram_df_cap_is_semi_join(spark):
+    """The hot-shingle cap must stay distributed: a LEFT-SEMI shingle
+    join against the df-filtered side, never a driver-side collect/isin
+    expansion; the df count itself map-side combines."""
+    from engine.spark import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q = dedup.ngram_jaccard_pairs(docs, n=3, max_df=10)
+    plan = _plan(q)
+    assert "LeftSemi" in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_simhash_single_groupby(spark):
+    """SimHash = one hash-partition exchange (the per-doc vote groupBy)
+    with map-side combine of the bit votes; chunking adds no shuffle."""
+    from engine.spark import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sh = dedup.simhash(docs)
+    plan = _plan(sh)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_" in plan, plan  # map-side combine of the bit votes
+
+
+def test_lsh_ann_broadcasts_queries(spark):
+    """ANN candidates come from a bucket equi-join with the (small) query
+    side broadcast — the corpus is never shuffled for the join."""
+    q = entry_mod.q_lsh_ann(spark, SF_DIR)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan, plan
