@@ -1022,6 +1022,89 @@ SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
 """
 
 
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic coarse quantizer (seed vectors + one Lloyd
+    refinement, 6dp-rounded means), inverted-list equi-join candidates,
+    exact cosine re-rank.  The DuckDB twin retrains the same quantizer
+    and must match value-exactly."""
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    out = similarity.ivf_topk(
+        e, dim=dim, n_centroids=8, n_probe=2, n_queries=8, k=5
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _dk_dot(a: str, b: str) -> str:
+    """Fold-left dot product (matches Spark's F.aggregate order)."""
+    return (
+        f"list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]),"
+        " (x, y) -> x + y)"
+    )
+
+
+def _dk_cos(a: str, b: str) -> str:
+    return (
+        f"({_dk_dot(a, b)} / (sqrt({_dk_dot(a, a)}) * sqrt({_dk_dot(b, b)})))"
+    )
+
+
+def _dk_assign(v: str) -> str:
+    """Nearest-centroid id over the `cents` list column (struct<cid,c>),
+    ties broken by cid — the twin of similarity._argmin_cluster."""
+    return (
+        "list_sort(list_transform(cents, s -> "
+        f"{{'dist': 1.0 - {_dk_cos(v, 's.c')}, 'cid': s.cid}}))[1].cid"
+    )
+
+
+SQL_IVF_ANN = f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+seeds AS (SELECT vec_id AS cid, v AS c FROM base WHERE vec_id < 8),
+cl AS (
+  SELECT list(struct_pack(cid := cid, c := c) ORDER BY cid) AS cents
+  FROM seeds
+),
+a1 AS (SELECT vec_id, v, {_dk_assign('v')} AS cid FROM base, cl),
+dims AS (
+  SELECT cid, i AS d, v[i] AS x FROM a1, UNNEST(range(1, 65)) r(i)
+),
+means AS (SELECT cid, d, round(avg(x), 6) AS m FROM dims GROUP BY cid, d),
+cent2 AS (SELECT cid, list(m ORDER BY d) AS c FROM means GROUP BY cid),
+cent2b AS (
+  SELECT s.cid, coalesce(c2.c, s.c) AS c
+  FROM seeds s LEFT JOIN cent2 c2 USING (cid)
+),
+cl2 AS (
+  SELECT list(struct_pack(cid := cid, c := c) ORDER BY cid) AS cents
+  FROM cent2b
+),
+a2 AS (SELECT vec_id, v, {_dk_assign('v')} AS cid FROM base, cl2),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv,
+         unnest(list_transform(
+           list_sort(list_transform(cents, s ->
+             {{'dist': 1.0 - {_dk_cos('v', 's.c')}, 'cid': s.cid}}))[1:2],
+           t -> t.cid)) AS cid
+  FROM base, cl2 WHERE vec_id < 8
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round({_dk_cos('p.qv', 'a.v')}, 6) AS cosine_sim
+  FROM probes p JOIN a2 a ON a.cid = p.cid AND a.vec_id != p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     feats = multimodal.extract_features(multimodal.media_from_documents(d))
@@ -1035,6 +1118,75 @@ SELECT doc_id AS media_id,
        CASE WHEN doc_id % 3 = 0 THEN 'image'
             WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
        octet_length(encode(text)) AS n_bytes
+FROM documents
+"""
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling fan-out (row-expanding posexplode +
+    binary byte slicing, zero Python) — frame payloads compared as hex."""
+    d = _t(spark, sf_dir, "documents")
+    frames = multimodal.sample_frames(multimodal.media_from_documents(d))
+    return frames.select(
+        "media_id",
+        "kind",
+        "frame_idx",
+        "byte_offset",
+        F.hex("frame_payload").alias("frame_hex"),
+        "frame_bytes",
+    )
+
+
+SQL_FRAME_SAMPLE = """
+WITH m AS (
+  -- DuckDB substring() has no BLOB overload, so slice in hex space
+  -- (2 chars per byte) and compare hex strings with Spark's F.hex.
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         upper(hex(encode(text))) AS hp,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+),
+s AS (
+  SELECT *,
+         CASE WHEN kind = 'video' THEN n_bytes % 8 + 1 ELSE 1 END AS n_frames
+  FROM m
+),
+x AS (
+  SELECT media_id, kind, hp, n_bytes,
+         (n_bytes // n_frames)::INT AS step, i::INT AS frame_idx
+  FROM s, UNNEST(range(0, n_frames)) r(i)
+)
+SELECT media_id, kind, frame_idx,
+       (frame_idx * step)::BIGINT AS byte_offset,
+       substring(hp, frame_idx * step * 2 + 1, step * 2) AS frame_hex,
+       (length(substring(hp, frame_idx * step * 2 + 1, step * 2)) // 2)::BIGINT
+         AS frame_bytes
+FROM x
+"""
+
+
+def q_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    th = multimodal.thumbnail(multimodal.media_from_documents(d))
+    return th.select(
+        "media_id",
+        "kind",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.hex("thumb_payload").alias("thumb_hex"),
+        "thumb_bytes",
+    )
+
+
+SQL_THUMBNAIL = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       64::INT AS width, 64::INT AS height,
+       substring(upper(hex(encode(text))), 1, 32) AS thumb_hex,
+       least(octet_length(encode(text)), 16)::BIGINT AS thumb_bytes
 FROM documents
 """
 
@@ -1142,7 +1294,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
         "multimodal_features": q_multimodal_features,
+        "frame_sample": q_frame_sample,
+        "thumbnail": q_thumbnail,
         "stream_event_counts": q_stream_event_counts,
         "stream_sessionize": q_stream_sessionize,
     }
@@ -1176,10 +1331,13 @@ def oracle_sql() -> dict[str, str]:
         "ngram_pairs": SQL_NGRAM_PAIRS,
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
+        "frame_sample": SQL_FRAME_SAMPLE,
+        "thumbnail": SQL_THUMBNAIL,
         "stream_event_counts": SQL_STREAM_EVENT_COUNTS,
         "stream_sessionize": SQL_STREAM_SESSIONIZE,
         "extract_spans": SQL_EXTRACT_SPANS,
         "minhash_lsh": SQL_MINHASH_LSH,
         "simhash": SQL_SIMHASH,
         "lsh_ann": SQL_LSH_ANN,
+        "ivf_ann": SQL_IVF_ANN,
     }

