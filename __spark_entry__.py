@@ -1105,6 +1105,72 @@ SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
 """
 
 
+def q_embedding_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over a derived corpus with
+    deterministic planted near-dups (the driver's embeddings table has
+    no organic pairs above cosine 0.52): vec_id < 16 gets a +100000 twin
+    shifted by +0.01 per component (cosine ≈ 0.997).  Both engines run
+    the identical banded-LSH candidate generation + exact-cosine filter,
+    so the pair set is value-verified, not just recall-checked."""
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    planted = base.filter(F.col("vec_id") < 16).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
+    )
+    corpus = base.unionAll(planted)
+    return similarity.cosine_dup_pairs(
+        corpus, dim=64, threshold=0.95, n_bands=4, planes_per_band=4
+    )
+
+
+SQL_EMBEDDING_DUPES = f"""
+WITH base AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+),
+corpus AS (
+  SELECT id, v FROM base
+  UNION ALL
+  SELECT id + 100000, list_transform(v, x -> x + 0.01) FROM base WHERE id < 16
+),
+planes AS (
+  SELECT h,
+         list_transform(range(0, 64),
+           d -> ({_H60.format(x="h || ':' || d")} % 100000) / 100000.0 - 0.5)
+           AS p
+  FROM UNNEST(range(0, 16)) r(h)
+),
+bits AS (
+  SELECT id, h,
+         CASE WHEN list_reduce(list_transform(range(1, 65), i -> v[i] * p[i]),
+                               (a, b) -> a + b) >= 0
+              THEN 1 ELSE 0 END AS bit
+  FROM corpus, planes
+),
+buckets AS (
+  SELECT id, (h // 4)::INT AS band,
+         sum(bit * (1::BIGINT << (3 - (h % 4))::INT))::BIGINT AS bucket
+  FROM bits GROUP BY id, (h // 4)::INT
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM buckets a
+  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+),
+scored AS (
+  SELECT id_a, id_b,
+         round({_dk_cos('ca.v', 'cb.v')}, 6) AS cosine_sim
+  FROM cand
+  JOIN corpus ca ON ca.id = cand.id_a
+  JOIN corpus cb ON cb.id = cand.id_b
+)
+SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= 0.95
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     feats = multimodal.extract_features(multimodal.media_from_documents(d))
@@ -1295,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
+        "embedding_dupes": q_embedding_dupes,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
         "thumbnail": q_thumbnail,
@@ -1340,4 +1407,5 @@ def oracle_sql() -> dict[str, str]:
         "simhash": SQL_SIMHASH,
         "lsh_ann": SQL_LSH_ANN,
         "ivf_ann": SQL_IVF_ANN,
+        "embedding_dupes": SQL_EMBEDDING_DUPES,
     }

@@ -199,10 +199,15 @@ def main(argv=None) -> int:
 
         qmap = entry_mod.queries()
         for name in RELATIONAL:
-            t0 = time.time()
             df = qmap[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            queries[name] = round(time.time() - t0, 2)
+            # same protocol as extraction: 1 warmup + median of 3 —
+            # single-shot timings conflate per-stage-shape JIT warmup
+            # (a fixed single-JVM cost, absent on a real cluster's
+            # long-lived executors) with the query itself.
+            wall, _ = _timed(
+                lambda: df.write.format("noop").mode("overwrite").save()
+            )
+            queries[name] = round(wall, 2)
 
     total = round(time.time() - t_total0, 2)
     out = {

@@ -222,13 +222,78 @@ def _hyperplane(h: int, dim: int) -> Column:
     )
 
 
-def lsh_bucket_col(vec: Column, dim: int, n_planes: int = 8) -> Column:
-    """Random-hyperplane signature: n_planes sign bits packed to a long."""
+def lsh_bucket_col(
+    vec: Column, dim: int, n_planes: int = 8, plane_offset: int = 0
+) -> Column:
+    """Random-hyperplane signature: n_planes sign bits packed to a long.
+    ``plane_offset`` selects an independent plane family, so banded
+    schemes can derive per-band buckets from disjoint hyperplanes."""
     bucket = F.lit(0).cast("long")
-    for h in range(n_planes):
+    for h in range(plane_offset, plane_offset + n_planes):
         bit = F.when(_dot(vec, _hyperplane(h, dim)) >= 0, 1).otherwise(0)
         bucket = bucket * 2 + bit
     return bucket
+
+
+def cosine_dup_pairs(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_bands: int = 4,
+    planes_per_band: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the dedup twin of LSH ANN
+    (reference has no dedup at all; this is the §2.6 scale-gap family).
+
+    Banded random-hyperplane LSH: each vector gets ``n_bands``
+    independent sign-buckets (band b uses its own ``planes_per_band``
+    disjoint hyperplanes), candidate pairs share any band's bucket
+    (per-band equi-join — never all-pairs), are deduped on the id pair,
+    then exact-cosine filtered at ``threshold``.  Per-band collision
+    probability for angle θ is (1 − θ/π)^planes, so recall tunes via
+    (n_bands, planes_per_band) — the standard LSH trade.  At 100 TB the
+    (band, bucket) key is the shuffle/bucketing key and the candidate
+    set stays linear in true near-dups, not corpus²."""
+    base = emb.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    banded = base.select(
+        "id",
+        "v",
+        F.posexplode(
+            F.array(
+                *[
+                    lsh_bucket_col(
+                        F.col("v"), dim, planes_per_band,
+                        plane_offset=b * planes_per_band,
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return cand.select("id_a", "id_b", sim.alias("cosine_sim")).filter(
+        F.col("cosine_sim") >= F.lit(float(threshold))
+    )
 
 
 def lsh_ann_topk(

@@ -188,6 +188,31 @@ def test_ivf_ann_sane_and_probe_monotone(spark, emb):
     assert len(pairs(ivf2) & pairs(exact)) > 0
 
 
+def test_cosine_dup_pairs_planted(spark, emb):
+    """Planted near-identical twins are recovered; unrelated random
+    vectors (max organic cosine ≈ 0.51 in this table) never pair at
+    threshold 0.95, and every reported pair clears the threshold."""
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    planted = base.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
+    )
+    corpus = base.unionAll(planted)
+    out = similarity.cosine_dup_pairs(
+        corpus, dim=64, threshold=0.95, n_bands=4, planes_per_band=4
+    ).toPandas()
+    assert (out["cosine_sim"] >= 0.95).all()
+    got = set(map(tuple, out[["id_a", "id_b"]].values))
+    expected = {(i, i + 100000) for i in range(8)}
+    # banded LSH recall at cosine≈0.997 with 4×4 planes is ~1-1e-4 per
+    # pair and fully deterministic — require most twins, no false pairs
+    assert len(got & expected) >= 6
+    assert got <= expected
+
+
 def test_quality_frame_values(spark):
     rows = [(0, "The cat and the dog. One, two!"), (1, ""), (2, "它是中文文本")]
     q = text.quality_frame(

@@ -148,3 +148,15 @@ def test_lsh_ann_broadcasts_queries(spark):
     q = entry_mod.q_lsh_ann(spark, SF_DIR)
     plan = _plan(q)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_cosine_dup_pairs_equi_join(spark):
+    """Near-dup candidate generation must be an equi-join on the
+    (band, bucket) key — never a cartesian/nested-loop over the corpus."""
+    dupes = entry_mod.q_embedding_dupes(spark, SF_DIR)
+    plan = _plan(dupes)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
