@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from engine.core import spec
-from engine.spark import assemble, dedup, multimodal, pipeline, similarity
+from engine.spark import assemble, dedup, joins, multimodal, pipeline, similarity
 from engine.spark import text as etext
 
 
@@ -704,6 +704,85 @@ FROM events WHERE user_id < 40
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trades-and-quotes as-of join over the events table: "quotes" =
+    every 17th event, "trades" = the rest; each trade gets the latest
+    preceding same-user quote.  The DuckDB oracle uses its NATIVE ASOF
+    JOIN — a different algorithm agreeing value-exactly with the
+    union+window re-expression (engine/spark/joins.py)."""
+    e = _t(spark, sf_dir, "events")
+    quotes = e.filter(F.col("event_id") % 17 == 0).select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("quote_id"),
+        F.col("value").alias("quote_value"),
+    )
+    trades = e.filter(F.col("event_id") % 17 != 0).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = joins.asof_join(trades, quotes, key="user_id", ts_col="ts")
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        "asof_ts", "asof_quote_id", "asof_quote_value",
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH quotes AS (
+  SELECT user_id, ts, event_id AS quote_id, value AS quote_value
+  FROM events WHERE event_id % 17 = 0
+),
+trades AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_id % 17 != 0
+)
+SELECT t.event_id, t.user_id, t.ts, t.value,
+       q.ts AS asof_ts, q.quote_id AS asof_quote_id,
+       q.quote_value AS asof_quote_value
+FROM trades t
+ASOF LEFT JOIN quotes q ON t.user_id = q.user_id AND t.ts >= q.ts
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment: 24-hour windows opened by every 97th event,
+    aggregate same-user events inside each window.  Spark side is the
+    bucketed equi-join (engine/spark/joins.py); the DuckDB oracle is a
+    plain inequality join — algorithm-independent agreement."""
+    e = _t(spark, sf_dir, "events")
+    iv = e.filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("window_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 24 HOURS")).alias("w_end"),
+    )
+    pts = e.select("user_id", "ts", "value")
+    matched = joins.range_join_bucketed(
+        pts, iv, key="user_id", ts_col="ts",
+        start_col="w_start", end_col="w_end", bucket_seconds=3600,
+    )
+    return matched.groupBy("window_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum(F.col("p.value").cast("decimal(18,4)")).cast("double"), 2
+        ).alias("sum_value"),
+    )
+
+
+SQL_RANGE_JOIN = """
+WITH iv AS (
+  SELECT event_id AS window_id, user_id, ts AS w_start,
+         ts + INTERVAL 24 HOUR AS w_end
+  FROM events WHERE event_id % 97 = 0
+)
+SELECT iv.window_id, count(*) AS n_events,
+       round(CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE), 2)
+         AS sum_value
+FROM iv JOIN events e
+  ON e.user_id = iv.user_id AND e.ts >= iv.w_start AND e.ts <= iv.w_end
+GROUP BY iv.window_id
+"""
+
+
 # ----------------------------------------------------- text / training-data
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
@@ -1352,6 +1431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top3_orders": q_top3_orders,
         "events_hourly": q_events_hourly,
         "running_user_value": q_running_user_value,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "dedup_exact": q_dedup_exact,
@@ -1392,6 +1473,8 @@ def oracle_sql() -> dict[str, str]:
         "top3_orders": SQL_TOP3_ORDERS,
         "events_hourly": SQL_EVENTS_HOURLY,
         "running_user_value": SQL_RUNNING_USER_VALUE,
+        "asof_join": SQL_ASOF_JOIN,
+        "range_join": SQL_RANGE_JOIN,
         "token_stats": SQL_TOKEN_STATS,
         "quality_scores": SQL_QUALITY_SCORES,
         "dedup_exact": SQL_DEDUP_EXACT,

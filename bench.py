@@ -25,22 +25,26 @@ BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "80000"))
 
 def ensure_bench_corpus() -> str:
     """Deterministic transcripts corpus, generated once (seed=42)."""
-    path = os.path.join(BENCH_DIR, f"transcripts_{BENCH_CONVS}")
+    # 128 shards ⇒ ≥4 task waves at local[32]: with exactly one task per
+    # core (the old 32-shard corpus) the planted skew-giant shard is a
+    # pure straggler — the whole job waits on one task while 31 cores
+    # idle, which showed up as a fake 8→32 scaling penalty.  More waves
+    # = runtime load balancing, the same reason a real cluster wants
+    # 2-4× more input splits than executor slots.
+    shards = 128
+    path = os.path.join(BENCH_DIR, f"transcripts_{BENCH_CONVS}x{shards}")
     marker = os.path.join(path, "_SUCCESS")
     if os.path.exists(marker):
         return path
     os.makedirs(path, exist_ok=True)
     from engine import fixtures
-
-    # shard generation so each parquet file maps to a Spark input split
-    shards = 32
     per = BENCH_CONVS // shards
     for s in range(shards):
         df = fixtures.make_transcripts(
             n_convs=per, seed=42 + s, skew_giant=(s == 0)
         )
         # unique conv ids across shards
-        df["conv_id"] = df["conv_id"].str.replace("conv-", f"conv-{s:02d}-")
+        df["conv_id"] = df["conv_id"].str.replace("conv-", f"conv-{s:03d}-")
         df.to_parquet(os.path.join(path, f"part-{s:04d}.parquet"), index=False)
     open(marker, "w").close()
     return path
@@ -167,6 +171,8 @@ RELATIONAL = [
     "ngram_pairs",
     "embedding_topk",
     "doc_assembly",
+    "asof_join",
+    "range_join",
 ]
 
 

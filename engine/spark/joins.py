@@ -1,0 +1,124 @@
+"""Temporal joins Spark lacks natively: as-of join and range join.
+
+The reference has no joins at all (SURVEY §2.6 — these are scale-gap
+operators a full engine needs).  Both are re-expressed as shuffle-
+friendly compositions of built-in operators rather than inequality
+joins, which Spark would otherwise plan as BroadcastNestedLoop /
+cartesian products:
+
+* as-of join  — union + keyed window with last(ignorenulls): ONE
+  shuffle on the key, no join operator at all.  This is the standard
+  distributed trades-and-quotes shape; cost is a sort within each key
+  partition, independent of how far back the match lies.
+* range join  — interval containment via time-bucket equi-join:
+  intervals explode to the buckets they cover, points map to exactly
+  one bucket, the join is equi on (key, bucket) and a cheap residual
+  filter refines.  Blowup is bounded by interval_length/bucket, never
+  |points| × |intervals|.
+
+Cross-engine correctness: the DuckDB oracles use *different
+algorithms* (native ASOF JOIN; a plain inequality join) — agreement is
+a genuine two-implementation check, not a re-derivation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    suffix: str = "asof_",
+) -> DataFrame:
+    """Backward as-of join: each left row gets the most recent right row
+    with ``right.ts <= left.ts`` for the same key (NULLs when no right
+    row precedes it).
+
+    Implementation: tag the sides, union by name, and carry the last
+    non-null right payload forward with a keyed window — a single hash
+    shuffle on ``key`` plus an in-partition sort, the scalable
+    re-expression of an as-of join (an inequality join would plan as a
+    nested loop).  At equal timestamps the right row sorts first, so a
+    quote at exactly the trade's timestamp IS matched; duplicate right
+    rows on (key, ts) break ties by full payload struct order
+    (deterministic across runs and cluster sizes).
+    """
+    rcols = [c for c in right.columns if c not in (key, ts_col)]
+    payload = F.struct(
+        F.col(ts_col).alias("__rts"), *[F.col(c) for c in rcols]
+    )
+    r = right.select(
+        F.col(key), F.col(ts_col), F.lit(0).alias("__side"),
+        payload.alias("__r"),
+    )
+    l = left.withColumn("__side", F.lit(1)).withColumn(
+        "__r", F.lit(None).cast(r.schema["__r"].dataType)
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(
+            F.col(ts_col).asc(),
+            F.col("__side").asc(),
+            F.col("__r").asc_nulls_first(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+    out = m.filter(F.col("__side") == 1)
+    out = out.withColumn(f"{suffix}{ts_col}", F.col("__m.__rts"))
+    for c in rcols:
+        out = out.withColumn(f"{suffix}{c}", F.col(f"__m.{c}"))
+    return out.drop("__side", "__r", "__m")
+
+
+def range_join_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    start_col: str = "w_start",
+    end_col: str = "w_end",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval containment join (``point.ts BETWEEN start AND end``,
+    inclusive, same key) as a bucketed equi-join.
+
+    Each interval explodes to the epoch-time buckets it covers; each
+    point lands in exactly one bucket, so a (point, interval) pair can
+    meet at most once — no post-join dedup.  The shuffle key is
+    (key, bucket): pick ``bucket_seconds`` near the typical interval
+    length so intervals explode to O(1) buckets while buckets stay
+    selective.  An inequality join here would be a nested loop.
+    """
+    # TIMESTAMP_NTZ has no direct long cast: hop via TIMESTAMP.  Any
+    # monotonic epoch mapping works — buckets only gate candidates, the
+    # residual filter below compares full-precision timestamps.
+    def _epoch(c: Column) -> Column:
+        return c.cast("timestamp").cast("long")
+
+    pts = points.withColumn(
+        "__bucket", F.floor(_epoch(F.col(ts_col)) / bucket_seconds)
+    )
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(_epoch(F.col(start_col)) / bucket_seconds),
+                F.floor(_epoch(F.col(end_col)) / bucket_seconds),
+            )
+        ),
+    )
+    joined = pts.alias("p").join(
+        iv.alias("i"),
+        (F.col(f"p.{key}") == F.col(f"i.{key}"))
+        & (F.col("p.__bucket") == F.col("i.__bucket")),
+    )
+    return joined.filter(
+        (F.col(f"p.{ts_col}") >= F.col(f"i.{start_col}"))
+        & (F.col(f"p.{ts_col}") <= F.col(f"i.{end_col}"))
+    ).drop("__bucket")

@@ -7,7 +7,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from engine.spark import dedup, multimodal, similarity, streaming, text
+from engine.spark import dedup, joins, multimodal, similarity, streaming, text
 from engine.spark.session import get_spark
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -378,3 +378,74 @@ def test_streaming_extract_matches_batch(spark, tmp_path):
         .toPandas()
     )
     pd.testing.assert_frame_equal(got, batch)
+
+
+# ------------------------------------------------------------ temporal joins
+def _events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+def test_asof_join_vs_bruteforce(spark):
+    """union+window as-of equals the O(n²) per-row definition."""
+    e = _events(spark).filter(F.col("user_id") < 12)
+    quotes = e.filter(F.col("event_id") % 5 == 0).select(
+        "user_id", "ts",
+        F.col("event_id").alias("quote_id"),
+        F.col("value").alias("quote_value"),
+    )
+    trades = e.filter(F.col("event_id") % 5 != 0).select(
+        "event_id", "user_id", "ts"
+    )
+    out = joins.asof_join(trades, quotes, key="user_id", ts_col="ts").toPandas()
+
+    qp = quotes.toPandas()
+    tp = trades.toPandas()
+    for _, t in tp.sample(n=min(60, len(tp)), random_state=7).iterrows():
+        cand = qp[(qp.user_id == t.user_id) & (qp.ts <= t.ts)]
+        got = out[out.event_id == t.event_id].iloc[0]
+        if cand.empty:
+            assert pd.isna(got.asof_quote_id)
+        else:
+            best = cand.sort_values("ts").iloc[-1]
+            assert got.asof_quote_id == best.quote_id
+            assert got.asof_quote_value == best.quote_value
+
+
+def test_asof_join_matches_equal_ts(spark):
+    """A right row at exactly the left timestamp is matched (<=, not <)."""
+    lt = spark.createDataFrame(
+        [(1, 100), (1, 50)], "k int, t int"
+    ).select("k", F.timestamp_seconds("t").alias("ts"), F.col("t").alias("lid"))
+    rt = spark.createDataFrame(
+        [(1, 100, 9), (1, 99, 8), (1, 60, 7)], "k int, t int, rid int"
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "rid")
+    out = joins.asof_join(lt, rt, key="k", ts_col="ts").toPandas()
+    byl = out.set_index("lid")
+    assert byl.loc[100, "asof_rid"] == 9      # equal-ts quote wins
+    assert pd.isna(byl.loc[50, "asof_rid"])   # nothing precedes t=50... rid 7 at t=60 is later
+
+
+def test_range_join_vs_bruteforce(spark):
+    """Bucketed range join equals the direct inequality join, including
+    intervals spanning multiple buckets."""
+    e = _events(spark).filter(F.col("user_id") < 20)
+    iv = e.filter(F.col("event_id") % 13 == 0).select(
+        F.col("event_id").alias("window_id"), "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 5 HOURS")).alias("w_end"),
+    )
+    pts = e.select("user_id", "ts", F.col("event_id").alias("pid"))
+    got = (
+        joins.range_join_bucketed(
+            pts, iv, key="user_id", ts_col="ts",
+            start_col="w_start", end_col="w_end", bucket_seconds=3600,
+        )
+        .select("window_id", "pid")
+        .toPandas()
+    )
+    ip, pp = iv.toPandas(), pts.toPandas()
+    expected = set()
+    for _, w in ip.iterrows():
+        hit = pp[(pp.user_id == w.user_id) & (pp.ts >= w.w_start) & (pp.ts <= w.w_end)]
+        expected |= {(w.window_id, p) for p in hit.pid}
+    assert set(map(tuple, got.values)) == expected

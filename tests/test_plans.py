@@ -160,3 +160,28 @@ def test_cosine_dup_pairs_equi_join(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     ), plan
+
+
+def test_asof_join_single_shuffle_no_join(spark):
+    """The as-of join re-expression must contain NO join operator at all
+    (union + keyed window), and exactly one hash-partition exchange."""
+    out = entry_mod.q_asof_join(spark, SF_DIR)
+    plan = _plan(out)
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    import re as _re
+    exchanges = _re.findall(r"Exchange hashpartitioning", plan)
+    assert len(exchanges) == 1, plan
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    """The bucketed range join must plan as an equi-join on
+    (key, bucket) — never BroadcastNestedLoopJoin/CartesianProduct,
+    which is what a raw inequality join would produce."""
+    out = entry_mod.q_range_join(spark, SF_DIR)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
