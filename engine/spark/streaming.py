@@ -71,6 +71,50 @@ def stream_event_window_counts(
     return spark.table(sink_table)
 
 
+def stream_dedup_keys(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    sink_table: str = "stream_dedup",
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str = "30 days",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming exact dedup: one output row per distinct key, duplicate
+    arrivals dropped with ``dropDuplicatesWithinWatermark`` — state for a
+    key is held only for the watermark horizon, so state size is bounded
+    by (distinct keys within horizon), not the stream's full history.
+    That bounded-state property is what makes streaming dedup viable on
+    an unbounded 100 TB firehose; a plain dropDuplicates would grow
+    state forever.
+
+    Only the key columns are emitted: WHICH duplicate survives depends
+    on micro-batch arrival order, but the key set is deterministic —
+    the oracle is a batch SELECT DISTINCT."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+    if max_files_per_trigger is not None:
+        # chunk availableNow into per-file micro-batches so cross-batch
+        # dedup state is actually exercised
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    src = reader.load(events_path)
+    deduped = (
+        src.withWatermark("ts", watermark)
+        .select("ts", *keys)
+        .dropDuplicatesWithinWatermark(list(keys))
+        .select(*keys)
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)
+
+
 SESSION_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

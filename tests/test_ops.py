@@ -449,3 +449,30 @@ def test_range_join_vs_bruteforce(spark):
         hit = pp[(pp.user_id == w.user_id) & (pp.ts >= w.w_start) & (pp.ts <= w.w_end)]
         expected |= {(w.window_id, p) for p in hit.pid}
     assert set(map(tuple, got.values)) == expected
+
+
+def test_stream_dedup_multibatch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark drops duplicates arriving in LATER
+    micro-batches too (keyed state carries across batches); the emitted
+    key set equals batch DISTINCT."""
+    import shutil
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    src_dir = tmp_path / "events"
+    src_dir.mkdir()
+    # batch 0: the real events; batch 1: a byte-identical copy — every
+    # key in it is a cross-batch duplicate
+    shutil.copy(f"{SF_DIR}/events.parquet", src_dir / "part-0.parquet")
+    shutil.copy(f"{SF_DIR}/events.parquet", src_dir / "part-1.parquet")
+    got = streaming.stream_dedup_keys(
+        spark,
+        str(src_dir),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        sink_table="t_stream_dedup",
+        max_files_per_trigger=1,
+    ).toPandas()
+    want = ev.select("user_id", "event_type").distinct().toPandas()
+    assert len(got) == len(got.drop_duplicates())  # no dup keys emitted
+    assert (
+        set(map(tuple, got.values)) == set(map(tuple, want.values))
+    )
