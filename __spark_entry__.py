@@ -855,6 +855,30 @@ FROM b
 """
 
 
+# Portable 60-bit hash (engine/spark/dedup.portable_hash60 twin).
+_H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash train/val/test split (portable md5-prefix
+    bucket) — assignment is a pure projection, value-verified per doc."""
+    d = _t(spark, sf_dir, "documents")
+    return etext.deterministic_split(d).select("doc_id", "split")
+
+
+SQL_TRAIN_SPLIT = f"""
+SELECT doc_id,
+       CASE WHEN b < 90 THEN 'train'
+            WHEN b < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         {_H60.format(x="doc_id::VARCHAR")} % 100 AS b
+  FROM documents
+)
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     # plant exact duplicates: shifted copy of every doc
@@ -957,9 +981,6 @@ _SQL_DOUBLED_DOCS = """
   SELECT doc_id, text FROM documents WHERE doc_id < 200
   UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 200
 """
-
-# Portable 60-bit hash (engine/spark/dedup.portable_hash60 twin).
-_H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
 SQL_MINHASH_LSH = rf"""
 WITH d AS ({_SQL_DOUBLED_DOCS}),
@@ -1456,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
+        "train_split": q_train_split,
         "dedup_exact": q_dedup_exact,
         "ngram_pairs": q_ngram_pairs,
         "embedding_topk": q_embedding_topk,
@@ -1499,6 +1521,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join": SQL_RANGE_JOIN,
         "token_stats": SQL_TOKEN_STATS,
         "quality_scores": SQL_QUALITY_SCORES,
+        "train_split": SQL_TRAIN_SPLIT,
         "dedup_exact": SQL_DEDUP_EXACT,
         "ngram_pairs": SQL_NGRAM_PAIRS,
         "embedding_topk": SQL_EMBEDDING_TOPK,

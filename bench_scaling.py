@@ -186,7 +186,8 @@ host-window column), which is why the legs are interleaved and medianed.
   Catalyst assembly), `bench.py --extract-only`
 - input: deterministic synthetic transcripts corpus, seed 42,
   {rbig['bench_corpus_turns']:,} turns (~{rbig['md_bytes']/1e6:.0f} MB extracted
-  markdown, {rbig['n_images']:,} image placeholders), 32 parquet shards
+  markdown, {rbig['n_images']:,} image placeholders), 128 parquet shards
+  (≥4 task waves at local[32] so the skew-giant shard load-balances)
 - CPU-affinity-pinned (`taskset -c 0-(N-1)`) so local[N]'s whole process
   tree (JVM task threads + python UDF workers) really gets N cores
 - **CPU-seconds per 1k turns**: user+sys CPU of the whole process tree
@@ -234,10 +235,11 @@ single capped host.
 {os.linesep.join(json.dumps(x) for c in LEGS for x in runs[c])}
 ```
 """
+    # default: per-leg-set file; BENCH/BASELINE.md is the curated
+    # consolidation across protocol runs — don't clobber it
     out_name = os.environ.get(
         "SPARK_GRAFT_SCALING_OUT",
-        "BASELINE.md" if LEGS == (2, 8, 32)
-        else "SCALING_" + "_".join(map(str, LEGS)) + ".md",
+        "SCALING_" + "_".join(map(str, LEGS)) + "_latest.md",
     )
     path = os.path.join(HERE, "BENCH", out_name)
     with open(path, "w") as f:

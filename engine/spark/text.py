@@ -90,3 +90,26 @@ def quality_frame(docs: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(t).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def deterministic_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Deterministic train/val/test assignment from a portable hash of
+    the document id — the standard reshuffle-free split for training
+    corpora: no RNG state, no sampling pass, stable under reruns,
+    cluster-size changes AND engine changes (the md5-prefix hash is
+    reproducible in DuckDB, so the assignment itself is oracle-checked).
+    A pure projection: zero shuffle at any scale."""
+    from engine.spark.dedup import portable_hash60
+
+    bucket = F.pmod(portable_hash60(F.col(id_col).cast("string")), F.lit(100))
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.withColumn("split", split)

@@ -476,3 +476,21 @@ def test_stream_dedup_multibatch(spark, tmp_path):
     assert (
         set(map(tuple, got.values)) == set(map(tuple, want.values))
     )
+
+
+def test_deterministic_split_stable_and_partitioned(spark, docs):
+    """Split assignment is a pure hash projection: stable across calls,
+    every doc gets exactly one split, proportions are roughly 90/5/5."""
+    a = text.deterministic_split(docs).select("doc_id", "split").toPandas()
+    b = text.deterministic_split(docs).select("doc_id", "split").toPandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True),
+    )
+    frac = a["split"].value_counts(normalize=True)
+    assert 0.80 < frac.get("train", 0) < 0.97
+    assert frac.get("val", 0) < 0.12 and frac.get("test", 0) < 0.12
+    # pure projection: no exchange in the plan
+    plan = text.deterministic_split(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan
