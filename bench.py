@@ -32,13 +32,15 @@ def ensure_bench_corpus() -> str:
     # = runtime load balancing, the same reason a real cluster wants
     # 2-4× more input splits than executor slots.
     shards = 128
-    path = os.path.join(BENCH_DIR, f"transcripts_{BENCH_CONVS}x{shards}")
+    per = BENCH_CONVS // shards
+    actual = per * shards  # name the dir by what's really generated —
+    # BENCH_CONVS values not divisible by 128 are rounded down
+    path = os.path.join(BENCH_DIR, f"transcripts_{actual}x{shards}")
     marker = os.path.join(path, "_SUCCESS")
     if os.path.exists(marker):
         return path
     os.makedirs(path, exist_ok=True)
     from engine import fixtures
-    per = BENCH_CONVS // shards
     for s in range(shards):
         df = fixtures.make_transcripts(
             n_convs=per, seed=42 + s, skew_giant=(s == 0)

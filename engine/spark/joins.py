@@ -118,7 +118,11 @@ def range_join_bucketed(
         (F.col(f"p.{key}") == F.col(f"i.{key}"))
         & (F.col("p.__bucket") == F.col("i.__bucket")),
     )
-    return joined.filter(
+    refined = joined.filter(
         (F.col(f"p.{ts_col}") >= F.col(f"i.{start_col}"))
         & (F.col(f"p.{ts_col}") <= F.col(f"i.{end_col}"))
-    ).drop("__bucket")
+    )
+    # drop the interval side's join key and both bucket columns so the
+    # result has no duplicate column names (a bare .select(key) on the
+    # output would otherwise throw AMBIGUOUS_REFERENCE)
+    return refined.drop(F.col(f"i.{key}")).drop("__bucket")

@@ -69,17 +69,10 @@ def _argmin_cluster(vec: Column, centroids: list[list[float]]) -> Column:
     """Nearest-centroid id for a vector column against a (small) literal
     centroid list — a pure projection, computed per row with zero
     shuffle.  Distance = 1 − cosine; ties break on centroid id via
-    struct ordering (deterministic)."""
-    cents = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
-    scored = F.transform(
-        cents,
-        lambda c, i: F.struct(
-            (F.lit(1.0) - cosine(vec, c)).alias("dist"), i.alias("cid")
-        ),
-    )
-    return F.array_min(scored)["cid"]
+    struct ordering (deterministic).  Defined as the first probe so the
+    corpus-side assignment and the query-side probing can never
+    desynchronize (the IVF oracle's parity depends on them agreeing)."""
+    return F.element_at(_probe_clusters(vec, centroids, 1), 1)
 
 
 def _probe_clusters(vec: Column, centroids: list[list[float]], n_probe: int) -> Column:
@@ -267,7 +260,6 @@ def cosine_dup_pairs(
     )
     banded = base.select(
         "id",
-        "v",
         F.posexplode(
             F.array(
                 *[
@@ -281,6 +273,9 @@ def cosine_dup_pairs(
         ).alias("band", "bucket"),
     )
     a, b = banded.alias("a"), banded.alias("b")
+    # candidate pairs are id-only: the pair-dedup exchange moves 2 longs
+    # per candidate, not 2×dim doubles — vectors are equi-joined back
+    # onto the (much smaller) deduped pair set for exact scoring
     cand = (
         a.join(
             b,
@@ -288,16 +283,16 @@ def cosine_dup_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    scored = cand.join(
+        base.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a"
+    ).join(
+        base.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b"
+    )
     sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
-    return cand.select("id_a", "id_b", sim.alias("cosine_sim")).filter(
+    return scored.select("id_a", "id_b", sim.alias("cosine_sim")).filter(
         F.col("cosine_sim") >= F.lit(float(threshold))
     )
 

