@@ -40,6 +40,23 @@ def main(argv: list[str] | None = None) -> int:
     from engine.spark.session import get_spark
 
     spark = get_spark(cores=args.cores, app="run-extract")
+
+    # Under spark-submit the driver JVM is already up, so session-level
+    # spark.driver.memory is ignored — and local mode runs every
+    # executor thread in that JVM.  The string-heavy assembly shuffle
+    # OOMs a default 1g heap around 10^6 turns; fail loudly up front
+    # instead of dying mid-stage-6.
+    max_heap = int(
+        spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory()
+    )
+    if max_heap < 4 << 30:
+        print(
+            f"WARNING: driver JVM max heap is {max_heap / (1 << 30):.1f} GiB; "
+            "local-mode assembly shuffles need more at 10^6+ turns — "
+            "pass e.g. `spark-submit --driver-memory 24g`",
+            file=sys.stderr,
+        )
+
     t0 = time.time()
     transcripts = (
         spark.read.parquet(args.input)
