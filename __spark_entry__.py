@@ -620,6 +620,55 @@ GROUP BY n_name
 """
 
 
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analog (adapted to this schema): unshipped revenue of
+    BUILDING-segment orders placed before the cutoff, top 10.  Plan
+    shape that matters at scale: the segment filter prunes customer
+    BEFORE the join (semi-join reduction), the orders×lineitem join is
+    the only big shuffle, and the top-10 is a global sort of the small
+    aggregated result — never of the fact table."""
+    cutoff = "1998-01-01"
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(cutoff)
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(cutoff)
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    dec = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    g = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(dec.cast("decimal(18,4)")).cast("double"), 2
+            ).alias("revenue")
+        )
+    )
+    return g.orderBy(
+        F.col("revenue").desc(), F.col("o_orderkey")
+    ).limit(10)
+
+
+SQL_Q3_SHIPPING_PRIORITY = """
+SELECT o_orderkey, o_orderdate,
+  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+             AS DOUBLE), 2) AS revenue
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
 def q_orders_no_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
@@ -1481,6 +1530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sanitize_stem": q_sanitize_stem,
         "q1_pricing": q_q1_pricing,
         "revenue_by_nation": q_revenue_by_nation,
+        "q3_shipping_priority": q3_shipping_priority,
         "orders_no_lineitems": q_orders_no_lineitems,
         "top3_orders": q_top3_orders,
         "events_hourly": q_events_hourly,
@@ -1525,6 +1575,7 @@ def oracle_sql() -> dict[str, str]:
         "sanitize_stem": SQL_SANITIZE_STEM,
         "q1_pricing": SQL_Q1_PRICING,
         "revenue_by_nation": SQL_REVENUE_BY_NATION,
+        "q3_shipping_priority": SQL_Q3_SHIPPING_PRIORITY,
         "orders_no_lineitems": SQL_ORDERS_NO_LINEITEMS,
         "top3_orders": SQL_TOP3_ORDERS,
         "events_hourly": SQL_EVENTS_HOURLY,
