@@ -164,6 +164,7 @@ def run_extraction(spark, corpus: str) -> dict:
 
 RELATIONAL = [
     "q1_pricing",
+    "q3_shipping_priority",
     "revenue_by_nation",
     "top3_orders",
     "events_hourly",
