@@ -4,6 +4,7 @@ column names, and order-insensitive exact values.
 """
 
 import math
+import os
 
 import duckdb
 import pandas as pd
@@ -12,7 +13,7 @@ import pytest
 import __spark_entry__ as entry_mod
 from engine.spark.session import get_spark
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
