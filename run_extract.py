@@ -41,28 +41,39 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(cores=args.cores, app="run-extract")
 
-    # Under spark-submit the driver JVM is already up, so session-level
-    # spark.driver.memory is ignored — and local mode runs every
-    # executor thread in that JVM.  The string-heavy assembly shuffle
-    # OOMs a default 1g heap around 10^6 turns; fail loudly up front
-    # instead of dying mid-stage-6.
-    max_heap = int(
-        spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory()
-    )
-    if max_heap < 4 << 30:
-        print(
-            f"WARNING: driver JVM max heap is {max_heap / (1 << 30):.1f} GiB; "
-            "local-mode assembly shuffles need more at 10^6+ turns — "
-            "pass e.g. `spark-submit --driver-memory 24g`",
-            file=sys.stderr,
-        )
-
     t0 = time.time()
     transcripts = (
         spark.read.parquet(args.input)
         if "/" in args.input
         else spark.read.table(args.input)
     )
+
+    # Under spark-submit the driver JVM is already up, so session-level
+    # spark.driver.memory is ignored — and local mode runs every
+    # executor thread in that JVM.  The string-heavy assembly shuffle
+    # OOMs a default 1g heap around 10^6 turns, so on a large input an
+    # undersized heap aborts up front instead of dying mid-stage
+    # (SPARK_GRAFT_ALLOW_SMALL_HEAP=1 overrides; the row count is a
+    # parquet-metadata read, not a scan).
+    max_heap = int(
+        spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory()
+    )
+    if max_heap < 4 << 30:
+        n_rows = transcripts.count()
+        msg = (
+            f"driver JVM max heap is {max_heap / (1 << 30):.1f} GiB and the "
+            f"input has {n_rows:,} turns; local-mode assembly shuffles OOM "
+            "small heaps at ~10^6 turns — pass e.g. "
+            "`spark-submit --driver-memory 24g`"
+        )
+        import os as _os
+
+        if n_rows > 200_000 and not _os.environ.get(
+            "SPARK_GRAFT_ALLOW_SMALL_HEAP"
+        ):
+            print(f"ERROR: {msg}", file=sys.stderr)
+            return 2
+        print(f"WARNING: {msg}", file=sys.stderr)
     stats = lineage.run_with_resume(
         spark,
         transcripts,

@@ -200,3 +200,16 @@ def test_range_join_is_equi_not_nested_loop(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     ), plan
+
+
+def test_q3_plan_shape(spark):
+    """Q3: filters reach the scans (pushdown), the top-10 is a
+    TakeOrderedAndProject over the aggregated result (never a global
+    sort of the fact table), and no nested-loop/cartesian join."""
+    q = entry_mod.q3_shipping_priority(spark, SF_DIR)
+    plan = _plan(q)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)]" in plan or "EqualTo(c_mktsegment,BUILDING)" in plan, plan
+    assert "GreaterThan(l_shipdate" in plan, plan
