@@ -1461,6 +1461,26 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXTRACTION pipeline on the Structured Streaming path (file
+    source → same parse UDF → parquet sink + checkpoint, availableNow).
+    The parse is a stateless map, so the streaming result must be
+    byte-identical to batch extraction — it shares SQL_EXTRACT_MARKDOWN
+    as its oracle, putting the streaming execution path itself under
+    the hard correctness signal."""
+    import shutil
+
+    from engine.spark import streaming
+
+    src = tempfile.mkdtemp(prefix="stream_x_src_")
+    _docs_as_transcripts(spark, sf_dir).write.mode("overwrite").parquet(src)
+    ckpt = tempfile.mkdtemp(prefix="stream_x_ckpt_")
+    outp = tempfile.mkdtemp(prefix="stream_x_out_")
+    shutil.rmtree(outp)  # the sink wants to create it
+    streaming.stream_extract_turns(spark, src, ckpt, outp)
+    return spark.read.parquet(outp).select("conv_id", "turn_idx", "markdown")
+
+
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming op (applyInPandasWithState session
     windows).  Emitted = completed sessions; each user's trailing open
@@ -1553,6 +1573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "thumbnail": q_thumbnail,
         "stream_event_counts": q_stream_event_counts,
         "stream_dedup": q_stream_dedup,
+        "stream_extract": q_stream_extract,
         "stream_sessionize": q_stream_sessionize,
     }
 
@@ -1593,6 +1614,7 @@ def oracle_sql() -> dict[str, str]:
         "thumbnail": SQL_THUMBNAIL,
         "stream_event_counts": SQL_STREAM_EVENT_COUNTS,
         "stream_dedup": SQL_STREAM_DEDUP,
+        "stream_extract": SQL_EXTRACT_MARKDOWN,
         "stream_sessionize": SQL_STREAM_SESSIONIZE,
         "extract_spans": SQL_EXTRACT_SPANS,
         "minhash_lsh": SQL_MINHASH_LSH,
