@@ -24,6 +24,7 @@ Iceberg catalog slots in unchanged.
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,6 +33,7 @@ from engine.spark import pipeline
 
 LINEAGE_COLS = [
     "input_snapshot_id",
+    "run_id",
     "part_hash",
     "turn_count",
     "conv_count",
@@ -76,6 +78,21 @@ def done_buckets(spark: SparkSession, output_dir: str, snapshot_id: str) -> Data
     )
 
 
+def _partition_buckets(path: str) -> set[int]:
+    """part_hash values already materialized under a partitioned parquet
+    dir (driver-side listing — ≤ n_buckets entries, no Spark job)."""
+    if not os.path.exists(path):
+        return set()
+    out: set[int] = set()
+    for name in os.listdir(path):
+        if name.startswith("part_hash="):
+            try:
+                out.add(int(name.split("=", 1)[1]))
+            except ValueError:
+                pass
+    return out
+
+
 def run_with_resume(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -84,17 +101,20 @@ def run_with_resume(
     n_buckets: int = 64,
     force: bool = False,
     spans: bool = False,
+    run_id: str | None = None,
 ) -> dict[str, int]:
     """Extract turns+docs (+spans) with bucket-granular resume.
 
     Returns counts of processed buckets/turns (0 processed ⇒ everything
     was already done — the reference's 'checkpoint found, skipping'
-    path, mistralocr_app.py:585-587)."""
-    # Idempotent resume REQUIRES dynamic partition overwrite: with the
-    # static default, mode('overwrite').partitionBy(...) wipes all
-    # previously completed buckets.  Force it here so correctness does
-    # not depend on the session factory having set it.
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    path, mistralocr_app.py:585-587).
+
+    Concurrency: each run stamps its lineage rows with a ``run_id``, so
+    two drivers racing on the same snapshot at worst double-mark a
+    bucket 'done' with identical counts — ``turns_total`` aggregates
+    ``max(turn_count)`` per bucket, which is exact under that race (the
+    writes themselves are idempotent dynamic partition overwrites)."""
+    run_id = run_id or uuid.uuid4().hex
     src = with_part_hash(transcripts, n_buckets)
 
     done = None if force else done_buckets(spark, output_dir, snapshot_id)
@@ -102,37 +122,78 @@ def run_with_resume(
         # broadcast anti-join: the done-set is ≤ n_buckets rows
         src = src.join(F.broadcast(done), "part_hash", "left_anti")
 
-    # recompute the hash on the output rows directly (no join needed —
-    # part_hash is a pure function of conv_id)
-    turns = pipeline.extract_turns(src.select("conv_id", "turn_idx", "text"))
-    turns = with_part_hash(turns, n_buckets)
+    # The bucket set THIS run processes — a column-pruned key scan that
+    # partial-aggregates to ≤ n_buckets values.  Needed to scope the
+    # committed-turns re-read below: if the output dir is reused across
+    # snapshots, partitions left by an older snapshot (buckets absent
+    # from the current input) must not fold into this run's docs or
+    # lineage rows.
+    run_buckets = sorted(
+        r["part_hash"] for r in src.select("part_hash").distinct().collect()
+    )
 
     turns_out = os.path.join(output_dir, "turns")
-    (
-        turns.write.mode("overwrite")
-        .partitionBy("part_hash")
-        .parquet(turns_out)
-    )
+    if run_buckets:
+        # recompute the hash on the output rows directly (no join needed
+        # — part_hash is a pure function of conv_id).  Idempotent resume
+        # REQUIRES dynamic partition overwrite (the static default wipes
+        # previously committed buckets); set it per-write so the shared
+        # session's conf is never mutated.
+        turns = pipeline.extract_turns(src.select("conv_id", "turn_idx", "text"))
+        turns = with_part_hash(turns, n_buckets)
+        (
+            turns.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("part_hash")
+            .parquet(turns_out)
+        )
+    elif not os.path.exists(turns_out):
+        # nothing to process and nothing committed before (empty input):
+        # there is no table to read back — return zeros, don't raise
+        return {"buckets_processed": 0, "turns_total": 0}
 
     # Downstream stages read the committed parquet back (scan, not
     # recompute), restricted to this run's buckets: a conversation never
     # straddles buckets, so each processed bucket is doc-complete.
-    new_turns = spark.read.parquet(turns_out)
-    if done is not None:
-        new_turns = new_turns.join(F.broadcast(done), "part_hash", "left_anti")
+    committed = spark.read.parquet(turns_out)
+    new_turns = (
+        committed.filter(F.col("part_hash").isin(run_buckets))
+        if run_buckets
+        else committed.filter(F.lit(False))
+    )
 
-    docs = with_part_hash(pipeline.extract_docs(new_turns), n_buckets)
-    docs_out = os.path.join(output_dir, "docs")
-    docs.write.mode("overwrite").partitionBy("part_hash").parquet(docs_out)
+    if run_buckets:
+        docs = with_part_hash(pipeline.extract_docs(new_turns), n_buckets)
+        docs_out = os.path.join(output_dir, "docs")
+        (
+            docs.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("part_hash")
+            .parquet(docs_out)
+        )
 
     if spans:
-        # span table under the same lineage/resume mechanism: partitioned
-        # by part_hash + dynamic overwrite ⇒ a crash mid-spans only
-        # rewrites this run's buckets on replay
-        sp = with_part_hash(pipeline.extract_spans(new_turns), n_buckets)
-        sp.write.mode("overwrite").partitionBy("part_hash").parquet(
-            os.path.join(output_dir, "spans")
-        )
+        # Span table under the same lineage/resume mechanism.  Coverage
+        # is driven by the COMMITTED turns table, not this run's delta:
+        # a completed extraction re-run with spans=True must backfill
+        # spans for already-done buckets (which new_turns excludes).
+        spans_out = os.path.join(output_dir, "spans")
+        have = _partition_buckets(spans_out)
+        backfill = sorted(_partition_buckets(turns_out) - have - set(run_buckets))
+        need = sorted(set(run_buckets) | set(backfill))
+        if need:
+            sp = with_part_hash(
+                pipeline.extract_spans(
+                    committed.filter(F.col("part_hash").isin(need))
+                ),
+                n_buckets,
+            )
+            (
+                sp.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("part_hash")
+                .parquet(spans_out)
+            )
 
     # lineage rows for the buckets processed in this run — collected once
     # (≤ n_buckets rows) so the aggregation isn't recomputed for a count
@@ -144,6 +205,7 @@ def run_with_resume(
             F.sum(F.size("images")).alias("image_count"),
         )
         .withColumn("input_snapshot_id", F.lit(snapshot_id))
+        .withColumn("run_id", F.lit(run_id))
         .withColumn("status", F.lit("done"))
         .select(*LINEAGE_COLS)
     )
@@ -156,8 +218,12 @@ def run_with_resume(
 
     # total turns from lineage rows (every done bucket of this snapshot
     # has one), NOT a full scan of the committed turns table — at 10^12
-    # turns that recount is itself a job
+    # turns that recount is itself a job.  max(turn_count) per bucket is
+    # exact even when concurrent runs double-marked a bucket.
     lin = read_lineage(spark, output_dir)
+    if lin is None:
+        # fresh run over an empty input: nothing written, nothing done
+        return {"buckets_processed": 0, "turns_total": 0}
     n_turns = (
         lin.filter(
             (F.col("status") == "done")

@@ -85,9 +85,23 @@ def translate_turns_udf(
     ``--- ERROR: Translation Failed for Page {idx+1} ---\\n\\n{page}``
     (mistralocr_app.py:211-216); null outputs are treated as failures
     too.  Output schema is identical to :func:`translate_turns`."""
+    def _align(out, md: pd.Series) -> pd.Series:
+        """Re-anchor the translator's output to the input index.  The
+        contract is POSITIONAL (row i in → row i out): a translator that
+        resets or reindexes its output must not silently misalign the
+        ok-mask / marker substitution below.  A length mismatch is a
+        broken translator — raise so the per-row retry isolates it."""
+        if not isinstance(out, pd.Series):
+            out = pd.Series(list(out), dtype=object)
+        if len(out) != len(md):
+            raise ValueError(
+                f"translator returned {len(out)} rows for {len(md)} inputs"
+            )
+        return pd.Series(out.to_numpy(), index=md.index, dtype=object)
+
     def _batch(md: pd.Series) -> tuple[pd.Series, pd.Series]:
         try:
-            out = translator(md)
+            out = _align(translator(md), md)
             return out, out.notna()
         except Exception:
             outs, oks = [], []

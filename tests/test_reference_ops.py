@@ -164,3 +164,42 @@ def test_s4_export_markdown_files(spark, turns, tmp_path):
     for p in paths:
         assert os.path.basename(p).endswith("_original.md")
         assert open(p, encoding="utf-8").read()
+
+
+def test_t1_udf_reindexing_translator_aligned(spark, turns):
+    """A translator that resets/reindexes its output series must not
+    misalign the ok-mask / marker substitution (ADVICE r2): the contract
+    is positional, so output row i belongs to input row i regardless of
+    the returned index."""
+    import pandas as pd
+
+    def reindexer(md: pd.Series) -> pd.Series:
+        # correct values positionally, but a fresh RangeIndex — a pandas
+        # `.where` against md.index would misalign without normalization
+        return ("> [translated zh-TW]\n\n" + md).reset_index(drop=True)
+
+    expr = translate.translate_turns(turns).select(
+        "conv_id", "turn_idx", "translated"
+    ).orderBy("conv_id", "turn_idx").toPandas()
+    udf = translate.translate_turns_udf(turns, translator=reindexer).select(
+        "conv_id", "turn_idx", "translated"
+    ).orderBy("conv_id", "turn_idx").toPandas()
+    assert list(expr["translated"]) == list(udf["translated"])
+
+
+def test_t1_udf_wrong_length_translator_isolated(spark, turns):
+    """A translator that DROPS rows (wrong output length) is a broken
+    batch — rows are retried one-by-one, where single-row calls still
+    work, so no row is silently lost or misassigned."""
+    import pandas as pd
+
+    def dropper(md: pd.Series) -> pd.Series:
+        out = "> [translated zh-TW]\n\n" + md
+        return out.iloc[1:] if len(md) > 1 else out
+
+    out = translate.translate_turns_udf(turns, translator=dropper).select(
+        "conv_id", "turn_idx", "markdown", "translated"
+    ).orderBy("conv_id", "turn_idx").collect()
+    assert out
+    for r in out:
+        assert r["translated"] == f"> [translated zh-TW]\n\n{r['markdown']}"

@@ -215,3 +215,86 @@ def test_doc_join_separator(spark, transcripts_path):
     docs = pipeline.extract_docs(_spark_turns(spark, transcripts_path))
     row = docs.filter("conv_id = 'conv-00000001'").collect()[0]
     assert spec.DOC_JOIN in row["markdown"] or "\n" in row["markdown"]
+
+
+def test_spans_backfill_on_completed_resume(spark, transcripts_path, tmp_path):
+    """Re-running a COMPLETED extraction with spans=True must backfill the
+    span table for already-done buckets (ADVICE r2: spans derived only
+    from this run's delta came out empty on resume)."""
+    out = str(tmp_path / "out4")
+    df = spark.read.parquet(transcripts_path)
+    lineage.run_with_resume(spark, df, out, snapshot_id="snap-4", n_buckets=8)
+    # everything done; now ask for spans
+    r = lineage.run_with_resume(spark, df, out, snapshot_id="snap-4",
+                                n_buckets=8, spans=True)
+    assert r["buckets_processed"] == 0
+    turns = spark.read.parquet(os.path.join(out, "turns"))
+    spans = spark.read.parquet(os.path.join(out, "spans"))
+    nonempty = turns.filter(F.length("markdown") > 0).count()
+    assert spans.select("conv_id", "turn_idx").distinct().count() == nonempty
+    assert r["turns_total"] == df.count()
+
+
+def test_resume_empty_input(spark, tmp_path):
+    """Fresh run over an empty input: no lineage yet → must return zeros,
+    not raise (ADVICE r2: read_lineage None → AttributeError)."""
+    out = str(tmp_path / "out5")
+    schema = "conv_id string, turn_idx int, text string"
+    empty = spark.createDataFrame([], schema=schema)
+    r = lineage.run_with_resume(spark, empty, out, snapshot_id="snap-5",
+                                n_buckets=8)
+    assert r == {"buckets_processed": 0, "turns_total": 0}
+
+
+def test_resume_does_not_mutate_session_conf(spark, transcripts_path, tmp_path):
+    """The overwrite mode is a per-write option, not a session mutation
+    (ADVICE r2: later callers' partitioned overwrites silently became
+    partial)."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        df = spark.read.parquet(transcripts_path)
+        lineage.run_with_resume(spark, df, str(tmp_path / "out6"),
+                                snapshot_id="snap-6", n_buckets=8)
+        assert (
+            spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+            == "static"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def test_concurrent_lineage_double_mark_exact(spark, transcripts_path, tmp_path):
+    """Two drivers racing on the same snapshot (simulated: two force=True
+    runs both append lineage for every bucket) must keep turns_total
+    exact — max(turn_count) per bucket, never a double count."""
+    out = str(tmp_path / "out7")
+    df = spark.read.parquet(transcripts_path)
+    r1 = lineage.run_with_resume(spark, df, out, snapshot_id="snap-7",
+                                 n_buckets=8, force=True, run_id="driver-a")
+    r2 = lineage.run_with_resume(spark, df, out, snapshot_id="snap-7",
+                                 n_buckets=8, force=True, run_id="driver-b")
+    n = df.count()
+    assert r1["turns_total"] == n and r2["turns_total"] == n
+    lin = spark.read.parquet(os.path.join(out, "_lineage"))
+    # both runs recorded per-bucket rows under their own run_id
+    assert lin.select("run_id").distinct().count() == 2
+    per_bucket = lin.groupBy("part_hash").count()
+    assert per_bucket.filter("count <> 2").count() == 0
+
+
+def test_stale_snapshot_buckets_not_folded_in(spark, transcripts_path, tmp_path):
+    """An output dir reused across snapshots: buckets left by an older
+    snapshot (absent from the new input) must not inflate the new
+    snapshot's lineage or docs (ADVICE r2)."""
+    out = str(tmp_path / "out8")
+    df = spark.read.parquet(transcripts_path)
+    lineage.run_with_resume(spark, df, out, snapshot_id="snap-8a", n_buckets=8)
+    # new snapshot = only half the buckets' conversations
+    half = lineage.with_part_hash(df, 8).filter("part_hash < 4").drop("part_hash")
+    r = lineage.run_with_resume(spark, half, out, snapshot_id="snap-8b",
+                                n_buckets=8)
+    assert r["turns_total"] == half.count()
+    lin = spark.read.parquet(os.path.join(out, "_lineage"))
+    snap_b = lin.filter("input_snapshot_id = 'snap-8b'")
+    assert snap_b.filter("part_hash >= 4").count() == 0
