@@ -441,6 +441,83 @@ FROM documents
 """
 
 
+def q_translate_markdown_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 via the PRODUCTION plug point (translate_turns_udf — the
+    Arrow-batched pandas UDF a real deployment wraps a remote client in,
+    engine/spark/translate.py:70+), not the Catalyst stand-in.  The
+    deterministic translator raises on doc_id % 7 == 0 (parsed from the
+    page prefix), exercising the per-row failure-isolation retry path
+    (mistralocr_app.py:211-216) under the hard oracle signal."""
+    import pandas as pd
+
+    from engine.spark import translate
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lit(0).alias("turn_idx"),
+        F.concat(
+            F.lit("doc-"), F.col("doc_id").cast("string"), F.lit("\n\n"),
+            F.col("text"),
+        ).alias("markdown"),
+    )
+
+    def translator(md: pd.Series) -> pd.Series:
+        ids = md.str.extract(r"^doc-(\d+)", expand=False).astype("int64")
+        if (ids % 7 == 0).any():
+            raise RuntimeError("simulated remote translation failure")
+        return "> [translated zh-TW]\n\n" + md
+
+    out = translate.translate_turns_udf(d, translator=translator)
+    return out.select("doc_id", "translated")
+
+
+SQL_TRANSLATE_MARKDOWN_UDF = """
+SELECT doc_id,
+  CASE WHEN doc_id % 7 = 0
+       THEN '--- ERROR: Translation Failed for Page 1 ---' || chr(10) || chr(10)
+            || 'doc-' || doc_id || chr(10) || chr(10) || text
+       ELSE '> [translated zh-TW]' || chr(10) || chr(10)
+            || 'doc-' || doc_id || chr(10) || chr(10) || text
+  END AS translated
+FROM documents
+"""
+
+
+def q_ocr_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 regroup (mistralocr_app.py:513-517) under the oracle: the
+    per-turn map<img_id, ocr_json> from assemble.ocr_map_table exploded
+    back to rows.  The images array gets a planted duplicate id
+    ([img-1, img-2, img-1]) so the python-dict LAST_WIN key collapse
+    (mistralocr_app.py:641) is value-checked — the map must carry
+    exactly one entry per DISTINCT id, never error or duplicate."""
+    # LAST_WIN is runtime-settable; the engine session sets it at build
+    # time, but the driver's vanilla session may not
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    turns = pipeline.extract_turns(_docs_as_transcripts(spark, sf_dir))
+    t = turns.withColumn(
+        "images",
+        F.concat(
+            F.col("images"), F.array(F.lit("img-2.jpeg")), F.col("images")
+        ),
+    )
+    m = assemble.ocr_map_table(t)
+    return m.select(
+        "conv_id", "turn_idx", F.explode("ocr_map").alias("img_id", "ocr_json")
+    )
+
+
+SQL_OCR_MAP = """
+WITH imgs AS (
+  SELECT 'doc-' || doc_id AS conv_id, 0 AS turn_idx, doc_id, img_id
+  FROM documents, UNNEST(['img-1.jpeg', 'img-2.jpeg']) t(img_id)
+)
+SELECT conv_id, turn_idx, img_id,
+       '{\n  "unstructured_ocr": "deterministic OCR for ' || img_id ||
+       ' at turn 0 of doc-' || doc_id || '"\n}' AS ocr_json
+FROM imgs
+"""
+
+
 def q_placeholder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1/P3 semantics (mistralocr_app.py:76-82, 101-122) as column exprs."""
     d = _t(spark, sf_dir, "documents")
@@ -1544,6 +1621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_assembly_salted": q_doc_assembly_salted,
         "doc_assembly_display": q_doc_assembly_display,
         "translate_markdown": q_translate_markdown,
+        "translate_markdown_udf": q_translate_markdown_udf,
+        "ocr_map": q_ocr_map,
         "placeholder_rewrite": q_placeholder_rewrite,
         "ocr_insert": q_ocr_insert,
         "fence_strip": q_fence_strip,
@@ -1590,6 +1669,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_assembly_salted": SQL_DOC_ASSEMBLY,
         "doc_assembly_display": SQL_DOC_ASSEMBLY_DISPLAY,
         "translate_markdown": SQL_TRANSLATE_MARKDOWN,
+        "translate_markdown_udf": SQL_TRANSLATE_MARKDOWN_UDF,
+        "ocr_map": SQL_OCR_MAP,
         "placeholder_rewrite": SQL_PLACEHOLDER_REWRITE,
         "ocr_insert": SQL_OCR_INSERT,
         "fence_strip": SQL_FENCE_STRIP,
