@@ -33,19 +33,29 @@ def asof_join(
     key: str,
     ts_col: str = "ts",
     suffix: str = "asof_",
+    bucket_seconds: int | None = 86400,
 ) -> DataFrame:
     """Backward as-of join: each left row gets the most recent right row
     with ``right.ts <= left.ts`` for the same key (NULLs when no right
     row precedes it).
 
     Implementation: tag the sides, union by name, and carry the last
-    non-null right payload forward with a keyed window — a single hash
-    shuffle on ``key`` plus an in-partition sort, the scalable
+    non-null right payload forward with a window — the scalable
     re-expression of an as-of join (an inequality join would plan as a
     nested loop).  At equal timestamps the right row sorts first, so a
     quote at exactly the trade's timestamp IS matched; duplicate right
     rows on (key, ts) break ties by full payload struct order
     (deterministic across runs and cluster sizes).
+
+    Skew (``bucket_seconds``, the default path): a window partitioned by
+    key alone serializes a hot key (one user, 10^9 events) onto a single
+    reducer — AQE cannot split a window partition.  So the carry is
+    two-phase: (1) window within ``(key, time_bucket)`` — partition size
+    bounded by rows-per-key-per-bucket, not rows-per-key; (2) a compact
+    per-(key, bucket) boundary table (last right payload in the bucket)
+    is cumulated with a per-key window over O(#buckets) rows and joined
+    back to fill bucket-initial gaps.  ``bucket_seconds=None`` selects
+    the single-window path (fine for uniform keys; one less shuffle).
     """
     rcols = [c for c in right.columns if c not in (key, ts_col)]
     payload = F.struct(
@@ -59,16 +69,55 @@ def asof_join(
         "__r", F.lit(None).cast(r.schema["__r"].dataType)
     )
     u = l.unionByName(r, allowMissingColumns=True)
-    w = (
-        Window.partitionBy(key)
-        .orderBy(
-            F.col(ts_col).asc(),
-            F.col("__side").asc(),
-            F.col("__r").asc_nulls_first(),
+
+    order = [
+        F.col(ts_col).asc(),
+        F.col("__side").asc(),
+        F.col("__r").asc_nulls_first(),
+    ]
+    if bucket_seconds is None:
+        w = (
+            Window.partitionBy(key)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    m = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+        m = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+    else:
+        u = u.withColumn(
+            "__b",
+            F.floor(
+                F.col(ts_col).cast("timestamp").cast("long") / bucket_seconds
+            ),
+        )
+        # boundary: last right payload per (key, bucket).  __r leads with
+        # __rts, so max(__r) IS the last right row in window order —
+        # one partial-aggregated shuffle on (key, bucket).
+        boundary = u.groupBy(key, "__b").agg(F.max("__r").alias("__bl"))
+        wb = (
+            Window.partitionBy(key)
+            .orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = boundary.select(
+            key,
+            "__b",
+            F.last("__bl", ignorenulls=True).over(wb).alias("__carry"),
+        )
+        # join carry back, then window within (key, bucket): both hash on
+        # the same (key, bucket) pair, so the exchange is shared
+        u = u.join(carry, [key, "__b"])
+        w = (
+            Window.partitionBy(key, "__b")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        m = u.withColumn(
+            "__m",
+            F.coalesce(
+                F.last("__r", ignorenulls=True).over(w), F.col("__carry")
+            ),
+        ).drop("__b", "__carry")
+
     out = m.filter(F.col("__side") == 1)
     out = out.withColumn(f"{suffix}{ts_col}", F.col("__m.__rts"))
     for c in rcols:

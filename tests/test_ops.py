@@ -514,3 +514,50 @@ def test_fast_hash_path_finds_same_dups(spark, op):
         got = {(r.doc_a, r.doc_b): r.hamming for r in pairs.itertuples()}
         assert got.get((0, 1)) == 0   # identical docs → identical simhash
         assert (0, 2) in got          # near dup within radius
+
+
+def test_asof_join_bucketed_equals_single_window(spark):
+    """Skew-hardened two-phase carry (default) must be byte-equal to the
+    single-window path, including across bucket boundaries and on a hot
+    key holding ~all rows."""
+    e = _events(spark).filter(F.col("user_id") < 12)
+    # plant a hot key: fold everything onto user 0 alongside the original
+    hot = e.withColumn("user_id", F.lit(0)).withColumn(
+        "event_id", F.col("event_id") + 10_000_000
+    )
+    both = e.unionByName(hot)
+    quotes = both.filter(F.col("event_id") % 5 == 0).select(
+        "user_id", "ts",
+        F.col("event_id").alias("quote_id"),
+        F.col("value").alias("quote_value"),
+    )
+    trades = both.filter(F.col("event_id") % 5 != 0).select(
+        "event_id", "user_id", "ts"
+    )
+    cols = ["event_id", "user_id", "ts", "asof_ts", "asof_quote_id",
+            "asof_quote_value"]
+    # small bucket (1h) forces many cross-bucket carries
+    a = (
+        joins.asof_join(trades, quotes, key="user_id", ts_col="ts",
+                        bucket_seconds=3600)
+        .select(cols).orderBy("event_id", "user_id").toPandas()
+    )
+    b = (
+        joins.asof_join(trades, quotes, key="user_id", ts_col="ts",
+                        bucket_seconds=None)
+        .select(cols).orderBy("event_id", "user_id").toPandas()
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+    # cardinality bound: the hot key's rows spread over many (key, bucket)
+    # window partitions — per-partition row count is bounded by the
+    # bucket, not the key
+    bucketed = trades.filter(F.col("user_id") == 0).groupBy(
+        F.floor(F.col("ts").cast("timestamp").cast("long") / 3600)
+    ).count()
+    stats = bucketed.agg(
+        F.max("count").alias("mx"), F.sum("count").alias("total"),
+        F.count("*").alias("n_parts"),
+    ).collect()[0]
+    assert stats["n_parts"] > 10
+    assert stats["mx"] < stats["total"] / 5

@@ -162,15 +162,7 @@ def test_cosine_dup_pairs_equi_join(spark):
     ), plan
 
 
-def test_asof_join_single_shuffle_no_join(spark):
-    """The as-of join re-expression must contain NO join operator at all
-    (union + keyed window), and exactly one hash-partition exchange on
-    the raw operator.  The driver-gate query adds one more exchange for
-    its deterministic quote de-tie window — still join-free."""
-    import re as _re
-
-    from engine.spark import joins
-
+def _asof_sides(spark):
     e = spark.read.parquet(f"{SF_DIR}/events.parquet")
     quotes = e.filter(F.col("event_id") % 17 == 0).select(
         "user_id", "ts", F.col("value").alias("quote_value")
@@ -178,15 +170,48 @@ def test_asof_join_single_shuffle_no_join(spark):
     trades = e.filter(F.col("event_id") % 17 != 0).select(
         "event_id", "user_id", "ts"
     )
-    raw = joins.asof_join(trades, quotes, key="user_id", ts_col="ts")
+    return trades, quotes
+
+
+def test_asof_join_single_shuffle_no_join(spark):
+    """The uniform-key path (bucket_seconds=None) must contain NO join
+    operator at all (union + keyed window), and exactly one
+    hash-partition exchange."""
+    import re as _re
+
+    from engine.spark import joins
+
+    trades, quotes = _asof_sides(spark)
+    raw = joins.asof_join(trades, quotes, key="user_id", ts_col="ts",
+                          bucket_seconds=None)
     plan = _plan(raw)
     assert "Join" not in plan, plan
     exchanges = _re.findall(r"Exchange hashpartitioning", plan)
     assert len(exchanges) == 1, plan
 
+
+def test_asof_join_bucketed_plan_shape(spark):
+    """The default skew-hardened path: the carry window partitions on
+    (key, time_bucket) — a hot key spreads across reducers instead of
+    serializing onto one (VERDICT r2 #1) — and the boundary-carry join
+    is an equi-join, never a nested loop.  The driver-gate query runs
+    this path."""
+    from engine.spark import joins
+
+    trades, quotes = _asof_sides(spark)
+    raw = joins.asof_join(trades, quotes, key="user_id", ts_col="ts")
+    plan = _plan(raw)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the big in-bucket window is keyed by BOTH the key and the bucket
+    import re as _re
+
+    win_specs = _re.findall(r"Window \[last\(__r.*?\]", plan)
+    assert any("__b" in s and "user_id" in s for s in win_specs), plan
+
     entry_plan = _plan(entry_mod.q_asof_join(spark, SF_DIR))
-    assert "Join" not in entry_plan, entry_plan
     assert "CartesianProduct" not in entry_plan, entry_plan
+    assert "BroadcastNestedLoopJoin" not in entry_plan, entry_plan
 
 
 def test_range_join_is_equi_not_nested_loop(spark):
