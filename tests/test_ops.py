@@ -561,3 +561,51 @@ def test_asof_join_bucketed_equals_single_window(spark):
     ).collect()[0]
     assert stats["n_parts"] > 10
     assert stats["mx"] < stats["total"] / 5
+
+
+def test_hyperplane_python_catalyst_parity(spark):
+    """The driver-side plane derivation (hyperplane_values — what the
+    LSH operators now embed as one folded literal) must be bit-exact
+    with the Catalyst md5 expression (what the DuckDB oracles
+    re-derive)."""
+    dim = 16
+    expr = spark.range(1).select(
+        *[similarity._hyperplane(h, dim).alias(f"p{h}") for h in range(6)]
+    ).collect()[0]
+    for h in range(6):
+        assert list(expr[f"p{h}"]) == similarity.hyperplane_values(h, dim)
+
+
+def test_ann_params_plan_bounded(spark):
+    """VERDICT r2 #2 'done' check: planning an IVF probe with
+    n_centroids=256, dim=256 must not explode the expression tree —
+    the centroid array folds to a single Literal, so planning stays
+    fast and execution works."""
+    import time
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n, dim, n_cent = 300, 256, 256
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype="int64"),
+            "embedding": [rng.standard_normal(dim).astype("float32").tolist()
+                          for _ in range(n)],
+        }
+    )
+    emb = spark.createDataFrame(pdf)
+    cents = [rng.standard_normal(dim).tolist() for _ in range(n_cent)]
+    scored = emb.select(
+        "vec_id",
+        similarity._argmin_cluster(
+            similarity._as_double(F.col("embedding")),
+            similarity._centroids_lit(cents),
+        ).alias("cid"),
+    )
+    t0 = time.time()
+    scored._jdf.queryExecution().executedPlan()
+    plan_secs = time.time() - t0
+    assert plan_secs < 30, f"planning took {plan_secs:.1f}s"
+    got = scored.limit(5).collect()
+    assert all(0 <= r["cid"] < n_cent for r in got)
