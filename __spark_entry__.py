@@ -1517,6 +1517,33 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_stream_event_counts_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state production shape (VERDICT r2 next #5): append mode +
+    parquet sink — only watermark-closed windows are emitted and state is
+    evicted.  Oracle = the batch aggregation restricted to windows whose
+    end precedes the final watermark (max event time − 2 h)."""
+    import shutil
+
+    from engine.spark import streaming
+
+    src = tempfile.mkdtemp(prefix="stream_ap_src_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/part-0.parquet")
+    ckpt = tempfile.mkdtemp(prefix="stream_ap_ckpt_")
+    outp = tempfile.mkdtemp(prefix="stream_ap_out_")
+    shutil.rmtree(outp)  # the sink wants to create it
+    return streaming.stream_event_window_counts_append(spark, src, ckpt, outp)
+
+
+SQL_STREAM_EVENT_COUNTS_APPEND = """
+WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events)
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+FROM events GROUP BY 1, 2
+HAVING window_start + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+"""
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup (dropDuplicatesWithinWatermark, bounded
     state): emits the distinct (user_id, event_type) key set — the
@@ -1651,6 +1678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "thumbnail": q_thumbnail,
         "stream_event_counts": q_stream_event_counts,
+        "stream_event_counts_append": q_stream_event_counts_append,
         "stream_dedup": q_stream_dedup,
         "stream_extract": q_stream_extract,
         "stream_sessionize": q_stream_sessionize,
@@ -1694,6 +1722,7 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": SQL_FRAME_SAMPLE,
         "thumbnail": SQL_THUMBNAIL,
         "stream_event_counts": SQL_STREAM_EVENT_COUNTS,
+        "stream_event_counts_append": SQL_STREAM_EVENT_COUNTS_APPEND,
         "stream_dedup": SQL_STREAM_DEDUP,
         "stream_extract": SQL_EXTRACT_MARKDOWN,
         "stream_sessionize": SQL_STREAM_SESSIONIZE,

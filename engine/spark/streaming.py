@@ -71,6 +71,60 @@ def stream_event_window_counts(
     return spark.table(sink_table)
 
 
+def stream_event_window_counts_append(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    output_path: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The PRODUCTION shape of the windowed aggregation: ``append``
+    output mode + file (parquet) sink.  Unlike the complete-mode memory
+    sink (:func:`stream_event_window_counts` — fine as a test harness),
+    state here is BOUNDED: a window is held only until the watermark
+    passes its end, then emitted once and evicted — the only shape that
+    survives an unbounded firehose.
+
+    Emission contract (the DuckDB oracle mirrors it): exactly the
+    windows with ``window_end <= max(event_time) - watermark_delay``
+    are in the sink when an availableNow run terminates; the trailing
+    still-open windows stay in state for the next incremental run
+    (same checkpoint), which is the streaming twin of the batch
+    lineage/resume semantics."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    src = reader.load(events_path)
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(output_path)
+
+
 def stream_dedup_keys(
     spark: SparkSession,
     events_path: str,

@@ -609,3 +609,52 @@ def test_ann_params_plan_bounded(spark):
     assert plan_secs < 30, f"planning took {plan_secs:.1f}s"
     got = scored.limit(5).collect()
     assert all(0 <= r["cid"] < n_cent for r in got)
+
+
+def test_stream_append_window_counts_multibatch(spark, tmp_path):
+    """Append-mode (bounded state) windowed aggregation: chunked
+    micro-batches must emit each closed window EXACTLY once, and the
+    final emitted set equals the batch aggregation restricted to
+    watermark-closed windows (end <= max_ts - delay)."""
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    med = e.approxQuantile("event_id", [0.5], 0.0)[0]
+    src_dir = tmp_path / "ap_events"
+    src_dir.mkdir()
+    # two time-ordered files → cross-batch watermark progression
+    e.filter(F.col("event_id") <= med).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src_dir / "a"))
+    e.filter(F.col("event_id") > med).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src_dir / "b"))
+    import glob
+    import shutil
+
+    for i, f in enumerate(sorted(glob.glob(str(src_dir / "*" / "*.parquet")))):
+        shutil.copy(f, src_dir / f"part-{i}.parquet")
+    shutil.rmtree(src_dir / "a")
+    shutil.rmtree(src_dir / "b")
+
+    out = str(tmp_path / "ap_out")
+    got = streaming.stream_event_window_counts_append(
+        spark, str(src_dir), str(tmp_path / "ap_ckpt"), out,
+        max_files_per_trigger=1,
+    ).toPandas()
+    # exactly-once emission
+    assert not got.duplicated(["window_start", "event_type"]).any()
+
+    mx = e.agg(F.max("ts")).collect()[0][0]
+    want = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"),
+                     2).alias("sum_value"))
+        .filter(
+            F.col("window_start") + F.expr("INTERVAL 1 HOUR")
+            <= F.lit(mx) - F.expr("INTERVAL 2 HOURS")
+        )
+        .toPandas()
+    )
+    got_s = got.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    want_s = want.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
