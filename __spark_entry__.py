@@ -1426,6 +1426,35 @@ FROM documents
 """
 
 
+def q_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL codec path (VERDICT r2 next #6): deterministic synthetic
+    PNGs (encoder cycles all five scanline filters) are decoded by the
+    pure-stdlib PNG decoder inside the Arrow feature batches.  The
+    oracle re-derives width/height AND the decoded-pixel byte sum from
+    the generation formula — so header parse, zlib inflate, and all
+    de-filter arithmetic sit under the hard cross-engine signal."""
+    media = multimodal.png_media_from_documents(_t(spark, sf_dir, "documents"))
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id", "width", "height",
+        F.col("checksum").alias("pixel_sum"),
+    )
+
+
+SQL_PNG_FEATURES = """
+SELECT doc_id AS media_id,
+       (doc_id % 16 + 1)::INTEGER AS width,
+       (doc_id % 12 + 1)::INTEGER AS height,
+       list_sum(
+         list_transform(
+           range((doc_id % 16 + 1) * (doc_id % 12 + 1)),
+           i -> (doc_id * 7 + i) % 256
+         )
+       )::BIGINT AS pixel_sum
+FROM documents
+"""
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame-sampling fan-out (row-expanding posexplode +
     binary byte slicing, zero Python) — frame payloads compared as hex."""
@@ -1675,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": q_ivf_ann,
         "embedding_dupes": q_embedding_dupes,
         "multimodal_features": q_multimodal_features,
+        "png_features": q_png_features,
         "frame_sample": q_frame_sample,
         "thumbnail": q_thumbnail,
         "stream_event_counts": q_stream_event_counts,
@@ -1719,6 +1749,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_pairs": SQL_NGRAM_PAIRS,
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
+        "png_features": SQL_PNG_FEATURES,
         "frame_sample": SQL_FRAME_SAMPLE,
         "thumbnail": SQL_THUMBNAIL,
         "stream_event_counts": SQL_STREAM_EVENT_COUNTS,

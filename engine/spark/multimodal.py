@@ -61,23 +61,212 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_stub(payload: bytes, mime: str):  # pragma: no cover - stub
-    """Real codec entry point — requires PIL/ffmpeg, absent in sandbox."""
+def png_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic PNG media table (fixtures for the real
+    codec path): one grayscale PNG per document, dimensions and pixels
+    pure functions of doc_id, so a SQL oracle can re-derive the decoded
+    width/height/pixel-sum from first principles.
+
+        width  = doc_id % 16 + 1
+        height = doc_id % 12 + 1
+        pixel[i] = (doc_id * 7 + i) % 256
+    """
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for did in ids:
+                w = int(did) % 16 + 1
+                h = int(did) % 12 + 1
+                px = bytes((int(did) * 7 + i) % 256 for i in range(w * h))
+                payloads.append(encode_png_gray(w, h, px))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "image",
+                    "mime": "image/png",
+                    "payload": payloads,
+                    "meta": [{"codec": "png"}] * len(ids),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def decode_stub(payload: bytes, mime: str):
+    """Codec dispatch.  PNG is REAL (pure-stdlib zlib path below); other
+    formats require PIL/ffmpeg, absent in this sandbox — wire them here
+    in production."""
+    if payload[: len(PNG_SIG)] == PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
-        "media decoding requires image/audio libraries not present in this "
-        "environment; wire PIL/torchaudio/ffmpeg here in production"
+        "non-PNG media decoding requires image/audio libraries not present "
+        "in this environment; wire PIL/torchaudio/ffmpeg here in production"
     )
 
 
-def _fake_feature_batches(
+# ------------------------------------------------------------ real PNG codec
+# One honest codec with zero new deps: PNG is zlib-deflate + per-scanline
+# byte filters, both expressible with the stdlib.  The encoder exists for
+# deterministic fixtures; the decoder is the production-shaped path that
+# runs inside the Arrow feature-extraction batches.
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png_gray(width: int, height: int, pixels: bytes) -> bytes:
+    """Minimal 8-bit grayscale PNG encoder (fixtures only).  Rows cycle
+    through ALL five scanline filter types (None/Sub/Up/Average/Paeth),
+    so a round-trip exercises every de-filter branch of the decoder."""
+    import struct
+
+    if len(pixels) != width * height:
+        raise ValueError("pixels must be width*height bytes")
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = bytearray()
+    prev = bytes(width)
+    for y in range(height):
+        line = pixels[y * width : (y + 1) * width]
+        f = y % 5
+        raw.append(f)
+        for i in range(width):
+            a = line[i - 1] if i >= 1 else 0
+            b = prev[i]
+            c = prev[i - 1] if i >= 1 else 0
+            if f == 0:
+                enc = line[i]
+            elif f == 1:
+                enc = line[i] - a
+            elif f == 2:
+                enc = line[i] - b
+            elif f == 3:
+                enc = line[i] - (a + b) // 2
+            else:
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc = line[i] - pr
+            raw.append(enc & 0xFF)
+        prev = line
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """Real PNG decode, stdlib only: chunk walk with CRC verification,
+    IHDR parse, zlib inflate, all five scanline de-filters.  Returns
+    width/height/bit_depth/color_type plus two checksums over the
+    reconstructed RAW PIXELS: crc32 and the plain byte sum (the latter
+    is re-derivable in ANSI SQL, putting the de-filter arithmetic under
+    the cross-engine oracle)."""
+    import struct
+
+    if payload[: len(PNG_SIG)] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = len(PNG_SIG)
+    width = height = bit_depth = color_type = None
+    idat = bytearray()
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in chunk {tag!r}")
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type = struct.unpack(
+                ">IIBB", data[:10]
+            )
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if width is None:
+        raise ValueError("missing IHDR")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    if bit_depth != 8:
+        raise ValueError("only 8-bit PNGs supported")
+    bpp = channels
+    stride = width * channels
+    raw = zlib.decompress(bytes(idat))
+    out = bytearray()
+    prev = bytearray(stride)
+    p = 0
+    for _ in range(height):
+        f = raw[p]
+        line = bytearray(raw[p + 1 : p + 1 + stride])
+        p += 1 + stride
+        if f == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unknown scanline filter {f}")
+        out += line
+        prev = line
+    return {
+        "width": width,
+        "height": height,
+        "bit_depth": bit_depth,
+        "color_type": color_type,
+        "pixel_crc32": zlib.crc32(bytes(out)) & 0xFFFFFFFF,
+        "pixel_sum": sum(out),
+    }
+
+
+def _feature_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
+    """Per-batch feature extraction.  PNG payloads take the REAL decode
+    path (width/height from IHDR, checksum = byte sum of the decoded
+    raw pixels); other formats keep the deterministic crc32 stand-in —
+    the sandbox has no PIL/ffmpeg for them."""
     for pdf in batches:
         payload = pdf["payload"]
         n_bytes = payload.map(len).astype("int32")
         checksum = payload.map(lambda b: zlib.crc32(bytes(b))).astype("int64")
         width = (checksum % 1920 + 1).astype("int32")
         height = (checksum % 1080 + 1).astype("int32")
+        is_png = payload.map(
+            lambda b: bytes(b)[: len(PNG_SIG)] == PNG_SIG
+        )
+        if is_png.any():
+            decoded = payload[is_png].map(lambda b: decode_png(bytes(b)))
+            width = width.where(
+                ~is_png, decoded.map(lambda d: d["width"]).astype("int32")
+            ).astype("int32")
+            height = height.where(
+                ~is_png, decoded.map(lambda d: d["height"]).astype("int32")
+            ).astype("int32")
+            checksum = checksum.where(
+                ~is_png, decoded.map(lambda d: d["pixel_sum"]).astype("int64")
+            ).astype("int64")
         n_frames = ((checksum % 240) + 1).astype("int32")
         n_frames = n_frames.where(pdf["kind"] == "video", 1).astype("int32")
         yield pd.DataFrame(
@@ -94,12 +283,12 @@ def _fake_feature_batches(
 
 
 def extract_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over the binary column.  With a
-    real codec, swap `_fake_feature_batches` internals for decode +
-    resize/frame-sample; the Spark plumbing (schema, batching,
-    partitioning) is identical."""
+    """Arrow-batched feature extraction over the binary column.  PNG
+    rows decode for real (pure-stdlib codec above); further codecs slot
+    into `_feature_batches` with the same Spark plumbing (schema,
+    batching, partitioning)."""
     return media.select("media_id", "kind", "payload").mapInPandas(
-        _fake_feature_batches, schema=FEATURES_SCHEMA
+        _feature_batches, schema=FEATURES_SCHEMA
     )
 
 

@@ -658,3 +658,61 @@ def test_stream_append_window_counts_multibatch(spark, tmp_path):
     got_s = got.sort_values(["window_start", "event_type"]).reset_index(drop=True)
     want_s = want.sort_values(["window_start", "event_type"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
+
+
+def test_png_roundtrip_all_filters():
+    """Encoder cycles all five scanline filters; the decoder must invert
+    every one (pixel crc32 + sum match the source), and chunk CRCs must
+    be verified (corruption raises)."""
+    from engine.spark import multimodal as mm
+
+    w, h = 13, 9  # ≥5 rows → every filter type exercised
+    px = bytes((i * 31 + 7) % 256 for i in range(w * h))
+    blob = mm.encode_png_gray(w, h, px)
+    d = mm.decode_png(blob)
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["pixel_sum"] == sum(px)
+    import zlib as _z
+
+    assert d["pixel_crc32"] == _z.crc32(px) & 0xFFFFFFFF
+    # flip a byte inside IDAT → CRC check must catch it
+    bad = bytearray(blob)
+    bad[len(blob) // 2] ^= 0xFF
+    with pytest.raises(ValueError):
+        mm.decode_png(bytes(bad))
+
+
+def test_png_header_parseable_in_sql(spark, tmp_path):
+    """The IHDR width/height of the engine's PNG payloads are parseable
+    in plain SQL from the binary (hex-space substring) — demonstrated in
+    DuckDB against the materialized media table."""
+    import duckdb
+
+    from engine.spark import multimodal as mm
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    media = mm.png_media_from_documents(docs)
+    p = str(tmp_path / "png_media.parquet")
+    media.write.mode("overwrite").parquet(p)
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT media_id,
+               ('0x' || substr(hex(payload), 33, 8))::BIGINT AS width,
+               ('0x' || substr(hex(payload), 41, 8))::BIGINT AS height
+        FROM read_parquet('{p}/*.parquet') ORDER BY media_id
+        """
+    ).fetchall()
+    assert rows
+    for media_id, w, h in rows:
+        assert w == media_id % 16 + 1
+        assert h == media_id % 12 + 1
+
+
+def test_decode_stub_dispatch():
+    from engine.spark import multimodal as mm
+
+    blob = mm.encode_png_gray(2, 2, bytes([1, 2, 3, 4]))
+    assert mm.decode_stub(blob, "image/png")["width"] == 2
+    with pytest.raises(NotImplementedError):
+        mm.decode_stub(b"\xff\xd8\xffJPEG-ish", "image/jpeg")
