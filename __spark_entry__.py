@@ -996,6 +996,102 @@ FROM b
 _H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
 
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (Rabin–Karp fold over
+    tokens) next to the md5 whole-document fingerprint.  The fold
+    arithmetic (h·BASE + tok mod M) is re-derived by DuckDB's
+    list_reduce — order-sensitivity and modular arithmetic both under
+    the hard signal."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        etext.fingerprint(F.col("text")).alias("fingerprint_md5"),
+        etext.rolling_fingerprint(F.col("text")).alias("fingerprint_roll"),
+    )
+
+
+SQL_DOC_FINGERPRINTS = rf"""
+WITH norm AS (
+  SELECT doc_id,
+         trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+  FROM documents
+)
+SELECT doc_id,
+       md5(t) AS fingerprint_md5,
+       CASE WHEN length(t) = 0 THEN 0 ELSE
+         list_reduce(
+           list_transform(
+             str_split(t, ' '),
+             w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % {etext.ROLL_MOD}
+           ),
+           (h, tok) -> (h * {etext.ROLL_BASE} + tok) % {etext.ROLL_MOD}
+         )
+       END AS fingerprint_roll
+FROM norm
+"""
+
+
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (sort + linear interpolation) per event type —
+    Spark's `percentile` and DuckDB's `quantile_cont` implement the same
+    type-7 quantile, so values agree to 4 dp."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+SQL_VALUE_QUANTILES = """
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (region → nation → grand total) — the
+    multi-level OLAP shape; one shuffle, partial aggregation per level,
+    NULL indicator rows for the rolled-up levels per ANSI."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue"),
+        )
+    )
+
+
+SQL_REVENUE_ROLLUP = """
+SELECT r_name, n_name, count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+         AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
 def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash train/val/test split (portable md5-prefix
     bucket) — assignment is a pure projection, value-verified per doc."""
@@ -1694,6 +1790,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
+        "doc_fingerprints": q_doc_fingerprints,
+        "value_quantiles": q_value_quantiles,
+        "revenue_rollup": q_revenue_rollup,
         "train_split": q_train_split,
         "dedup_exact": q_dedup_exact,
         "ngram_pairs": q_ngram_pairs,
@@ -1744,6 +1843,9 @@ def oracle_sql() -> dict[str, str]:
         "range_join": SQL_RANGE_JOIN,
         "token_stats": SQL_TOKEN_STATS,
         "quality_scores": SQL_QUALITY_SCORES,
+        "doc_fingerprints": SQL_DOC_FINGERPRINTS,
+        "value_quantiles": SQL_VALUE_QUANTILES,
+        "revenue_rollup": SQL_REVENUE_ROLLUP,
         "train_split": SQL_TRAIN_SPLIT,
         "dedup_exact": SQL_DEDUP_EXACT,
         "ngram_pairs": SQL_NGRAM_PAIRS,

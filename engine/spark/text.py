@@ -77,6 +77,38 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.lower(F.regexp_replace(text, r"\s+", " ")))
 
 
+ROLL_BASE = 1000003
+ROLL_MOD = 2147483647  # 2^31-1: keeps h*BASE + tok inside long range
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Rabin–Karp rolling polynomial fingerprint over whitespace tokens:
+
+        h = fold(tokens, 0, (h, tok) → (h·BASE + hash(tok)) mod MOD)
+
+    Order-sensitive (unlike a bag-of-tokens hash) and incremental — the
+    shape used for shingle fingerprints and content-defined chunking.
+    JVM-side fold (F.aggregate); the token hash is the portable
+    md5-prefix integer, so DuckDB re-derives the identical value with
+    list_reduce and the rolling arithmetic itself sits under the
+    cross-engine oracle."""
+    norm = F.trim(F.lower(F.regexp_replace(text, r"\s+", " ")))
+    toks = F.split(norm, " ")
+    mod = F.lit(ROLL_MOD)
+
+    def tok_hash(w: Column) -> Column:
+        return F.pmod(
+            F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"), mod
+        )
+
+    h = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: F.pmod(acc * ROLL_BASE + tok_hash(w), mod),
+    )
+    return F.when(F.length(norm) == 0, F.lit(0).cast("long")).otherwise(h)
+
+
 def quality_frame(docs: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return docs.select(
