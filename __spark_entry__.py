@@ -1710,6 +1710,57 @@ def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(outp).select("conv_id", "turn_idx", "markdown")
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream range join (trades×quotes, bounded
+    state).  Oracle: the equivalent batch inequality join — with the
+    whole corpus in one availableNow batch nothing is watermark-dropped,
+    so the match set is exact."""
+    import shutil
+
+    from engine.spark import streaming
+
+    src = tempfile.mkdtemp(prefix="ssj_src_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/part-0.parquet")
+    ckpt = tempfile.mkdtemp(prefix="ssj_ckpt_")
+    sink = f"ssj_{uuid.uuid4().hex[:8]}"
+    return streaming.stream_stream_join(spark, src, ckpt, sink_table=sink)
+
+
+SQL_STREAM_STREAM_JOIN = """
+SELECT t.event_id AS trade_id, t.user_id AS t_user, t.ts AS t_ts,
+       q.event_id AS quote_id, q.ts AS q_ts, q.value AS quote_value
+FROM events t JOIN events q
+  ON t.event_id % 17 != 0 AND q.event_id % 17 = 0
+ AND t.user_id = q.user_id
+ AND q.ts BETWEEN t.ts - INTERVAL 1 HOUR AND t.ts
+"""
+
+
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event-type count matrix (explicit value list ⇒
+    deterministic columns, map-side partial aggregation, one shuffle).
+    Oracle: conditional aggregation."""
+    e = _t(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, kinds)
+    )
+
+
+SQL_EVENT_TYPE_PIVOT = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')    AS click,
+       count(*) FILTER (WHERE event_type = 'error')    AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS view
+FROM events GROUP BY user_id
+"""
+
+
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming op (applyInPandasWithState session
     windows).  Emitted = completed sessions; each user's trailing open
@@ -1811,6 +1862,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "stream_extract": q_stream_extract,
         "stream_sessionize": q_stream_sessionize,
+        "stream_stream_join": q_stream_stream_join,
+        "event_type_pivot": q_event_type_pivot,
     }
 
 
@@ -1859,6 +1912,8 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup": SQL_STREAM_DEDUP,
         "stream_extract": SQL_EXTRACT_MARKDOWN,
         "stream_sessionize": SQL_STREAM_SESSIONIZE,
+        "stream_stream_join": SQL_STREAM_STREAM_JOIN,
+        "event_type_pivot": SQL_EVENT_TYPE_PIVOT,
         "extract_spans": SQL_EXTRACT_SPANS,
         "minhash_lsh": SQL_MINHASH_LSH,
         "simhash": SQL_SIMHASH,

@@ -101,6 +101,7 @@ def run_with_resume(
     n_buckets: int = 64,
     force: bool = False,
     spans: bool = False,
+    translate: bool = False,
     run_id: str | None = None,
 ) -> dict[str, int]:
     """Extract turns+docs (+spans) with bucket-granular resume.
@@ -193,6 +194,28 @@ def run_with_resume(
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("part_hash")
                 .parquet(spans_out)
+            )
+
+    if translate:
+        # translated documents (T1 + P4 over the translated pages,
+        # mistralocr_app.py:717) under the same backfill-aware coverage
+        # rule as spans: derived from the COMMITTED turns, per bucket
+        from engine.spark import translate as tmod
+
+        tr_out = os.path.join(output_dir, "docs_translated")
+        have = _partition_buckets(tr_out)
+        backfill = sorted(_partition_buckets(turns_out) - have - set(run_buckets))
+        need = sorted(set(run_buckets) | set(backfill))
+        if need:
+            tr = tmod.translate_turns(
+                committed.filter(F.col("part_hash").isin(need))
+            )
+            td = with_part_hash(tmod.translated_docs(tr), n_buckets)
+            (
+                td.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("part_hash")
+                .parquet(tr_out)
             )
 
     # lineage rows for the buckets processed in this run — collected once

@@ -174,6 +174,70 @@ def stream_dedup_keys(
     return spark.table(sink_table)
 
 
+def stream_stream_join(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    sink_table: str = "stream_joined",
+    lookback: str = "1 hour",
+    state_watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition — the
+    trades×quotes shape as a genuinely streaming operator: each trade
+    matches the quotes of the SAME user within ``lookback`` before it.
+
+    Both sides carry watermarks and the join condition bounds event time
+    on both sides, so Spark derives a state eviction horizon — state is
+    BOUNDED by the lookback + watermark, never the stream's history
+    (the only stream-stream join shape that survives an unbounded
+    firehose; an unconstrained join would accumulate state forever)."""
+    def side():
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .format("parquet")
+            .load(events_path)
+        )
+
+    quotes = (
+        side()
+        .filter(F.col("event_id") % 17 == 0)
+        .select(
+            F.col("user_id").alias("q_user"),
+            F.col("ts").alias("q_ts"),
+            F.col("event_id").alias("quote_id"),
+            F.col("value").alias("quote_value"),
+        )
+        .withWatermark("q_ts", state_watermark)
+    )
+    trades = (
+        side()
+        .filter(F.col("event_id") % 17 != 0)
+        .select(
+            F.col("event_id").alias("trade_id"),
+            F.col("user_id").alias("t_user"),
+            F.col("ts").alias("t_ts"),
+        )
+        .withWatermark("t_ts", state_watermark)
+    )
+    joined = trades.join(
+        quotes,
+        F.expr(
+            f"t_user = q_user AND "
+            f"q_ts BETWEEN t_ts - INTERVAL {lookback} AND t_ts"
+        ),
+    ).select("trade_id", "t_user", "t_ts", "quote_id", "q_ts", "quote_value")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)
+
+
 SESSION_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

@@ -34,6 +34,10 @@ def main(argv: list[str] | None = None) -> int:
                          "(reference's use_existing_checkpoints=False)")
     ap.add_argument("--spans", action="store_true",
                     help="also write the span/block table")
+    ap.add_argument("--translate", action="store_true",
+                    help="also write translated documents (T1 stage; "
+                         "deterministic stand-in translator — swap via "
+                         "translate.translate_turns_udf in production)")
     args = ap.parse_args(argv)
 
     from engine.spark import lineage
@@ -82,6 +86,7 @@ def main(argv: list[str] | None = None) -> int:
         n_buckets=args.buckets,
         force=args.force,
         spans=args.spans,
+        translate=args.translate,
     )
     dt = time.time() - t0
     tps = stats["turns_total"] / dt if dt else 0

@@ -716,3 +716,32 @@ def test_decode_stub_dispatch():
     assert mm.decode_stub(blob, "image/png")["width"] == 2
     with pytest.raises(NotImplementedError):
         mm.decode_stub(b"\xff\xd8\xffJPEG-ish", "image/jpeg")
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream range join == the batch inequality join
+    when the corpus fits the state horizon (single availableNow run)."""
+    src_dir = tmp_path / "ssj_events"
+    src_dir.mkdir()
+    import shutil
+
+    shutil.copy(f"{SF_DIR}/events.parquet", src_dir / "part-0.parquet")
+    got = streaming.stream_stream_join(
+        spark, str(src_dir), str(tmp_path / "ssj_ckpt"),
+        sink_table="t_ssj",
+    ).toPandas()
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    t = e.filter(F.col("event_id") % 17 != 0).select(
+        F.col("event_id").alias("trade_id"), F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"))
+    q = e.filter(F.col("event_id") % 17 == 0).select(
+        F.col("user_id").alias("q_user"), F.col("ts").alias("q_ts"),
+        F.col("event_id").alias("quote_id"), F.col("value").alias("quote_value"))
+    want = t.join(
+        q,
+        F.expr("t_user = q_user AND q_ts BETWEEN t_ts - INTERVAL 1 HOUR AND t_ts"),
+    ).select("trade_id", "t_user", "t_ts", "quote_id", "q_ts", "quote_value").toPandas()
+    key = ["trade_id", "quote_id"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)

@@ -298,3 +298,20 @@ def test_stale_snapshot_buckets_not_folded_in(spark, transcripts_path, tmp_path)
     lin = spark.read.parquet(os.path.join(out, "_lineage"))
     snap_b = lin.filter("input_snapshot_id = 'snap-8b'")
     assert snap_b.filter("part_hash >= 4").count() == 0
+
+
+def test_translate_stage_under_lineage(spark, transcripts_path, tmp_path):
+    """--translate writes per-conversation translated docs under the same
+    backfill-aware lineage coverage as spans: present after a fresh run,
+    and backfilled when requested on an already-completed extraction."""
+    out = str(tmp_path / "out9")
+    df = spark.read.parquet(transcripts_path)
+    lineage.run_with_resume(spark, df, out, snapshot_id="snap-9", n_buckets=8)
+    # completed run; now ask for translated docs (backfill path)
+    r = lineage.run_with_resume(spark, df, out, snapshot_id="snap-9",
+                                n_buckets=8, translate=True)
+    assert r["buckets_processed"] == 0
+    td = spark.read.parquet(os.path.join(out, "docs_translated"))
+    assert td.select("conv_id").distinct().count() == N_CONVS
+    row = td.orderBy("conv_id").first()
+    assert "> [translated zh-TW]" in row["markdown"]
