@@ -280,11 +280,6 @@ def main(argv=None) -> int:
     total = round(time.time() - t_total0, 2)
     spark.stop()
 
-    scaling = None
-    if not args.extract_only and not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
-        # after spark.stop(): the legs need the cores to themselves
-        scaling = run_scaling_legs()
-
     out = {
         "metric": "extracted turns/sec (bench corpus) + query suite seconds",
         "value": total,
@@ -299,9 +294,18 @@ def main(argv=None) -> int:
         "md_bytes": ext["md_bytes"],
         "n_images": ext["n_images"],
     }
-    if scaling is not None:
-        out["scaling"] = scaling
-    print(json.dumps(out))
+    # print the suite results NOW (flush) so a harness timeout during the
+    # scaling legs can never lose them; re-print enriched after the legs
+    # (consumers take the last JSON line)
+    print(json.dumps(out), flush=True)
+
+    if not args.extract_only and not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
+        try:
+            # after spark.stop(): the legs need the cores to themselves
+            out["scaling"] = run_scaling_legs()
+        except Exception as e:  # a failed leg must not void the suite
+            out["scaling"] = {"error": str(e)[:200]}
+        print(json.dumps(out), flush=True)
     return 0
 
 
