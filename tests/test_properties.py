@@ -70,3 +70,24 @@ def test_extraction_idempotent_on_markdown(text):
     out = oracle.extract_markdown(text)
     if oracle.detect_kind(out) == "markdown":
         assert oracle.extract_markdown(out) == out
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_png_roundtrip_random(w, h, seed):
+    """encode→decode is the identity on dims and pixel checksums for
+    arbitrary sizes (every scanline filter mix, odd strides, 1×1)."""
+    import zlib as _z
+
+    from engine.spark import multimodal as mm
+
+    rnd = (seed * 2654435761 + 12345) % (2**32)
+    px = bytes((rnd >> (i % 24) & 0xFF) ^ (i * 37 % 256) for i in range(w * h))
+    d = mm.decode_png(mm.encode_png_gray(w, h, px))
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["pixel_sum"] == sum(px)
+    assert d["pixel_crc32"] == _z.crc32(px) & 0xFFFFFFFF
