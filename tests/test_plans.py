@@ -238,3 +238,36 @@ def test_q3_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)]" in plan or "EqualTo(c_mktsegment,BUILDING)" in plan, plan
     assert "GreaterThan(l_shipdate" in plan, plan
+
+
+def test_pivot_two_staged_aggregations(spark):
+    """PIVOT with an explicit value list = Spark's canonical two-stage
+    aggregation (count by (key, pivot col) → pivotfirst by key), each
+    with map-side partial combine — never a per-value join or repeated
+    scans of the input."""
+    import re as _re
+
+    df = entry_mod.q_event_type_pivot(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Join" not in plan, plan
+    assert "partial_pivotfirst" in plan, plan
+    assert "partial_count" in plan, plan
+    exchanges = _re.findall(r"Exchange hashpartitioning", plan)
+    assert len(exchanges) == 2, plan
+    assert plan.count("FileScan") == 1, plan
+
+
+def test_rollup_broadcasts_dims_single_shuffle(spark):
+    """ROLLUP: dimension tables broadcast (never shuffled), Expand feeds
+    ONE aggregation exchange."""
+    import re as _re
+
+    df = entry_mod.q_revenue_rollup(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Expand" in plan, plan
+    agg_exchanges = _re.findall(r"Exchange hashpartitioning", plan)
+    # customer-orders join may shuffle both fact sides; the rollup agg
+    # itself adds exactly one more
+    assert len(agg_exchanges) <= 3, plan
