@@ -996,6 +996,36 @@ FROM b
 _H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
 
+def q_span_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-level boilerplate classification (link-density + length
+    heuristics) over the extracted span table.  The oracle re-derives
+    the spans via SQL window functions (SQL_EXTRACT_SPANS) AND the
+    density arithmetic — the whole main-content filter is under the
+    hard signal."""
+    turns = pipeline.extract_turns(_docs_as_transcripts(spark, sf_dir))
+    return etext.classify_spans(pipeline.extract_spans(turns))
+
+
+SQL_SPAN_BOILERPLATE = rf"""
+SELECT conv_id, turn_idx, block_idx, block_type,
+       length(text) AS n_chars,
+       CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         round(coalesce(list_sum(list_transform(
+                 regexp_extract_all(text, '\[([^\]]*)\]\([^)]*\)', 0),
+                 x -> length(x))), 0) / length(text), 4)
+       END AS link_density,
+       (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+          round(coalesce(list_sum(list_transform(
+                  regexp_extract_all(text, '\[([^\]]*)\]\([^)]*\)', 0),
+                  x -> length(x))), 0) / length(text), 4)
+        END >= {etext.BOILER_LINK_DENSITY}
+        OR length(text) < {etext.BOILER_MIN_CHARS}) AS is_boilerplate
+FROM (
+""" + SQL_EXTRACT_SPANS + """
+) s
+"""
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprinting (Rabin–Karp fold over
     tokens) next to the md5 whole-document fingerprint.  The fold
@@ -1841,6 +1871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
+        "span_boilerplate": q_span_boilerplate,
         "doc_fingerprints": q_doc_fingerprints,
         "value_quantiles": q_value_quantiles,
         "revenue_rollup": q_revenue_rollup,
@@ -1896,6 +1927,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join": SQL_RANGE_JOIN,
         "token_stats": SQL_TOKEN_STATS,
         "quality_scores": SQL_QUALITY_SCORES,
+        "span_boilerplate": SQL_SPAN_BOILERPLATE,
         "doc_fingerprints": SQL_DOC_FINGERPRINTS,
         "value_quantiles": SQL_VALUE_QUANTILES,
         "revenue_rollup": SQL_REVENUE_ROLLUP,

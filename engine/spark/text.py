@@ -77,6 +77,48 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.lower(F.regexp_replace(text, r"\s+", " ")))
 
 
+# markdown link/image-link text: [text](target)
+LINK_TEXT_RE = r"\[([^\]]*)\]\([^)]*\)"
+
+# block-level boilerplate thresholds (readability/trafilatura-style)
+BOILER_LINK_DENSITY = 0.5
+BOILER_MIN_CHARS = 15
+
+
+def link_density(text: Column) -> Column:
+    """Share of a block's characters that live inside markdown link
+    constructs (the whole ``[text](target)`` span) — the classic
+    boilerplate signal: nav bars and link farms are mostly links, body
+    prose is not."""
+    links = F.regexp_extract_all(text, F.lit(LINK_TEXT_RE), 0)
+    link_chars = F.aggregate(
+        F.transform(links, F.length), F.lit(0), lambda a, b: a + b
+    )
+    n = F.length(text)
+    return F.when(n == 0, F.lit(0.0)).otherwise(F.round(link_chars / n, 4))
+
+
+def classify_spans(spans: DataFrame) -> DataFrame:
+    """Block-level main-content vs boilerplate classification over the
+    span table — pure Catalyst exprs, zero shuffle: a block is
+    boilerplate when it is link-dominated (link_density ≥ 0.5) or too
+    short to carry content (< 15 chars).  Composes with the extraction
+    DAG: extract_spans → classify → filter for the main-content corpus."""
+    ld = link_density(F.col("text"))
+    is_bp = (ld >= BOILER_LINK_DENSITY) | (
+        F.length("text") < BOILER_MIN_CHARS
+    )
+    return spans.select(
+        "conv_id",
+        "turn_idx",
+        "block_idx",
+        "block_type",
+        F.length("text").alias("n_chars"),
+        ld.alias("link_density"),
+        is_bp.alias("is_boilerplate"),
+    )
+
+
 ROLL_BASE = 1000003
 ROLL_MOD = 2147483647  # 2^31-1: keeps h*BASE + tok inside long range
 

@@ -745,3 +745,28 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     got_s = got.sort_values(key).reset_index(drop=True)
     want_s = want.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
+
+
+def test_span_boilerplate_classification(spark):
+    """Link-farm blocks flagged, body prose kept; tiny fragments are
+    boilerplate regardless of links."""
+    from engine.spark import text as etext
+
+    rows = [
+        ("c", 0, 0, "paragraph",
+         "[home](/) [about](/a) [contact](/c) [privacy](/p)"),
+        ("c", 0, 1, "paragraph",
+         "This is a long body paragraph with enough prose to matter and "
+         "a single [reference](https://example.com) inside it."),
+        ("c", 0, 2, "paragraph", "ok"),
+    ]
+    spans = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, block_idx int, "
+              "block_type string, text string"
+    )
+    got = {r["block_idx"]: r for r in etext.classify_spans(spans).collect()}
+    assert got[0]["is_boilerplate"] and got[0]["link_density"] >= 0.5
+    assert not got[1]["is_boilerplate"]
+    assert got[2]["is_boilerplate"]  # too short
+    plan = etext.classify_spans(spans)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure projection
