@@ -1026,6 +1026,37 @@ FROM (
 """
 
 
+def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end main-content extraction: spans -> boilerplate filter ->
+    ordered reassembly into clean per-turn markdown.  Oracle: string_agg
+    over the SQL-re-derived spans with the same density predicate."""
+    turns = pipeline.extract_turns(_docs_as_transcripts(spark, sf_dir))
+    return etext.main_content(pipeline.extract_spans(turns))
+
+
+SQL_MAIN_CONTENT = rf"""
+WITH cls AS (
+  SELECT conv_id, turn_idx, block_idx, text,
+         CASE WHEN length(text) = 0 THEN 0.0 ELSE
+           round(coalesce(list_sum(list_transform(
+                   regexp_extract_all(text, '\[([^\]]*)\]\([^)]*\)', 0),
+                   x -> length(x))), 0) / length(text), 4)
+         END AS ld
+  FROM (
+""" + SQL_EXTRACT_SPANS + f"""
+  ) s
+)
+SELECT conv_id, turn_idx,
+       string_agg(text, chr(10) || chr(10) ORDER BY block_idx)
+         AS main_markdown,
+       count(*) AS n_blocks_kept
+FROM cls
+WHERE NOT (ld >= {etext.BOILER_LINK_DENSITY}
+           OR length(text) < {etext.BOILER_MIN_CHARS})
+GROUP BY conv_id, turn_idx
+"""
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprinting (Rabin–Karp fold over
     tokens) next to the md5 whole-document fingerprint.  The fold
@@ -1872,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "span_boilerplate": q_span_boilerplate,
+        "main_content": q_main_content,
         "doc_fingerprints": q_doc_fingerprints,
         "value_quantiles": q_value_quantiles,
         "revenue_rollup": q_revenue_rollup,
@@ -1928,6 +1960,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": SQL_TOKEN_STATS,
         "quality_scores": SQL_QUALITY_SCORES,
         "span_boilerplate": SQL_SPAN_BOILERPLATE,
+        "main_content": SQL_MAIN_CONTENT,
         "doc_fingerprints": SQL_DOC_FINGERPRINTS,
         "value_quantiles": SQL_VALUE_QUANTILES,
         "revenue_rollup": SQL_REVENUE_ROLLUP,

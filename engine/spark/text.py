@@ -119,6 +119,24 @@ def classify_spans(spans: DataFrame) -> DataFrame:
     )
 
 
+def main_content(spans: DataFrame) -> DataFrame:
+    """End-to-end main-content extraction: drop boilerplate blocks and
+    reassemble the surviving blocks into clean per-turn markdown
+    (ordered by block_idx, joined with blank lines).  One grouped
+    aggregation — the same ordered-concat shape as document assembly."""
+    ld = link_density(F.col("text"))
+    is_bp = (ld >= BOILER_LINK_DENSITY) | (F.length("text") < BOILER_MIN_CHARS)
+    keep = spans.filter(~is_bp)
+    pairs = F.collect_list(F.struct("block_idx", "text"))
+    joined = F.array_join(
+        F.transform(F.array_sort(pairs), lambda s: s["text"]), "\n\n"
+    )
+    return keep.groupBy("conv_id", "turn_idx").agg(
+        joined.alias("main_markdown"),
+        F.count("*").alias("n_blocks_kept"),
+    )
+
+
 ROLL_BASE = 1000003
 ROLL_MOD = 2147483647  # 2^31-1: keeps h*BASE + tok inside long range
 

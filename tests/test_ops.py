@@ -770,3 +770,32 @@ def test_span_boilerplate_classification(spark):
     assert got[2]["is_boilerplate"]  # too short
     plan = etext.classify_spans(spans)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure projection
+
+
+def test_stream_sessionize_tws_matches_classic(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas sessionizer must emit exactly
+    what the applyInPandasWithState twin emits (same oracle semantics).
+    Environment-gated: the transformWithState state protocol needs
+    google.protobuf, which this sandbox lacks."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state server requires protobuf "
+               "(absent in this container; installs disallowed)",
+    )
+    import shutil
+
+    src_dir = tmp_path / "tws_events"
+    src_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src_dir / "part-0.parquet")
+    tws = streaming.stream_sessionize_tws(
+        spark, str(src_dir), str(tmp_path / "tws_ckpt"), sink_table="t_tws"
+    ).toPandas()
+    classic = streaming.stream_sessionize(
+        spark, str(src_dir), str(tmp_path / "cls_ckpt"), sink_table="t_cls"
+    ).toPandas()
+    key = ["user_id", "session_start"]
+    pd.testing.assert_frame_equal(
+        tws.sort_values(key).reset_index(drop=True),
+        classic.sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
