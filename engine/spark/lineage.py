@@ -38,6 +38,8 @@ LINEAGE_COLS = [
     "turn_count",
     "conv_count",
     "image_count",
+    "bucket_sig",
+    "ts",
     "status",
 ]
 
@@ -59,7 +61,10 @@ def read_lineage(spark: SparkSession, output_dir: str) -> DataFrame | None:
     if not os.path.exists(path):
         return None
     try:
-        return spark.read.parquet(path)
+        # mergeSchema: lineage files written by older engine versions may
+        # lack newer columns (bucket_sig, ts) — union the footers so they
+        # surface as nulls instead of being silently dropped
+        return spark.read.option("mergeSchema", "true").parquet(path)
     except Exception:
         return None
 
@@ -102,6 +107,7 @@ def run_with_resume(
     force: bool = False,
     spans: bool = False,
     translate: bool = False,
+    detect_changes: bool = False,
     run_id: str | None = None,
 ) -> dict[str, int]:
     """Extract turns+docs (+spans) with bucket-granular resume.
@@ -110,18 +116,62 @@ def run_with_resume(
     was already done — the reference's 'checkpoint found, skipping'
     path, mistralocr_app.py:585-587).
 
+    ``detect_changes=True`` switches resume from snapshot-id equality to
+    CONTENT equality (incremental recompute): each lineage row stores a
+    ``bucket_sig`` — an order-independent bit_xor of per-row
+    xxhash64(conv_id, turn_idx, text) — and a bucket is skipped iff its
+    current input signature equals the signature of its latest completed
+    run.  Editing one conversation reprocesses exactly its bucket; a new
+    snapshot id with identical content reprocesses nothing.  Costs one
+    extra pass over the input's (conv_id, turn_idx, text) columns — the
+    price of change detection, paid instead of re-extracting everything.
+
     Concurrency: each run stamps its lineage rows with a ``run_id``, so
     two drivers racing on the same snapshot at worst double-mark a
     bucket 'done' with identical counts — ``turns_total`` aggregates
     ``max(turn_count)`` per bucket, which is exact under that race (the
     writes themselves are idempotent dynamic partition overwrites)."""
+    import time
+
     run_id = run_id or uuid.uuid4().hex
     src = with_part_hash(transcripts, n_buckets)
 
-    done = None if force else done_buckets(spark, output_dir, snapshot_id)
-    if done is not None:
-        # broadcast anti-join: the done-set is ≤ n_buckets rows
-        src = src.join(F.broadcast(done), "part_hash", "left_anti")
+    def _sig_agg(df: DataFrame) -> dict[int, int]:
+        rows = df.groupBy("part_hash").agg(
+            F.bit_xor(F.xxhash64("conv_id", "turn_idx", "text")).alias("sig")
+        ).collect()
+        return {int(r["part_hash"]): int(r["sig"]) for r in rows}
+
+    cur_sigs: dict[int, int] | None = None
+    if force:
+        pass  # process every bucket present in the input
+    elif detect_changes:
+        # one column-pruned pass over the whole input → ≤ n_buckets sigs
+        cur_sigs = _sig_agg(src)
+        stored: dict[int, int] = {}
+        lin0 = read_lineage(spark, output_dir)
+        if lin0 is not None and "bucket_sig" in lin0.columns:
+            for r in (
+                lin0.filter(
+                    (F.col("status") == "done")
+                    & F.col("bucket_sig").isNotNull()
+                    & F.col("ts").isNotNull()
+                )
+                .groupBy("part_hash")
+                .agg(F.max_by("bucket_sig", "ts").alias("sig"))
+                .collect()
+            ):
+                stored[int(r["part_hash"])] = int(r["sig"])
+        unchanged = [
+            b for b, s in cur_sigs.items() if stored.get(b) == s
+        ]
+        if unchanged:
+            src = src.filter(~F.col("part_hash").isin(unchanged))
+    else:
+        done = done_buckets(spark, output_dir, snapshot_id)
+        if done is not None:
+            # broadcast anti-join: the done-set is ≤ n_buckets rows
+            src = src.join(F.broadcast(done), "part_hash", "left_anti")
 
     # The bucket set THIS run processes — a column-pruned key scan that
     # partial-aggregates to ≤ n_buckets values.  Needed to scope the
@@ -129,9 +179,12 @@ def run_with_resume(
     # snapshots, partitions left by an older snapshot (buckets absent
     # from the current input) must not fold into this run's docs or
     # lineage rows.
-    run_buckets = sorted(
-        r["part_hash"] for r in src.select("part_hash").distinct().collect()
-    )
+    if cur_sigs is not None:
+        run_buckets = sorted(set(cur_sigs) - set(unchanged))
+    else:
+        run_buckets = sorted(
+            r["part_hash"] for r in src.select("part_hash").distinct().collect()
+        )
 
     turns_out = os.path.join(output_dir, "turns")
     if run_buckets:
@@ -219,7 +272,13 @@ def run_with_resume(
             )
 
     # lineage rows for the buckets processed in this run — collected once
-    # (≤ n_buckets rows) so the aggregation isn't recomputed for a count
+    # (≤ n_buckets rows) so the aggregation isn't recomputed for a count.
+    # Every row records the bucket's input signature, so any LATER run
+    # can resume by content (detect_changes) regardless of the mode this
+    # run used; in non-detect modes the sig pass covers only the
+    # processed buckets.
+    if run_buckets and cur_sigs is None:
+        cur_sigs = _sig_agg(src)
     metrics = (
         new_turns.groupBy("part_hash")
         .agg(
@@ -227,17 +286,33 @@ def run_with_resume(
             F.countDistinct("conv_id").alias("conv_count"),
             F.sum(F.size("images")).alias("image_count"),
         )
-        .withColumn("input_snapshot_id", F.lit(snapshot_id))
-        .withColumn("run_id", F.lit(run_id))
-        .withColumn("status", F.lit("done"))
-        .select(*LINEAGE_COLS)
+        .collect()
     )
-    rows = metrics.collect()
+    now = float(time.time())
+    rows = [
+        {
+            "input_snapshot_id": snapshot_id,
+            "run_id": run_id,
+            "part_hash": int(m["part_hash"]),
+            "turn_count": int(m["turn_count"]),
+            "conv_count": int(m["conv_count"]),
+            "image_count": int(m["image_count"] or 0),
+            "bucket_sig": (cur_sigs or {}).get(int(m["part_hash"])),
+            "ts": now,
+            "status": "done",
+        }
+        for m in metrics
+    ]
     n_new = len(rows)
     if n_new:
-        spark.createDataFrame(rows, schema=metrics.schema).write.mode(
-            "append"
-        ).parquet(_lineage_path(output_dir))
+        schema = (
+            "input_snapshot_id string, run_id string, part_hash int, "
+            "turn_count long, conv_count long, image_count long, "
+            "bucket_sig long, ts double, status string"
+        )
+        spark.createDataFrame(
+            [tuple(r[c] for c in LINEAGE_COLS) for r in rows], schema=schema
+        ).write.mode("append").parquet(_lineage_path(output_dir))
 
     # total turns from lineage rows (every done bucket of this snapshot
     # has one), NOT a full scan of the committed turns table — at 10^12
@@ -247,6 +322,24 @@ def run_with_resume(
     if lin is None:
         # fresh run over an empty input: nothing written, nothing done
         return {"buckets_processed": 0, "turns_total": 0}
+    if detect_changes:
+        if not cur_sigs:
+            return {"buckets_processed": n_new, "turns_total": 0}
+        # content-addressed mode: the live total is the LATEST completed
+        # count per bucket, over the buckets present in this input
+        n_turns = (
+            lin.filter(
+                (F.col("status") == "done")
+                & F.col("ts").isNotNull()
+                & F.col("part_hash").isin(sorted(cur_sigs or {}))
+            )
+            .groupBy("part_hash")
+            .agg(F.max_by("turn_count", "ts").alias("tc"))
+            .agg(F.sum("tc"))
+            .collect()[0][0]
+            or 0
+        )
+        return {"buckets_processed": n_new, "turns_total": int(n_turns)}
     n_turns = (
         lin.filter(
             (F.col("status") == "done")

@@ -34,6 +34,10 @@ def main(argv: list[str] | None = None) -> int:
                          "(reference's use_existing_checkpoints=False)")
     ap.add_argument("--spans", action="store_true",
                     help="also write the span/block table")
+    ap.add_argument("--detect-changes", action="store_true",
+                    help="resume by CONTENT instead of snapshot id: skip "
+                         "buckets whose input signature matches their last "
+                         "completed run (incremental recompute)")
     ap.add_argument("--translate", action="store_true",
                     help="also write translated documents (T1 stage; "
                          "deterministic stand-in translator — swap via "
@@ -87,6 +91,7 @@ def main(argv: list[str] | None = None) -> int:
         force=args.force,
         spans=args.spans,
         translate=args.translate,
+        detect_changes=args.detect_changes,
     )
     dt = time.time() - t0
     tps = stats["turns_total"] / dt if dt else 0

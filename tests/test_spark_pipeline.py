@@ -315,3 +315,61 @@ def test_translate_stage_under_lineage(spark, transcripts_path, tmp_path):
     assert td.select("conv_id").distinct().count() == N_CONVS
     row = td.orderBy("conv_id").first()
     assert "> [translated zh-TW]" in row["markdown"]
+
+
+def test_detect_changes_incremental(spark, transcripts_pdf, tmp_path):
+    """Content-addressed resume: identical content under a NEW snapshot
+    id reprocesses nothing; editing one conversation reprocesses exactly
+    that conversation's bucket, and the committed output reflects the
+    edit."""
+    out = str(tmp_path / "outA")
+    p1 = str(tmp_path / "in1.parquet")
+    transcripts_pdf.to_parquet(p1, index=False)
+    df1 = spark.read.parquet(p1)
+    r1 = lineage.run_with_resume(spark, df1, out, snapshot_id="s1",
+                                 n_buckets=8, detect_changes=True)
+    assert r1["buckets_processed"] > 0
+    assert r1["turns_total"] == len(transcripts_pdf)
+
+    # same content, different snapshot id → nothing to do
+    r2 = lineage.run_with_resume(spark, df1, out, snapshot_id="s2",
+                                 n_buckets=8, detect_changes=True)
+    assert r2["buckets_processed"] == 0
+    assert r2["turns_total"] == len(transcripts_pdf)
+
+    # edit ONE conversation
+    edited = transcripts_pdf.copy()
+    victim = edited["conv_id"].iloc[0]
+    mask = (edited["conv_id"] == victim) & (edited["turn_idx"] == 0)
+    edited.loc[mask, "text"] = "# EDITED HEADLINE\n\nnew body text here"
+    p2 = str(tmp_path / "in2.parquet")
+    edited.to_parquet(p2, index=False)
+    df2 = spark.read.parquet(p2)
+
+    victim_bucket = (
+        lineage.with_part_hash(df2.filter(F.col("conv_id") == victim), 8)
+        .select("part_hash").first()["part_hash"]
+    )
+    n_victim_bucket = (
+        lineage.with_part_hash(df2, 8)
+        .filter(F.col("part_hash") == victim_bucket).count()
+    )
+    r3 = lineage.run_with_resume(spark, df2, out, snapshot_id="s3",
+                                 n_buckets=8, detect_changes=True)
+    assert r3["buckets_processed"] == 1
+    assert r3["turns_total"] == len(transcripts_pdf)
+
+    turns = spark.read.parquet(os.path.join(out, "turns"))
+    got = turns.filter(
+        (F.col("conv_id") == victim) & (F.col("turn_idx") == 0)
+    ).first()
+    assert got["markdown"].startswith("# EDITED HEADLINE")
+    # untouched buckets were not rewritten; total row count intact
+    assert turns.count() == len(transcripts_pdf)
+    # lineage recorded the victim bucket's new signature
+    lin = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "_lineage"))
+    sigs = (lin.filter(F.col("part_hash") == victim_bucket)
+            .select("bucket_sig").distinct().count())
+    assert sigs == 2  # old content sig + new content sig
+    _ = n_victim_bucket  # bucket size sanity (≥ 1 victim conv)
