@@ -98,6 +98,75 @@ def _partition_buckets(path: str) -> set[int]:
     return out
 
 
+def changed_buckets_since(
+    spark: SparkSession, output_dir: str, since_ts: float
+) -> list[int]:
+    """Buckets whose latest completed run finished after ``since_ts`` —
+    the CDC cursor for downstream consumers: re-index / re-dedup only
+    what a later run actually rewrote.  Driver-side list (≤ n_buckets)."""
+    lin = read_lineage(spark, output_dir)
+    if lin is None or "ts" not in lin.columns:
+        return []
+    rows = (
+        lin.filter((F.col("status") == "done") & F.col("ts").isNotNull())
+        .groupBy("part_hash")
+        .agg(F.max("ts").alias("last_ts"))
+        .filter(F.col("last_ts") > since_ts)
+        .collect()
+    )
+    return sorted(int(r["part_hash"]) for r in rows)
+
+
+def read_turns_since(
+    spark: SparkSession, output_dir: str, since_ts: float
+) -> DataFrame:
+    """The committed turns of every bucket rewritten after ``since_ts``
+    — partition-pruned scan (the part_hash filter prunes directories),
+    so an incremental consumer touches only changed data."""
+    turns_out = os.path.join(output_dir, "turns")
+    buckets = changed_buckets_since(spark, output_dir, since_ts)
+    df = spark.read.parquet(turns_out)
+    if not buckets:
+        return df.filter(F.lit(False))
+    return df.filter(F.col("part_hash").isin(buckets))
+
+
+def compact_turns(
+    spark: SparkSession,
+    output_dir: str,
+) -> dict[str, int]:
+    """Small-file compaction of the committed turns table — the routine
+    maintenance op a long-lived 10^12-turn table needs: the extraction
+    write fans each map task out across every bucket it touches, so a
+    bucket partition accumulates up to one file per task per run and
+    readers degrade as file counts grow.  Bucket-preserving rewrite:
+    ``repartition("part_hash")`` puts each bucket on exactly one task
+    (parallelism = #buckets) so every partition lands as one file;
+    dynamic overwrite stages the rewrite before swapping, which also
+    makes the read-rewrite-same-path cycle safe; row content is
+    untouched (tested).  The Iceberg analog is rewrite_data_files."""
+    turns_out = os.path.join(output_dir, "turns")
+
+    def _count_files() -> int:
+        return sum(
+            1
+            for _, _, files in os.walk(turns_out)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    before = _count_files()
+    df = spark.read.parquet(turns_out)
+    (
+        df.repartition("part_hash")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part_hash")
+        .parquet(turns_out)
+    )
+    return {"files_before": before, "files_after": _count_files()}
+
+
 def run_with_resume(
     spark: SparkSession,
     transcripts: DataFrame,

@@ -373,3 +373,73 @@ def test_detect_changes_incremental(spark, transcripts_pdf, tmp_path):
             .select("bucket_sig").distinct().count())
     assert sigs == 2  # old content sig + new content sig
     _ = n_victim_bucket  # bucket size sanity (≥ 1 victim conv)
+
+
+def test_cdc_read_and_compaction(spark, transcripts_pdf, tmp_path):
+    """Incremental-consumption surface: changed_buckets_since returns
+    exactly the buckets a later run rewrote (partition-pruned read),
+    and compact_turns collapses multi-file bucket partitions to one
+    file each without changing a byte of content."""
+    import time as _time
+
+    out = str(tmp_path / "outC")
+    # multi-partition input → the extraction write leaves several files
+    # per bucket partition (one per task per bucket)
+    df = spark.read.parquet(
+        transcripts_pdf.pipe(_write_parts, tmp_path)
+    )
+    lineage.run_with_resume(spark, df, out, snapshot_id="c1", n_buckets=4,
+                            detect_changes=True)
+    cursor = _time.time()
+
+    # no change → no CDC output
+    assert lineage.changed_buckets_since(spark, out, cursor) == []
+    assert lineage.read_turns_since(spark, out, cursor).count() == 0
+
+    # edit one conversation → its bucket (only) shows up after the cursor
+    edited = transcripts_pdf.copy()
+    victim = edited["conv_id"].iloc[0]
+    mask = (edited["conv_id"] == victim) & (edited["turn_idx"] == 0)
+    edited.loc[mask, "text"] = "changed body"
+    p2 = str(tmp_path / "cdc2.parquet")
+    edited.to_parquet(p2, index=False)
+    lineage.run_with_resume(spark, spark.read.parquet(p2), out,
+                            snapshot_id="c2", n_buckets=4,
+                            detect_changes=True)
+    changed = lineage.changed_buckets_since(spark, out, cursor)
+    vb = (
+        lineage.with_part_hash(
+            spark.read.parquet(p2).filter(F.col("conv_id") == victim), 4)
+        .select("part_hash").first()["part_hash"]
+    )
+    assert changed == [vb]
+    delta = lineage.read_turns_since(spark, out, cursor)
+    assert delta.select("part_hash").distinct().collect()[0][0] == vb
+
+    # compaction: byte-identical content, fewer (or equal) files, ≤ 1
+    # file per bucket after
+    pre = (
+        spark.read.parquet(os.path.join(out, "turns"))
+        .orderBy("conv_id", "turn_idx").toPandas()
+    )
+    r = lineage.compact_turns(spark, out)
+    assert r["files_after"] <= r["files_before"]
+    buckets = len(lineage._partition_buckets(os.path.join(out, "turns")))
+    assert r["files_after"] == buckets
+    post = (
+        spark.read.parquet(os.path.join(out, "turns"))
+        .orderBy("conv_id", "turn_idx").toPandas()
+    )
+    pd.testing.assert_frame_equal(pre, post)
+
+
+def _write_parts(pdf, tmp_path):
+    """Write the fixture as 4 separate parquet files (4 input tasks)."""
+    d = str(tmp_path / "multi_in")
+    os.makedirs(d, exist_ok=True)
+    n = len(pdf) // 4 + 1
+    for i in range(4):
+        chunk = pdf.iloc[i * n:(i + 1) * n]
+        if len(chunk):
+            chunk.to_parquet(os.path.join(d, f"part-{i}.parquet"), index=False)
+    return d
