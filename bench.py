@@ -274,6 +274,14 @@ RELATIONAL = [
     "doc_assembly",
     "asof_join",
     "range_join",
+    # round-3 additions (keys are additive; the r1/r2 keys above are the
+    # frozen cross-round comparison set)
+    "revenue_rollup",
+    "value_quantiles",
+    "event_type_pivot",
+    "doc_fingerprints",
+    "span_boilerplate",
+    "main_content",
 ]
 
 
