@@ -443,3 +443,27 @@ def _write_parts(pdf, tmp_path):
         if len(chunk):
             chunk.to_parquet(os.path.join(d, f"part-{i}.parquet"), index=False)
     return d
+
+
+def test_input_robustness_nulls_and_schema_drift(spark):
+    """Real transcript tables drift: null text rows must flow through as
+    empty markdown (not crash the Arrow batch), and extra columns /
+    missing optional columns (role/tool/ts) must be ignored — the
+    pipeline contracts only on (conv_id, turn_idx, text)."""
+    rows = [
+        ("c1", 0, "# Title\n\nbody", "user", "extra"),
+        ("c1", 1, None, "assistant", "extra"),
+        ("c2", 0, "", None, "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, role string, "
+              "unexpected_col string"
+    )
+    out = pipeline.extract_turns(df).orderBy("conv_id", "turn_idx").collect()
+    assert len(out) == 3
+    assert out[0]["markdown"].startswith("# Title")
+    assert out[1]["markdown"] == ""   # null text → empty markdown
+    assert out[2]["markdown"] == ""
+    # docs still assemble (empty turns contribute empty segments)
+    docs = pipeline.extract_docs(pipeline.extract_turns(df))
+    assert docs.count() == 2
