@@ -1092,6 +1092,24 @@ FROM norm
 """
 
 
+def q_user_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: purchasers ∩ clickers ∖ error-affected users.
+    Spark plans INTERSECT/EXCEPT as LeftSemi/LeftAnti over aggregated
+    keys — one shuffle each, no distinct-then-join detour."""
+    e = _t(spark, sf_dir, "events")
+    u = lambda t: e.filter(F.col("event_type") == t).select("user_id")
+    return u("purchase").intersect(u("click")).subtract(u("error"))
+
+
+SQL_USER_SETOPS = """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error'
+"""
+
+
 def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (sort + linear interpolation) per event type —
     Spark's `percentile` and DuckDB's `quantile_cont` implement the same
@@ -1906,6 +1924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content": q_main_content,
         "doc_fingerprints": q_doc_fingerprints,
         "value_quantiles": q_value_quantiles,
+        "user_setops": q_user_setops,
         "revenue_rollup": q_revenue_rollup,
         "train_split": q_train_split,
         "dedup_exact": q_dedup_exact,
@@ -1963,6 +1982,7 @@ def oracle_sql() -> dict[str, str]:
         "main_content": SQL_MAIN_CONTENT,
         "doc_fingerprints": SQL_DOC_FINGERPRINTS,
         "value_quantiles": SQL_VALUE_QUANTILES,
+        "user_setops": SQL_USER_SETOPS,
         "revenue_rollup": SQL_REVENUE_ROLLUP,
         "train_split": SQL_TRAIN_SPLIT,
         "dedup_exact": SQL_DEDUP_EXACT,
