@@ -8,13 +8,18 @@ Replaces the reference's pickle checkpoints
     — a conversation never straddles buckets, so a completed bucket is a
     complete set of documents;
   * after a bucket's output commits, a lineage row
-    (input_snapshot_id, part_hash, turn_count, conv_count, image_count,
-    status) is appended;
+    (input_snapshot_id, run_id, part_hash, turn_count, conv_count,
+    image_count, bucket_sig, ts, status) is appended;
   * on restart, buckets with status='done' for the same input snapshot
-    are skipped (anti-join); outputs are written with dynamic partition
-    overwrite keyed on part_hash, so replays are idempotent — run-twice
-    == run-once (the reference's stage-skip semantics, improved to
-    partition granularity).
+    are skipped (anti-join) — or, with ``detect_changes``, buckets whose
+    CONTENT signature matches their latest completed run (incremental
+    recompute independent of snapshot ids); outputs are written with
+    dynamic partition overwrite keyed on part_hash, so replays are
+    idempotent — run-twice == run-once (the reference's stage-skip
+    semantics, improved to partition granularity);
+  * downstream consumers read deltas via changed_buckets_since /
+    read_turns_since (CDC cursor over lineage timestamps), and
+    compact_turns keeps bucket partitions at one file each.
 
 Parquet + manifest fallback for the sandbox (no Iceberg jar in the
 Spark 4.1.2 install); the writer is a thin adapter so MERGE INTO on an
@@ -421,3 +426,25 @@ def run_with_resume(
         or 0
     )
     return {"buckets_processed": n_new, "turns_total": int(n_turns)}
+
+
+def lineage_summary(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Operational view of the lineage table: one row per bucket with its
+    latest completed run (snapshot, run, counts, signature, timestamp) —
+    the table an operator watches to answer 'what is committed, from
+    which input, and when'."""
+    lin = read_lineage(spark, output_dir)
+    if lin is None:
+        raise FileNotFoundError(f"no lineage under {output_dir}")
+    done = lin.filter(F.col("status") == "done")
+    latest = done.groupBy("part_hash").agg(
+        F.max_by("input_snapshot_id", "ts").alias("snapshot_id"),
+        F.max_by("run_id", "ts").alias("run_id"),
+        F.max_by("turn_count", "ts").alias("turn_count"),
+        F.max_by("conv_count", "ts").alias("conv_count"),
+        F.max_by("image_count", "ts").alias("image_count"),
+        F.max_by("bucket_sig", "ts").alias("bucket_sig"),
+        F.max("ts").alias("completed_ts"),
+        F.count("*").alias("n_runs"),
+    )
+    return latest.orderBy("part_hash")

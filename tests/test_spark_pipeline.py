@@ -467,3 +467,18 @@ def test_input_robustness_nulls_and_schema_drift(spark):
     # docs still assemble (empty turns contribute empty segments)
     docs = pipeline.extract_docs(pipeline.extract_turns(df))
     assert docs.count() == 2
+
+
+def test_lineage_summary(spark, transcripts_path, tmp_path):
+    """One row per bucket with its LATEST completed run; n_runs counts
+    history."""
+    out = str(tmp_path / "outS")
+    df = spark.read.parquet(transcripts_path)
+    lineage.run_with_resume(spark, df, out, snapshot_id="sA", n_buckets=8)
+    lineage.run_with_resume(spark, df, out, snapshot_id="sB", n_buckets=8,
+                            force=True)
+    s = lineage.lineage_summary(spark, out).toPandas()
+    assert (s["snapshot_id"] == "sB").all()      # latest wins
+    assert (s["n_runs"] == 2).all()
+    assert s["turn_count"].sum() == df.count()
+    assert s["bucket_sig"].notna().all()
