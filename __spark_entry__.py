@@ -1884,6 +1884,86 @@ FROM agg a JOIN last l ON a.user_id = l.user_id AND a.sid < l.last_sid
 """
 
 
+def _doubled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup oracles' shared corpus: docs < 200 plus an exact twin
+    of each shifted by +1000000 (same rows as _SQL_DOUBLED_DOCS)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id", "text"
+    )
+    return d.union(d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair graph → connected components (alternating
+    large-star/small-star, engine/spark/dedup.py) → cluster id per doc,
+    singletons keeping their own id.  The DuckDB twin re-derives the
+    same MinHash pair graph and labels components with a recursive-CTE
+    min-label closure — an entirely different algorithm."""
+    dd = _doubled_docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(dd, num_perm=32, bands=16)
+    return dedup.dup_clusters(dd, pairs).orderBy("doc_id")
+
+
+SQL_DUP_CLUSTERS = rf"""
+WITH RECURSIVE pairs AS ({SQL_MINHASH_LSH}),
+d AS ({_SQL_DOUBLED_DOCS}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+-- min-label closure: propagate a label l to node v only while l < v;
+-- the component minimum reaches every member because all intermediate
+-- nodes on a path from the min are larger than it
+reach(n, l) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.n WHERE r.l < e.v
+),
+cc AS (SELECT n AS doc_id, min(l) AS cluster_id FROM reach GROUP BY n)
+SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+FROM d LEFT JOIN cc USING (doc_id)
+"""
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One kept representative per dup cluster (longest text, tie →
+    lowest doc_id) + member count — the keep/drop decision a training
+    pipeline makes after clustering."""
+    dd = _doubled_docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(dd, num_perm=32, bands=16)
+    clusters = dedup.dup_clusters(dd, pairs)
+    return dedup.canonical_docs(dd, clusters).orderBy("cluster_id")
+
+
+SQL_DEDUP_CANONICAL = rf"""
+WITH RECURSIVE pairs AS ({SQL_MINHASH_LSH}),
+d AS ({_SQL_DOUBLED_DOCS}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(n, l) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.n WHERE r.l < e.v
+),
+cc AS (SELECT n AS doc_id, min(l) AS cluster_id FROM reach GROUP BY n),
+assign AS (
+  SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+         length(d.text) AS len
+  FROM d LEFT JOIN cc USING (doc_id)
+),
+ranked AS (
+  SELECT cluster_id, doc_id,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY len DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM assign
+)
+SELECT cluster_id, doc_id AS keep_doc_id, n_members FROM ranked WHERE rn = 1
+"""
+
+
 # -------------------------------------------------------------------- driver
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction pipeline on sf0.001 documents-as-turns."""
@@ -1931,6 +2011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_pairs": q_ngram_pairs,
         "embedding_topk": q_embedding_topk,
         "minhash_lsh": q_minhash_lsh,
+        "dup_clusters": q_dup_clusters,
+        "dedup_canonical": q_dedup_canonical,
         "simhash": q_simhash,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
@@ -2001,6 +2083,8 @@ def oracle_sql() -> dict[str, str]:
         "event_type_pivot": SQL_EVENT_TYPE_PIVOT,
         "extract_spans": SQL_EXTRACT_SPANS,
         "minhash_lsh": SQL_MINHASH_LSH,
+        "dup_clusters": SQL_DUP_CLUSTERS,
+        "dedup_canonical": SQL_DEDUP_CANONICAL,
         "simhash": SQL_SIMHASH,
         "lsh_ann": SQL_LSH_ANN,
         "ivf_ann": SQL_IVF_ANN,

@@ -335,3 +335,147 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+# -------------------------------------------- connected components
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    return edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): for every node u, connect each strictly
+    larger neighbor v to m = min(N(u) ∪ {u}).  One groupBy + one
+    equi-join — never an all-pairs product."""
+    sym = _symmetrize(edges)
+    m = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
+        "u", F.least(F.col("u"), F.col("mn")).alias("m")
+    )
+    return (
+        sym.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient every edge large→small; for each node u
+    connect all (smaller) neighbors and u itself to m = min(N(u) ∪ {u})."""
+    directed = edges.where(F.col("u") != F.col("v")).select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    m = directed.groupBy("u").agg(F.min("v").alias("m"))
+    nbr = (
+        directed.join(m, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    own = m.select("u", F.col("m").alias("v"))
+    return nbr.union(own).where(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph via
+    alternating large-star / small-star — the standard O(log² n)-round
+    MapReduce CC algorithm, so a 10^9-edge dup graph converges in a
+    dozen shuffle rounds instead of O(graph diameter).
+
+    Returns ``(doc_id, cluster_id)`` for every node that appears in
+    ``pairs``; ``cluster_id`` is the minimum doc_id of the component
+    (deterministic).  Each round is bounded work: a groupBy(min) and an
+    equi-join per star op, with ``localCheckpoint`` breaking lineage so
+    the plan stays O(1) per round (on a real cluster prefer
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint`` for
+    fault-tolerant truncation).
+
+    Convergence is detected by an order-insensitive edge-set checksum
+    (count + sum of per-edge xxhash64): the alternating-star fixpoint is
+    exactly the star graph rooted at each component minimum."""
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _chk(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+            ).alias("s"),
+        ).first()
+        return (row["n"], row["s"])
+
+    prev = _chk(edges)
+    for _ in range(max_rounds):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        cur = _chk(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    # At the fixpoint the graph is a star per component: every node's
+    # least(self, min neighbor) is the component minimum.
+    return (
+        _symmetrize(edges)
+        .groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select(
+            F.col("u").alias("doc_id"),
+            F.least(F.col("u"), F.col("mn")).alias("cluster_id"),
+        )
+    )
+
+
+def dup_clusters(
+    docs: DataFrame, pairs: DataFrame, max_rounds: int = 25
+) -> DataFrame:
+    """Cluster assignment for *every* doc: components of the pair graph,
+    singletons keep their own id.  The left join is a plain equi-join on
+    doc_id; the CC result is tiny relative to the corpus (only docs with
+    at least one dup candidate), so AQE broadcasts it in practice."""
+    cc = connected_components(pairs, max_rounds=max_rounds)
+    return (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+    )
+
+
+def canonical_docs(
+    docs: DataFrame,
+    clusters: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """One representative per dup cluster: the longest text, ties broken
+    by lowest doc_id — a single groupBy with map-side partial
+    aggregation (max over a (length, -doc_id) struct), no window sort,
+    so a hot cluster never serialises onto one reducer's sort buffer."""
+    joined = docs.select("doc_id", F.length(F.col(text_col)).alias("len")).join(
+        clusters, "doc_id"
+    )
+    best = F.max(
+        F.struct(F.col("len").alias("len"), (-F.col("doc_id")).alias("neg"))
+    ).alias("best")
+    return (
+        joined.groupBy("cluster_id")
+        .agg(best, F.count("*").alias("n_members"))
+        .select(
+            "cluster_id",
+            (-F.col("best.neg")).alias("keep_doc_id"),
+            "n_members",
+        )
+    )

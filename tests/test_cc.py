@@ -1,0 +1,111 @@
+"""Connected-components dup clustering vs a brute-force union-find.
+
+The alternating large-star/small-star implementation
+(engine/spark/dedup.py) is exercised on one composite graph holding
+every interesting shape at once — a long chain (worst case for naive
+label propagation), a triangle, disjoint pairs, a star, and a seeded
+random graph — and its labels must equal a driver-side union-find.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine.spark import dedup
+from engine.spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(cores=4, shuffle_partitions=8, app="engine-tests")
+    yield s
+    s.stop()
+
+
+def _union_find(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node of the component
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in comp.values() for n in members}
+
+
+def _composite_edges():
+    edges = []
+    # chain 100..110 (multi-hop propagation)
+    edges += [(i, i + 1) for i in range(100, 110)]
+    # triangle
+    edges += [(200, 201), (201, 202), (202, 200)]
+    # disjoint pairs, reversed order
+    edges += [(301, 300), (401, 400)]
+    # star rooted high (min is a leaf)
+    edges += [(500, leaf) for leaf in (510, 511, 512, 499)]
+    # seeded random graph on 560..599
+    rng = random.Random(7)
+    ns = list(range(560, 600))
+    for _ in range(50):
+        a, b = rng.sample(ns, 2)
+        edges.append((a, b))
+    # self-loop and duplicate edge (must be harmless)
+    edges += [(100, 100), (100, 101)]
+    return edges
+
+
+def test_cc_vs_union_find(spark):
+    edges = _composite_edges()
+    df = spark.createDataFrame(edges, "doc_a: long, doc_b: long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(df).collect()
+    }
+    nodes = sorted({n for e in edges for n in e})
+    want = _union_find([e for e in edges if e[0] != e[1]], nodes)
+    assert got == want
+
+
+def test_dup_clusters_includes_singletons(spark):
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(10)], "doc_id: long, text: string"
+    )
+    pairs = spark.createDataFrame([(1, 5), (5, 9)], "doc_a: long, doc_b: long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dup_clusters(docs, pairs).collect()
+    }
+    assert got[1] == got[5] == got[9] == 1
+    for n in (0, 2, 3, 4, 6, 7, 8):
+        assert got[n] == n
+
+
+def test_canonical_docs_tiebreak(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa"),   # longest in cluster 1
+            (2, "bb"),
+            (3, "cccc"),   # same length as doc 1 -> keep lower id 1
+            (7, "zz"),     # singleton
+        ],
+        "doc_id: long, text: string",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7)], "doc_id: long, cluster_id: long"
+    )
+    rows = {
+        r["cluster_id"]: (r["keep_doc_id"], r["n_members"])
+        for r in dedup.canonical_docs(docs, clusters).collect()
+    }
+    assert rows[1] == (1, 3)
+    assert rows[7] == (7, 1)
