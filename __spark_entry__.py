@@ -1964,6 +1964,93 @@ SELECT cluster_id, doc_id AS keep_doc_id, n_members FROM ranked WHERE rn = 1
 """
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per doc by tf-idf (idf = ln(N/df),
+    stopword df-cap at 50% before the term join)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return etext.tfidf_top_terms(d, k=5).orderBy("doc_id", "rank")
+
+
+SQL_TFIDF_TOP_TERMS = r"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+n AS (SELECT count(*) AS n_docs FROM d),
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM d
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok WHERE term != ''
+  GROUP BY 1, 2
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+  HAVING count(*) <= (SELECT floor(0.5 * n_docs)::BIGINT FROM n)
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * ln((SELECT n_docs FROM n)::DOUBLE / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling (the corpus-mixing
+    primitive): hash-gated filter, zero shuffle, engine-portable."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = etext.stratified_sample(
+        d,
+        "lang",
+        {"en": 0.5, "zh": 0.8, "es": 0.25},
+        default_fraction=0.1,
+    )
+    return out.orderBy("doc_id")
+
+
+SQL_STRATIFIED_SAMPLE = rf"""
+WITH u AS (
+  SELECT doc_id, lang,
+         {_H60.format(x="'strat:' || doc_id::VARCHAR")} % 1000000 AS h
+  FROM documents
+)
+SELECT doc_id, lang FROM u
+WHERE (lang = 'en' AND h < 500000)
+   OR (lang = 'zh' AND h < 800000)
+   OR (lang = 'es' AND h < 250000)
+   OR (lang NOT IN ('en', 'zh', 'es') AND h < 100000)
+"""
+
+
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user cardinality per event type (the exact twin of
+    the approx_count_distinct production path, whose 2%-rsd HLL variant
+    is bound-tested in tests/test_sampling.py — sketches can't be
+    hash-matched across engines)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS exact_users,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
 # -------------------------------------------------------------------- driver
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction pipeline on sf0.001 documents-as-turns."""
@@ -2007,6 +2094,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_setops": q_user_setops,
         "revenue_rollup": q_revenue_rollup,
         "train_split": q_train_split,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "stratified_sample": q_stratified_sample,
+        "distinct_users": q_distinct_users,
         "dedup_exact": q_dedup_exact,
         "ngram_pairs": q_ngram_pairs,
         "embedding_topk": q_embedding_topk,
@@ -2067,6 +2157,9 @@ def oracle_sql() -> dict[str, str]:
         "user_setops": SQL_USER_SETOPS,
         "revenue_rollup": SQL_REVENUE_ROLLUP,
         "train_split": SQL_TRAIN_SPLIT,
+        "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "distinct_users": SQL_DISTINCT_USERS,
         "dedup_exact": SQL_DEDUP_EXACT,
         "ngram_pairs": SQL_NGRAM_PAIRS,
         "embedding_topk": SQL_EMBEDDING_TOPK,

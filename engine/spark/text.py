@@ -205,3 +205,85 @@ def deterministic_split(
         .otherwise(F.lit("test"))
     )
     return docs.withColumn("split", split)
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "strat",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling (e.g. downsample dominant
+    languages / sources when mixing a training corpus): a row survives
+    iff portable_hash(salt:id) mod 1e6 falls under its stratum's
+    fraction.  No RNG, no sampling pass, stable under reruns and
+    cluster-size changes, and reproducible in DuckDB (oracle-checked).
+    A pure filter projection — zero shuffle at any scale; changing
+    ``salt`` draws an independent sample."""
+    from engine.spark.dedup import portable_hash60
+
+    u = F.pmod(
+        portable_hash60(
+            F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+        ),
+        F.lit(1000000),
+    )
+    keep = F.lit(False)
+    for stratum, frac in sorted(fractions.items()):
+        keep = keep | (
+            (F.col(strata_col) == stratum) & (u < int(frac * 1000000))
+        )
+    if default_fraction > 0:
+        known = F.col(strata_col).isin(*fractions.keys())
+        keep = keep | (~known & (u < int(default_fraction * 1000000)))
+    return docs.where(keep)
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    max_df_ratio: float = 0.5,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf
+    (idf = ln(N/df)), all JVM-side: split → explode → two hash
+    aggregations → term-key join → per-doc top-k window.
+
+    Scale notes: the doc-frequency table is aggregated with map-side
+    combine before the join; terms appearing in more than
+    ``max_df_ratio`` of documents (stopwords — exactly the hot keys that
+    would skew the term join) are dropped *before* the join, the same
+    df-cap pattern as ``dedup.ngram_jaccard_pairs``.  The final top-k is
+    a bounded window per doc_id, never a global sort."""
+    from pyspark.sql import Window
+
+    n_docs = docs.count()  # one metadata-cheap pass, reused as a literal
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+            "term"
+        ),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= int(max_df_ratio * n_docs))
+    )
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+        .alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "tfidf", "rank")
+    )

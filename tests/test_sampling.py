@@ -1,0 +1,92 @@
+"""Stratified sampling, tf-idf, and cardinality-sketch tests."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine.spark import text
+from engine.spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(cores=4, shuffle_partitions=8, app="engine-tests")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_stratified_sample_fractions_and_determinism(spark):
+    n = 20000
+    d = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    out = text.stratified_sample(d, "lang", {"en": 0.3, "de": 0.7})
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # each stratum has n/2 rows; hash-gate should land within ~4 sigma
+    for lang, frac in (("en", 0.3), ("de", 0.7)):
+        exp = frac * n / 2
+        sigma = math.sqrt(n / 2 * frac * (1 - frac))
+        assert abs(counts[lang] - exp) < 4 * sigma, (lang, counts[lang], exp)
+    # deterministic: same rows on a second run
+    again = text.stratified_sample(d, "lang", {"en": 0.3, "de": 0.7})
+    assert out.exceptAll(again).count() == 0
+    assert again.exceptAll(out).count() == 0
+    # a different salt draws a (near-)independent sample
+    other = text.stratified_sample(d, "lang", {"en": 0.3, "de": 0.7}, salt="s2")
+    assert other.exceptAll(out).count() > 0
+
+
+def test_stratified_sample_default_fraction(spark):
+    d = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit("xx").alias("lang")
+    )
+    none = text.stratified_sample(d, "lang", {"en": 1.0})
+    assert none.count() == 0
+    some = text.stratified_sample(d, "lang", {"en": 1.0}, default_fraction=0.5)
+    assert 0 < some.count() < 1000
+
+
+def test_tfidf_prefers_rare_terms(spark):
+    rows = [
+        (1, "apple apple banana common common"),
+        (2, "cherry common common"),
+        (3, "durian common banana"),
+        (4, "elder common"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id: long, text: string")
+    # 'common' appears in all 4 docs -> dropped by the 50% df cap
+    out = text.tfidf_top_terms(d, k=2)
+    top = {
+        r["doc_id"]: r["term"]
+        for r in out.where(F.col("rank") == 1).collect()
+    }
+    assert top == {1: "apple", 2: "cherry", 3: "durian", 4: "elder"}
+    assert out.where(F.col("term") == "common").count() == 0
+    # tf carries through: apple has tf 2
+    apple = out.where((F.col("doc_id") == 1) & (F.col("term") == "apple")).first()
+    assert apple["tf"] == 2
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    rsd = 0.02
+    both = (
+        events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id", rsd).alias("approx"),
+        )
+        .collect()
+    )
+    assert both
+    for r in both:
+        assert abs(r["approx"] - r["exact"]) <= max(5 * rsd * r["exact"], 2), r
