@@ -282,6 +282,11 @@ RELATIONAL = [
     "doc_fingerprints",
     "span_boilerplate",
     "main_content",
+    # round-3 session-2 additions
+    "dup_clusters",
+    "tfidf_top_terms",
+    "stratified_sample",
+    "distinct_users",
 ]
 
 
@@ -313,15 +318,24 @@ def main(argv=None) -> int:
         import __spark_entry__ as entry_mod
 
         qmap = entry_mod.queries()
+        # queries that run jobs during DataFrame *construction* (the CC
+        # loop's localCheckpoint rounds) must be rebuilt inside the timed
+        # job or the timer misses the real work
+        construct_heavy = {"dup_clusters"}
         for name in RELATIONAL:
-            df = qmap[name](spark, sf_dir)
+            if name in construct_heavy:
+                job = lambda: (
+                    qmap[name](spark, sf_dir)
+                    .write.format("noop").mode("overwrite").save()
+                )
+            else:
+                df = qmap[name](spark, sf_dir)
+                job = lambda: df.write.format("noop").mode("overwrite").save()
             # same protocol as extraction: 1 warmup + median of 3 —
             # single-shot timings conflate per-stage-shape JIT warmup
             # (a fixed single-JVM cost, absent on a real cluster's
             # long-lived executors) with the query itself.
-            wall, _ = _timed(
-                lambda: df.write.format("noop").mode("overwrite").save()
-            )
+            wall, _ = _timed(job)
             queries[name] = round(wall, 2)
 
     total = round(time.time() - t_total0, 2)
