@@ -20,7 +20,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from engine.core import spec
-from engine.spark import assemble, dedup, joins, multimodal, pipeline, similarity
+from engine.spark import (
+    assemble,
+    dedup,
+    diagnose,
+    joins,
+    multimodal,
+    pipeline,
+    similarity,
+)
 from engine.spark import text as etext
 
 
@@ -2051,6 +2059,24 @@ FROM events GROUP BY event_type
 """
 
 
+def q_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostic: top-10 heaviest user_id keys with row share —
+    the pre-flight check that sizes salting for a skewed shuffle."""
+    e = _t(spark, sf_dir, "events")
+    return diagnose.key_profile(e, "user_id", k=10)
+
+
+SQL_KEY_PROFILE = """
+WITH c AS (SELECT user_id AS key, count(*) AS n FROM events GROUP BY 1),
+t AS (SELECT sum(n) AS total FROM c),
+r AS (
+  SELECT key, n, row_number() OVER (ORDER BY n DESC, key) AS rank FROM c
+)
+SELECT key, n, round(n / (SELECT total FROM t)::DOUBLE, 6) AS share, rank
+FROM r WHERE rank <= 10
+"""
+
+
 # -------------------------------------------------------------------- driver
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction pipeline on sf0.001 documents-as-turns."""
@@ -2097,6 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "stratified_sample": q_stratified_sample,
         "distinct_users": q_distinct_users,
+        "key_profile": q_key_profile,
         "dedup_exact": q_dedup_exact,
         "ngram_pairs": q_ngram_pairs,
         "embedding_topk": q_embedding_topk,
@@ -2160,6 +2187,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "distinct_users": SQL_DISTINCT_USERS,
+        "key_profile": SQL_KEY_PROFILE,
         "dedup_exact": SQL_DEDUP_EXACT,
         "ngram_pairs": SQL_NGRAM_PAIRS,
         "embedding_topk": SQL_EMBEDDING_TOPK,

@@ -287,6 +287,7 @@ RELATIONAL = [
     "tfidf_top_terms",
     "stratified_sample",
     "distinct_users",
+    "key_profile",
 ]
 
 

@@ -1,0 +1,36 @@
+"""Skew diagnostics — the operational tool you run *before* picking a
+partitioning/salting strategy for a 100 TB join or aggregation.
+
+``key_profile`` quantifies how concentrated a key column is: top-k heavy
+hitters with their share of all rows.  A key whose top hitter holds >1%
+of a 10^12-row table serialises that fraction of the shuffle onto one
+reducer; the profile's ``share`` column directly yields the salt factor
+needed (salt ≈ ceil(share × n_rows / target_rows_per_task)).
+
+Cost shape: one shuffle with map-side partial aggregation (counts per
+key), a driver-cheap reduction over the (much smaller) counts table for
+the total, and a TakeOrdered top-k — never a global sort of the fact
+table.  The final row_number window runs on the already-limited k rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def key_profile(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
+    """Top-k heaviest keys: (key, n, share, rank).  ``share`` is the
+    key's fraction of all rows, rounded to 6 places."""
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("n")
+    )
+    total = counts.agg(F.sum("n")).first()[0] or 1
+    topk = counts.orderBy(F.col("n").desc(), F.col("key")).limit(k)
+    rank = F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("key")))
+    return topk.select(
+        "key",
+        "n",
+        F.round(F.col("n") / F.lit(float(total)), 6).alias("share"),
+        rank.cast("long").alias("rank"),
+    )

@@ -111,3 +111,39 @@ def run_full(transcripts: DataFrame) -> dict[str, DataFrame]:
         "spans": extract_spans(turns),
         "images": extract_images(turns),
     }
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Layout-aware parquet write: range-partition on the leading order
+    column, then sort within partitions, so every file's parquet
+    row-group min/max statistics on the sort keys are tight and
+    (across files) disjoint on the leading key.
+
+    Why this matters at 100 TB: a downstream range or point predicate on
+    the sort key (e.g. one conv_id, one time window) prunes whole files
+    at planning time and whole row groups at scan time — the difference
+    between touching gigabytes and touching everything.  An unsorted
+    write scatters every key across every file, making min/max stats
+    useless (each file spans ~the full key domain).
+
+    ``repartitionByRange`` samples the key distribution, so skewed keys
+    get proportive ranges instead of hash-uniform files; Spark's sample
+    is seeded per-plan — the written *content* is identical either way
+    (tests assert layout properties, not file bytes)."""
+    keys = [F.col(c) for c in order_cols]
+    part = (
+        df.repartitionByRange(n_files, keys[0])
+        if n_files
+        else df.repartitionByRange(keys[0])
+    )
+    (
+        part.sortWithinPartitions(*keys)
+        .write.mode(mode)
+        .parquet(path)
+    )

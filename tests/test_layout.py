@@ -1,0 +1,92 @@
+"""Data-layout writer + skew profiler tests.
+
+write_clustered's whole point is scan pruning: after a range-partitioned
+sorted write, each parquet file covers a disjoint slice of the sort key,
+so min/max statistics prune files/row-groups.  The test asserts that
+property directly from the parquet footers and contrasts it with an
+unsorted write of the same rows.
+"""
+
+import glob
+import shutil
+import tempfile
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from engine.spark import diagnose, pipeline
+from engine.spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(cores=4, shuffle_partitions=8, app="engine-tests")
+    yield s
+    s.stop()
+
+
+def _file_ranges(path, col):
+    out = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins:
+            out.append((min(mins), max(maxs)))
+    return out
+
+
+def test_write_clustered_disjoint_key_ranges(spark):
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    tmp = tempfile.mkdtemp(prefix="layout_")
+    try:
+        pipeline.write_clustered(
+            events, f"{tmp}/sorted", order_cols=("event_id",), n_files=8
+        )
+        ranges = sorted(_file_ranges(f"{tmp}/sorted", "event_id"))
+        assert len(ranges) >= 4
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 < lo2, f"overlapping file ranges {ranges}"
+
+        # contrast: a hash-partitioned write makes every file span ~the
+        # whole key domain — min/max stats can't prune anything
+        events.repartition(8).write.parquet(f"{tmp}/hashed")
+        hashed = _file_ranges(f"{tmp}/hashed", "event_id")
+        overlaps = sum(
+            1
+            for (lo1, hi1), (lo2, hi2) in zip(sorted(hashed), sorted(hashed)[1:])
+            if hi1 >= lo2
+        )
+        assert overlaps == len(hashed) - 1
+
+        # same rows either way
+        a = spark.read.parquet(f"{tmp}/sorted").agg(
+            F.count("*"), F.sum("event_id")
+        ).first()
+        b = events.agg(F.count("*"), F.sum("event_id")).first()
+        assert tuple(a) == tuple(b)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_key_profile_planted_hot_key(spark):
+    base = spark.range(1000).select(
+        (F.col("id") % 100).alias("k")
+    )
+    hot = spark.range(9000).select(F.lit(777).alias("k"))
+    prof = diagnose.key_profile(base.union(hot), "k", k=3).collect()
+    assert len(prof) == 3
+    assert prof[0]["key"] == 777
+    assert prof[0]["n"] == 9000
+    assert prof[0]["share"] == 0.9
+    assert prof[0]["rank"] == 1
+    # remaining keys are uniform (10 rows each); ties break by key asc
+    assert (prof[1]["key"], prof[2]["key"]) == (0, 1)
+    assert prof[1]["n"] == 10
