@@ -2077,6 +2077,147 @@ FROM r WHERE rank <= 10
 """
 
 
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental daily-ingest dedup: pairs touching the new batch only
+    (new×new + new×corpus via a broadcast probe of the banded new batch;
+    the corpus is never shuffled and corpus×corpus is never generated)."""
+    old = _doubled_docs(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select(
+        "doc_id", "text"
+    )
+    new = d.select((F.col("doc_id") + 2000000).alias("doc_id"), "text").union(
+        d.filter(F.col("doc_id") < 25).select(
+            (F.col("doc_id") + 2100000).alias("doc_id"), "text"
+        )
+    )
+    return dedup.minhash_incremental_pairs(
+        new, old, num_perm=32, bands=16
+    ).orderBy("doc_a", "doc_b")
+
+
+SQL_MINHASH_INCREMENTAL = rf"""
+WITH d AS (
+  SELECT doc_id, text, FALSE AS is_new FROM documents WHERE doc_id < 200
+  UNION ALL SELECT doc_id + 1000000, text, FALSE
+    FROM documents WHERE doc_id < 200
+  UNION ALL SELECT doc_id + 2000000, text, TRUE
+    FROM documents WHERE doc_id < 50
+  UNION ALL SELECT doc_id + 2100000, text, TRUE
+    FROM documents WHERE doc_id < 25
+),
+tk AS (
+  SELECT doc_id, is_new,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM d
+),
+g AS (
+  SELECT doc_id, is_new, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM tk, UNNEST(range(1, greatest(len(t) - 3, 0) + 2)) r(i)
+),
+gd AS (SELECT DISTINCT doc_id, is_new, shingle FROM g),
+code AS (
+  SELECT doc_id, is_new,
+         {_H60.format(x='shingle')} % 2147483647 AS code FROM gd
+),
+per AS (
+  SELECT doc_id, is_new, i AS perm,
+         min(((2 * i + 1) * code + (i * 2654435761 + 11))
+             % 2305843009213693951) AS mh
+  FROM code, UNNEST(range(0, 32)) r(i)
+  GROUP BY 1, 2, 3
+),
+sig AS (
+  SELECT doc_id, is_new, list(mh ORDER BY perm) AS sig FROM per GROUP BY 1, 2
+),
+banded AS (
+  SELECT doc_id, is_new, sig, b AS band,
+         md5(b || ':' || array_to_string(sig[b*2+1 : b*2+2], '-')) AS bucket
+  FROM sig, UNNEST(range(0, 16)) r(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sig AS sig_a, b.sig AS sig_b,
+         (a.is_new AND b.is_new) AS both_new
+  FROM banded a
+  JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  WHERE a.is_new OR b.is_new
+)
+SELECT doc_a, doc_b,
+       round(len(list_filter(range(1, 33), i -> sig_a[i] = sig_b[i])) / 32.0,
+             4) AS est_jaccard,
+       CASE WHEN both_new THEN 'new_new' ELSE 'new_corpus' END AS pair_type
+FROM cand
+"""
+
+
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, hour) — all four grouping-set combinations
+    in one Expand + single shuffle (the OLAP cross-dimension rollup)."""
+    e = _t(spark, sf_dir, "events")
+    return e.cube("event_type", F.hour("ts").alias("hour")).agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2
+        ).alias("sum_value"),
+    )
+
+
+SQL_EVENTS_CUBE = """
+SELECT event_type, date_part('hour', ts)::INT AS hour, count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+         AS sum_value
+FROM events GROUP BY CUBE (event_type, hour)
+"""
+
+
+def q_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction error channel: malformed payloads diverted with a
+    reason instead of crashing or silently vanishing (the batch analog
+    of the reference's per-page error markers, mistralocr_app.py:161)."""
+    good = _docs_as_transcripts(spark, sf_dir)
+    bad = spark.createDataFrame(
+        [
+            ("bad-1", 0, None),
+            ("bad-1", 1, "   "),
+            ("bad-2", 0, "<div>  </div>"),
+            ("bad-2", 1, "<p>kept</p>"),
+            ("bad-3", 0, ""),
+        ],
+        "conv_id: string, turn_idx: int, text: string",
+    )
+    return pipeline.quarantine(good.unionByName(bad)).orderBy(
+        "conv_id", "turn_idx"
+    )
+
+
+SQL_QUARANTINE = """
+WITH src AS (
+  SELECT 'doc-' || doc_id AS conv_id, 0 AS turn_idx,
+         '# Doc ' || doc_id AS text FROM documents  -- never quarantined
+  UNION ALL
+  SELECT * FROM (VALUES
+    ('bad-1', 0, NULL),
+    ('bad-1', 1, '   '),
+    ('bad-2', 0, '<div>  </div>'),
+    ('bad-2', 1, '<p>kept</p>'),
+    ('bad-3', 0, '')
+  ) v(conv_id, turn_idx, text)
+), cls AS (
+  SELECT conv_id, turn_idx,
+         CASE
+           WHEN text IS NULL OR trim(text) = '' THEN 'empty_payload'
+           -- tag-only HTML: the structural parse strips to nothing
+           WHEN regexp_matches(text,
+                  '</?(html|body|article|section|main|div|nav|header|footer|aside|p|h[1-6]|ul|ol|li|table|thead|tbody|tr|th|td|pre|blockquote|span|a|b|i|em|strong|code|img|br|script|style)\\b')
+                AND trim(regexp_replace(text, '<[^>]*>', '', 'g')) = ''
+             THEN 'empty_extraction'
+         END AS reason
+  FROM src
+)
+SELECT conv_id, turn_idx, reason FROM cls WHERE reason IS NOT NULL
+"""
+
+
 # -------------------------------------------------------------------- driver
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction pipeline on sf0.001 documents-as-turns."""
@@ -2130,6 +2271,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "dup_clusters": q_dup_clusters,
         "dedup_canonical": q_dedup_canonical,
+        "minhash_incremental": q_minhash_incremental,
+        "events_cube": q_events_cube,
+        "quarantine": q_quarantine,
         "simhash": q_simhash,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
@@ -2206,6 +2350,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": SQL_MINHASH_LSH,
         "dup_clusters": SQL_DUP_CLUSTERS,
         "dedup_canonical": SQL_DEDUP_CANONICAL,
+        "minhash_incremental": SQL_MINHASH_INCREMENTAL,
+        "events_cube": SQL_EVENTS_CUBE,
+        "quarantine": SQL_QUARANTINE,
         "simhash": SQL_SIMHASH,
         "lsh_ann": SQL_LSH_ANN,
         "ivf_ann": SQL_IVF_ANN,

@@ -288,6 +288,9 @@ RELATIONAL = [
     "stratified_sample",
     "distinct_users",
     "key_profile",
+    "minhash_incremental",
+    "events_cube",
+    "quarantine",
 ]
 
 

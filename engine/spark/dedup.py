@@ -176,20 +176,10 @@ def minhash_signatures(
     return sig
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame,
-    num_perm: int = 32,
-    bands: int = 8,
-    n: int = 3,
-    text_col: str = "text",
-    fast_hash: bool = False,
-) -> DataFrame:
-    """Banded LSH: band-signature equi-join finds candidates, estimated
-    Jaccard = fraction of matching minhashes.  The band bucket key is
-    md5 of the band's minhash slice (portable across engines)."""
-    rows = num_perm // bands
-    sig = minhash_signatures(docs, num_perm, n, text_col, fast_hash)
-    banded = sig.select(
+def _band_explode(sig: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(doc_id, sig) → one row per band with the band's bucket key
+    (md5 of the band index + its minhash slice — portable)."""
+    return sig.select(
         "doc_id",
         "sig",
         F.posexplode(
@@ -211,6 +201,35 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
+
+
+def _est_jaccard(num_perm: int) -> Column:
+    return F.round(
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        )
+        / F.lit(num_perm),
+        4,
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_perm: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    fast_hash: bool = False,
+) -> DataFrame:
+    """Banded LSH: band-signature equi-join finds candidates, estimated
+    Jaccard = fraction of matching minhashes.  The band bucket key is
+    md5 of the band's minhash slice (portable across engines)."""
+    rows = num_perm // bands
+    sig = minhash_signatures(docs, num_perm, n, text_col, fast_hash)
+    banded = _band_explode(sig, bands, rows)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -228,17 +247,91 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    est = F.round(
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-                lambda v: v == 1,
-            )
-        )
-        / F.lit(num_perm),
-        4,
+    return cand.select(
+        "doc_a", "doc_b", _est_jaccard(num_perm).alias("est_jaccard")
     )
-    return cand.select("doc_a", "doc_b", est.alias("est_jaccard"))
+
+
+def minhash_incremental_pairs(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    num_perm: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    fast_hash: bool = False,
+) -> DataFrame:
+    """Daily-ingest dedup: candidate pairs touching the NEW batch only —
+    new×new plus new×corpus, never corpus×corpus (those pairs were
+    already adjudicated when the corpus was built).
+
+    The scale shape this buys at 10^12 turns: the corpus side is only
+    ever *streamed* through an equi-join against the **broadcast** banded
+    new batch — the existing corpus is never shuffled, so the daily cost
+    is O(|new| + |corpus|/partitions-scanned), not a full-corpus LSH
+    rebuild.  In production the corpus band table is precomputed and
+    persisted (it is exactly ``_band_explode(minhash_signatures(...))``),
+    making the incremental run a pure scan+probe.
+
+    Output: (doc_a, doc_b, est_jaccard, pair_type) with doc_a < doc_b
+    and pair_type ∈ {'new_new', 'new_corpus'}."""
+    rows = num_perm // bands
+    b_new = _band_explode(
+        minhash_signatures(new_docs, num_perm, n, text_col, fast_hash),
+        bands, rows,
+    )
+    b_old = _band_explode(
+        minhash_signatures(corpus_docs, num_perm, n, text_col, fast_hash),
+        bands, rows,
+    )
+    a = b_new.alias("a")
+    b = b_new.alias("b")
+    nn = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+            F.lit("new_new").alias("pair_type"),
+        )
+    )
+    o = b_old.alias("o")
+    no = (
+        F.broadcast(b_new).alias("a")
+        .join(
+            o,
+            (F.col("a.band") == F.col("o.band"))
+            & (F.col("a.bucket") == F.col("o.bucket"))
+            & (F.col("a.doc_id") != F.col("o.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("o.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("o.doc_id")).alias("doc_b"),
+            F.when(
+                F.col("a.doc_id") < F.col("o.doc_id"), F.col("a.sig")
+            ).otherwise(F.col("o.sig")).alias("sig_a"),
+            F.when(
+                F.col("a.doc_id") < F.col("o.doc_id"), F.col("o.sig")
+            ).otherwise(F.col("a.sig")).alias("sig_b"),
+            F.lit("new_corpus").alias("pair_type"),
+        )
+    )
+    return (
+        nn.unionByName(no)
+        .dropDuplicates(["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            _est_jaccard(num_perm).alias("est_jaccard"),
+            "pair_type",
+        )
+    )
 
 
 # ---------------------------------------------------------------- SimHash

@@ -147,3 +147,32 @@ def write_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def quarantine(transcripts: DataFrame) -> DataFrame:
+    """Error channel for malformed payloads — the batch analog of the
+    reference's per-page error-marker semantics (translate stage,
+    mistralocr_app.py:161,:183): bad rows are *diverted*, never crash
+    the pipeline and never silently vanish.
+
+    Reasons:
+      * ``empty_payload``     — null / whitespace-only text
+      * ``empty_extraction``  — non-blank input whose structural parse
+        yields no markdown (e.g. tag-only HTML boilerplate)
+
+    Same shuffle-free shape as extract_turns: scan → one Arrow parse →
+    codegen'd classification filter."""
+    md = parse_udf.extract_markdown_udf(F.col("text"))
+    base = transcripts.select(
+        "conv_id", "turn_idx", "text", md.alias("markdown")
+    )
+    blank = F.col("text").isNull() | (F.length(F.trim(F.col("text"))) == 0)
+    reason = (
+        F.when(blank, F.lit("empty_payload"))
+        .when(F.length("markdown") == 0, F.lit("empty_extraction"))
+    )
+    return (
+        base.withColumn("reason", reason)
+        .where(F.col("reason").isNotNull())
+        .select("conv_id", "turn_idx", "reason")
+    )

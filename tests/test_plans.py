@@ -271,3 +271,33 @@ def test_rollup_broadcasts_dims_single_shuffle(spark):
     # customer-orders join may shuffle both fact sides; the rollup agg
     # itself adds exactly one more
     assert len(agg_exchanges) <= 3, plan
+
+
+def test_minhash_incremental_broadcasts_new_batch(spark):
+    """Incremental dedup must probe the corpus with the broadcast banded
+    new batch — the existing corpus is never shuffled for the
+    new×corpus join, and no candidate path is a cartesian product."""
+    q = entry_mod.q_minhash_incremental(spark, SF_DIR)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_events_cube_single_expand_single_shuffle(spark):
+    """CUBE = one Expand (4 grouping sets) + one hash-partitioned
+    aggregation exchange — never one pass per grouping set."""
+    q = entry_mod.q_events_cube(spark, SF_DIR)
+    plan = _plan(q)
+    assert plan.count("Expand") >= 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_quarantine_shuffle_free(spark):
+    """The error channel is the same shuffle-free scan→parse→filter
+    shape as extraction itself."""
+    q = entry_mod.q_quarantine(spark, SF_DIR)
+    plan = _plan(q)
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    assert "Exchange hashpartitioning" not in body, plan
