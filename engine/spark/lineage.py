@@ -181,6 +181,8 @@ def run_with_resume(
     force: bool = False,
     spans: bool = False,
     translate: bool = False,
+    dedup: bool = False,
+    quarantine: bool = False,
     detect_changes: bool = False,
     run_id: str | None = None,
 ) -> dict[str, int]:
@@ -343,6 +345,79 @@ def run_with_resume(
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("part_hash")
                 .parquet(tr_out)
+            )
+
+    if quarantine:
+        # diverted-rows table (error channel, pipeline.quarantine) under
+        # the same backfill-aware coverage rule; computed from the
+        # ORIGINAL payloads — the committed turns don't carry text, but
+        # the input covers done buckets too
+        q_out = os.path.join(output_dir, "quarantine")
+        have = _partition_buckets(q_out)
+        backfill = sorted(_partition_buckets(turns_out) - have - set(run_buckets))
+        need = sorted(set(run_buckets) | set(backfill))
+        if need:
+            all_src = with_part_hash(transcripts, n_buckets)
+            qr = with_part_hash(
+                pipeline.quarantine(
+                    all_src.filter(F.col("part_hash").isin(need))
+                ),
+                n_buckets,
+            )
+            (
+                qr.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("part_hash")
+                .parquet(q_out)
+            )
+
+    if dedup:
+        # Two-phase dedup under lineage: (1) per-bucket document
+        # fingerprints — the expensive pass — are incremental and
+        # backfill-aware exactly like spans; (2) exact-dup clusters are
+        # a GLOBAL reduction, but over the compact fingerprint table
+        # (one row per conversation, not per turn), so rewriting them
+        # every run costs one small groupBy, never a corpus re-scan.
+        from engine.spark.text import fingerprint as fp_col
+
+        fp_out = os.path.join(output_dir, "fingerprints")
+        docs_out_path = os.path.join(output_dir, "docs")
+        have = _partition_buckets(fp_out)
+        backfill = sorted(_partition_buckets(turns_out) - have - set(run_buckets))
+        need = sorted(set(run_buckets) | set(backfill))
+        if need and os.path.exists(docs_out_path):
+            d = spark.read.parquet(docs_out_path).filter(
+                F.col("part_hash").isin(need)
+            )
+            # id-normalized content fingerprint: the assembled markdown
+            # embeds conv_id (image link paths, OCR stubs), so a
+            # re-ingested conversation under a NEW id would never match
+            # its twin — blank the id out before hashing
+            content = F.expr("replace(markdown, conv_id, '<conv>')")
+            fps = d.select(
+                "conv_id",
+                fp_col(content).alias("fp"),
+                F.length("markdown").alias("n_chars"),
+                "part_hash",
+            )
+            (
+                fps.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("part_hash")
+                .parquet(fp_out)
+            )
+        if os.path.exists(fp_out):
+            clusters = (
+                spark.read.parquet(fp_out)
+                .groupBy("fp")
+                .agg(
+                    F.min("conv_id").alias("keep_conv_id"),
+                    F.count("*").alias("n_members"),
+                )
+                .where(F.col("n_members") >= 2)
+            )
+            clusters.write.mode("overwrite").parquet(
+                os.path.join(output_dir, "dup_clusters")
             )
 
     # lineage rows for the buckets processed in this run — collected once

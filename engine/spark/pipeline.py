@@ -166,7 +166,10 @@ def quarantine(transcripts: DataFrame) -> DataFrame:
     base = transcripts.select(
         "conv_id", "turn_idx", "text", md.alias("markdown")
     )
-    blank = F.col("text").isNull() | (F.length(F.trim(F.col("text"))) == 0)
+    # blank must match the parser's KIND_EMPTY rule (Python str.strip):
+    # Spark's trim() removes ASCII spaces only, so a "\n\t " payload
+    # would misclassify as empty_extraction instead of empty_payload
+    blank = F.col("text").isNull() | F.col("text").rlike(r"^\s*$")
     reason = (
         F.when(blank, F.lit("empty_payload"))
         .when(F.length("markdown") == 0, F.lit("empty_extraction"))

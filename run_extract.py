@@ -42,6 +42,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="also write translated documents (T1 stage; "
                          "deterministic stand-in translator — swap via "
                          "translate.translate_turns_udf in production)")
+    ap.add_argument("--dedup", action="store_true",
+                    help="also write per-bucket document fingerprints "
+                         "(incremental) and the global exact-dup cluster "
+                         "table derived from them")
+    ap.add_argument("--quarantine", action="store_true",
+                    help="also write the diverted-rows error-channel "
+                         "table (empty/tag-only payloads with reasons)")
     args = ap.parse_args(argv)
 
     from engine.spark import lineage
@@ -91,6 +98,8 @@ def main(argv: list[str] | None = None) -> int:
         force=args.force,
         spans=args.spans,
         translate=args.translate,
+        dedup=args.dedup,
+        quarantine=args.quarantine,
         detect_changes=args.detect_changes,
     )
     dt = time.time() - t0

@@ -482,3 +482,105 @@ def test_lineage_summary(spark, transcripts_path, tmp_path):
     assert (s["n_runs"] == 2).all()
     assert s["turn_count"].sum() == df.count()
     assert s["bucket_sig"].notna().all()
+
+
+def test_dedup_and_quarantine_stages(spark, transcripts_pdf, tmp_path):
+    """--dedup / --quarantine stages: incremental fingerprints + global
+    exact-dup clusters, and the diverted-rows error channel — both under
+    the same lineage coverage as spans."""
+    # plant: an exact duplicate of one conversation under a new conv_id,
+    # and a conversation with quarantine-able turns
+    src = transcripts_pdf.copy()
+    dup_conv = src["conv_id"].iloc[0]
+    dup = src[src["conv_id"] == dup_conv].copy()
+    dup["conv_id"] = "zz-dup-conv"
+    bad = pd.DataFrame(
+        {
+            "conv_id": ["zz-bad", "zz-bad"],
+            "turn_idx": [0, 1],
+            "role": ["user", "user"],
+            "text": ["   ", "<div>  </div>"],
+            "tool": ["", ""],
+            "ts": [src["ts"].iloc[0]] * 2,
+        }
+    )
+    full = pd.concat([src, dup, bad], ignore_index=True)
+    full["ts"] = full["ts"].dt.as_unit("us")  # concat upcasts to ns
+    p = str(tmp_path / "t.parquet")
+    full.to_parquet(p, index=False)
+    df = spark.read.parquet(p)
+    out = str(tmp_path / "out")
+
+    r1 = lineage.run_with_resume(
+        spark, df, out, snapshot_id="snap-dq", n_buckets=8,
+        dedup=True, quarantine=True,
+    )
+    assert r1["buckets_processed"] > 0
+
+    qr = spark.read.parquet(os.path.join(out, "quarantine"))
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["reason"] for r in qr.collect()
+    }
+    assert got[("zz-bad", 0)] == "empty_payload"
+    assert got[("zz-bad", 1)] == "empty_extraction"
+    # every other quarantined row must be a genuinely blank payload in
+    # the input (the fixture corpus plants some naturally)
+    blanks = {
+        (r.conv_id, int(r.turn_idx))
+        for r in full.itertuples()
+        if r.text is None or not str(r.text).strip()
+    }
+    extras = {k for k in got if k != ("zz-bad", 1)}
+    assert extras == blanks
+    assert all(got[k] == "empty_payload" for k in extras)
+
+    clusters = spark.read.parquet(os.path.join(out, "dup_clusters"))
+    rows = clusters.collect()
+    assert len(rows) >= 1
+    planted = [r for r in rows if r["n_members"] >= 2]
+    assert any(
+        r["keep_conv_id"] in (dup_conv, "zz-dup-conv") for r in planted
+    )
+    fps = spark.read.parquet(os.path.join(out, "fingerprints"))
+    n_docs_total = df.select("conv_id").distinct().count()
+    assert fps.count() == n_docs_total
+
+    # resume: second run reprocesses nothing, derived tables unchanged
+    r2 = lineage.run_with_resume(
+        spark, df, out, snapshot_id="snap-dq", n_buckets=8,
+        dedup=True, quarantine=True,
+    )
+    assert r2["buckets_processed"] == 0
+    assert spark.read.parquet(os.path.join(out, "fingerprints")).count() == n_docs_total
+    assert (
+        spark.read.parquet(os.path.join(out, "quarantine")).count() == len(got)
+    )
+
+
+def test_dedup_quarantine_backfill_on_completed_run(spark, transcripts_pdf, tmp_path):
+    """A completed extraction re-run with the flags newly enabled must
+    backfill fingerprints/quarantine for already-done buckets (same rule
+    as spans backfill)."""
+    p = str(tmp_path / "t.parquet")
+    transcripts_pdf.to_parquet(p, index=False)
+    df = spark.read.parquet(p)
+    out = str(tmp_path / "out")
+    lineage.run_with_resume(spark, df, out, snapshot_id="s", n_buckets=8)
+    r = lineage.run_with_resume(
+        spark, df, out, snapshot_id="s", n_buckets=8,
+        dedup=True, quarantine=True,
+    )
+    assert r["buckets_processed"] == 0  # extraction already done
+    assert os.path.exists(os.path.join(out, "fingerprints"))
+    fps = spark.read.parquet(os.path.join(out, "fingerprints"))
+    assert fps.count() == df.select("conv_id").distinct().count()
+    # backfilled quarantine covers exactly the corpus's natural blanks
+    n_blanks = int(
+        (
+            transcripts_pdf["text"].isna()
+            | (transcripts_pdf["text"].astype(str).str.strip() == "")
+        ).sum()
+    )
+    qr = spark.read.parquet(os.path.join(out, "quarantine"))
+    assert qr.count() == n_blanks
+    assert qr.where(F.col("reason") != "empty_payload").count() == 0
