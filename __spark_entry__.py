@@ -2218,6 +2218,50 @@ SELECT conv_id, turn_idx, reason FROM cls WHERE reason IS NOT NULL
 """
 
 
+def q_json_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured tool-payload analytics: JSON field extraction
+    (JVM-side get_json_object, no UDF) aggregated per type, with
+    malformed/null payloads degrading to NULL instead of failing —
+    transcripts' tool columns are exactly this shape."""
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "props")
+    bad = spark.createDataFrame(
+        [(9000001, "corrupt", "not json"), (9000002, "corrupt", None)],
+        "event_id: long, event_type: string, props: string",
+    )
+    u = e.unionByName(bad)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        u.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.sum(F.when(k.isNull(), 1).otherwise(0)).alias("null_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_JSON_FIELDS = """
+WITH u AS (
+  SELECT event_id, event_type, props FROM events
+  UNION ALL
+  SELECT * FROM (VALUES
+    (9000001, 'corrupt', 'not json'),
+    (9000002, 'corrupt', NULL)
+  ) v(event_id, event_type, props)
+), x AS (
+  SELECT event_type,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+         END AS k
+  FROM u
+)
+SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_k
+FROM x GROUP BY 1
+"""
+
+
 # -------------------------------------------------------------------- driver
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction pipeline on sf0.001 documents-as-turns."""
@@ -2265,6 +2309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "distinct_users": q_distinct_users,
         "key_profile": q_key_profile,
+        "json_fields": q_json_fields,
         "dedup_exact": q_dedup_exact,
         "ngram_pairs": q_ngram_pairs,
         "embedding_topk": q_embedding_topk,
@@ -2332,6 +2377,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "distinct_users": SQL_DISTINCT_USERS,
         "key_profile": SQL_KEY_PROFILE,
+        "json_fields": SQL_JSON_FIELDS,
         "dedup_exact": SQL_DEDUP_EXACT,
         "ngram_pairs": SQL_NGRAM_PAIRS,
         "embedding_topk": SQL_EMBEDDING_TOPK,

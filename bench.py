@@ -291,6 +291,7 @@ RELATIONAL = [
     "minhash_incremental",
     "events_cube",
     "quarantine",
+    "json_fields",
 ]
 
 
