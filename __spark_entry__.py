@@ -2262,6 +2262,119 @@ FROM x GROUP BY 1
 """
 
 
+def q_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): six-table join with
+    region/date filters pushed to the scans, dims broadcast, revenue in
+    exact decimal space."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        )
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.round(F.sum(disc).cast("double"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+SQL_Q5_LOCAL_SUPPLIER = """
+SELECT n_name,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-version-per-key compaction (CDC upsert semantics): newest
+    event per (user_id, event_type) by (ts, event_id).  Implemented as a
+    single partial-aggregating groupBy over a (ts, event_id, value)
+    struct max — one shuffle, no per-key sort, skew-safe (a hot key
+    combines map-side instead of serialising onto one reducer's sort).
+    The DuckDB twin uses a row_number window — independent algorithm."""
+    e = _t(spark, sf_dir, "events")
+    best = e.groupBy("user_id", "event_type").agg(
+        F.max(F.struct("ts", "event_id", "value")).alias("m")
+    )
+    return best.select(
+        "user_id",
+        "event_type",
+        F.col("m.event_id").alias("event_id"),
+        F.col("m.ts").alias("ts"),
+        F.col("m.value").alias("value"),
+    ).orderBy("user_id", "event_type")
+
+
+SQL_LATEST_EVENTS = """
+WITH r AS (
+  SELECT user_id, event_type, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type, event_id, ts, value FROM r WHERE rn = 1
+"""
+
+
+def q_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quarantine error channel on the Structured Streaming path —
+    stateless classification, so byte-identical to batch; shares
+    SQL_QUARANTINE as its oracle."""
+    import shutil
+
+    from engine.spark import streaming
+
+    good = _docs_as_transcripts(spark, sf_dir)
+    bad = spark.createDataFrame(
+        [
+            ("bad-1", 0, None),
+            ("bad-1", 1, "   "),
+            ("bad-2", 0, "<div>  </div>"),
+            ("bad-2", 1, "<p>kept</p>"),
+            ("bad-3", 0, ""),
+        ],
+        "conv_id: string, turn_idx: int, text: string",
+    )
+    src = tempfile.mkdtemp(prefix="stream_q_src_")
+    good.unionByName(bad).write.mode("overwrite").parquet(src)
+    ckpt = tempfile.mkdtemp(prefix="stream_q_ckpt_")
+    outp = tempfile.mkdtemp(prefix="stream_q_out_")
+    shutil.rmtree(outp)
+    streaming.stream_quarantine(spark, src, ckpt, outp)
+    return spark.read.parquet(outp).select("conv_id", "turn_idx", "reason")
+
+
 # -------------------------------------------------------------------- driver
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction pipeline on sf0.001 documents-as-turns."""
@@ -2310,6 +2423,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users": q_distinct_users,
         "key_profile": q_key_profile,
         "json_fields": q_json_fields,
+        "q5_local_supplier": q_q5_local_supplier,
+        "latest_events": q_latest_events,
+        "stream_quarantine": q_stream_quarantine,
         "dedup_exact": q_dedup_exact,
         "ngram_pairs": q_ngram_pairs,
         "embedding_topk": q_embedding_topk,
@@ -2378,6 +2494,9 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users": SQL_DISTINCT_USERS,
         "key_profile": SQL_KEY_PROFILE,
         "json_fields": SQL_JSON_FIELDS,
+        "q5_local_supplier": SQL_Q5_LOCAL_SUPPLIER,
+        "latest_events": SQL_LATEST_EVENTS,
+        "stream_quarantine": SQL_QUARANTINE,
         "dedup_exact": SQL_DEDUP_EXACT,
         "ngram_pairs": SQL_NGRAM_PAIRS,
         "embedding_topk": SQL_EMBEDDING_TOPK,

@@ -188,7 +188,11 @@ def run_scaling_legs() -> dict:
         int(x)
         for x in os.environ.get("SPARK_GRAFT_BENCH_SCALING_LEGS", "2,8,32").split(",")
     )
-    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_ROUNDS", "2"))
+    # 3 rounds by default: the host throttles in multi-minute windows
+    # (measured eff(2→8) swinging 0.31 → 1.19 between adjacent rounds on
+    # identical code); max-over-rounds is a sound lower bound, so more
+    # rounds = more chances to sample a clean window
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_ROUNDS", "3"))
     convs = os.environ.get("SPARK_GRAFT_BENCH_SCALING_CONVS", str(BENCH_CONVS))
 
     def window_idx() -> float:
@@ -292,6 +296,8 @@ RELATIONAL = [
     "events_cube",
     "quarantine",
     "json_fields",
+    "q5_local_supplier",
+    "latest_events",
 ]
 
 

@@ -507,3 +507,37 @@ def stream_extract_turns(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_quarantine(
+    spark: SparkSession,
+    transcripts_path: str,
+    checkpoint_dir: str,
+    output_path: str,
+) -> None:
+    """Streaming flavour of the extraction error channel: the same
+    stateless classification as ``pipeline.quarantine`` (scan → Arrow
+    parse → codegen'd reason filter), so the streaming result is
+    byte-identical to batch and shares its oracle.  File sink +
+    checkpoint ⇒ diverted rows survive restarts exactly once."""
+    from engine.spark import pipeline
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = (
+        spark.readStream.schema(schema).format("parquet").load(transcripts_path)
+    )
+    q = (
+        pipeline.quarantine(src)
+        .writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

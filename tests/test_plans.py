@@ -301,3 +301,15 @@ def test_quarantine_shuffle_free(spark):
     plan = _plan(q)
     body = plan.split("AdaptiveSparkPlan")[-1]
     assert "Exchange hashpartitioning" not in body, plan
+
+
+def test_latest_events_single_shuffle_no_sort(spark):
+    """Latest-version compaction must be one partial-aggregating shuffle
+    over a struct max — never a per-key window sort (which serialises a
+    hot key onto one reducer's sort buffer)."""
+    q = entry_mod.q_latest_events(spark, SF_DIR)
+    plan = _plan(q)
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    assert body.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" not in body, plan
+    assert "partial_max" in body or "partial max" in body.lower(), plan
