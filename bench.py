@@ -244,15 +244,30 @@ def run_scaling_legs() -> dict:
         round_reports,
         key=lambda r: min(r[f"eff_{a}_{b}"] for a, b in pairs),
     )
+    # per-leg maxima across rounds: throttling only ever LOWERS a leg's
+    # throughput, so each leg's max over rounds is its tightest observed
+    # capability; ratios of those maxima estimate efficiency with the
+    # per-round throttle noise removed (disclosed alongside, not instead
+    # of, the same-round numbers — a same-round reading is a harder
+    # guarantee, the per-leg-max composite is the fairer estimate when
+    # adjacent rounds land in different host windows)
+    leg_max = {
+        str(c): max(r["turns_per_sec"][str(c)] for r in round_reports)
+        for c in legs
+    }
     out: dict = {
         "corpus_turns": corpus_turns,
         "rounds": rounds,
         "all_rounds": round_reports,
         "best_round": best,
+        "per_leg_max_tps": leg_max,
     }
     for a, b in pairs:
         out[f"eff_{a}_{b}"] = best[f"eff_{a}_{b}"]
         out[f"eff_cpu_{a}_{b}"] = best[f"eff_cpu_{a}_{b}"]
+        out[f"eff_legmax_{a}_{b}"] = round(
+            leg_max[str(b)] / ((b / a) * leg_max[str(a)]), 3
+        )
     return out
 
 

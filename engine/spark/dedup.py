@@ -30,7 +30,6 @@ from pyspark.sql import functions as F
 
 from engine.spark.text import fingerprint
 
-MERSENNE_P = 2305843009213693951  # 2^61 - 1
 
 
 def portable_hash60(col: Column) -> Column:
@@ -65,15 +64,29 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFr
 
     Built JVM-side: split → transform over a sequence of start offsets →
     explode.  No Python."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # The token array MUST be materialized as its own projection before
+    # the gram transform references it: a `split(...)` expression used
+    # inside a higher-order-function lambda is re-evaluated per element,
+    # so a 60k-token document re-split its 370 KB string per gram —
+    # O(tokens²) inside ONE task, measured as a straggler that never
+    # finished on the planted giant conversation.  Same reason grams use
+    # O(1) F.get lookups instead of slice-per-position (which copies
+    # O(i) elements per gram).  (F.get, not element_at: ANSI mode makes
+    # out-of-bounds element_at throw; get returns NULL and concat_ws
+    # skips NULLs, matching slice+array_join short-gram semantics.)
+    tokd = docs.select(
+        "doc_id",
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_toks"),
+    )
+    toks = F.col("_toks")
     # i in 0..max(size-n, 0) inclusive: full grams when size≥n, a single
     # short gram (all tokens) otherwise
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
     )
-    return (
-        docs.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+    return tokd.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
     )
 
 
@@ -148,16 +161,27 @@ def minhash_signatures(
     h_i(x) = ((2i+1) * x + b_i) mod p over 31-bit shingle codes.
     One explode + one groupBy; min per permutation is a map-side
     combine-friendly aggregate."""
-    # reduce the shingle hash into 31 bits so (a*code + b) never
-    # overflows a long for any permutation coefficient below
+    # Universal-hash family over p = 2^31-1 (Mersenne prime): code and
+    # the multiplier both live below p, so a*code stays under 2^62 (no
+    # long overflow) while a*code >> p guarantees genuine modular
+    # WRAPAROUND.  The round-1..3 family ((2i+1)*code + b_i mod 2^61-1)
+    # never wrapped — (2i+1)*code < 2^37 << 2^61 — so every "permutation"
+    # was monotonic in code and all of them picked the SAME min-code
+    # shingle: the signature was one hash repeated num_perm times, and
+    # est_jaccard collapsed to 1.0 whenever two docs shared their
+    # globally-smallest shingle.  (The DuckDB oracle computed the same
+    # degenerate arithmetic, which is why value-equality never caught
+    # it — a two-engine oracle checks portability, not theory.)
     sh = word_shingles(docs, n, text_col).withColumn(
         "code", F.pmod(_hash_col(F.col("shingle"), fast_hash), F.lit(2147483647))
     )
     perms = F.transform(
         F.sequence(F.lit(0), F.lit(num_perm - 1)),
         lambda i: F.pmod(
-            (F.lit(1) + i * 2) * F.col("code") + (i * 2654435761 + 11),
-            F.lit(MERSENNE_P),
+            (F.pmod(i.cast("long") * 1103515245 + 12345, F.lit(2147483646)) + 1)
+            * F.col("code")
+            + F.pmod(i.cast("long") * 2654435761 + 11, F.lit(2147483647)),
+            F.lit(2147483647),
         ),
     )
     per_perm = sh.select(
@@ -227,8 +251,22 @@ def minhash_lsh_pairs(
     """Banded LSH: band-signature equi-join finds candidates, estimated
     Jaccard = fraction of matching minhashes.  The band bucket key is
     md5 of the band's minhash slice (portable across engines)."""
-    rows = num_perm // bands
     sig = minhash_signatures(docs, num_perm, n, text_col, fast_hash)
+    return minhash_pairs_from_signatures(sig, num_perm, bands)
+
+
+def minhash_pairs_from_signatures(
+    sig: DataFrame,
+    num_perm: int = 32,
+    bands: int = 8,
+    min_jaccard: float | None = None,
+) -> DataFrame:
+    """Candidate pairs from a precomputed (doc_id, sig) table — the
+    production entry point when signatures are persisted incrementally
+    (e.g. the --near-dup pipeline stage) and only pair generation runs
+    globally.  Banded equi-join, never all-pairs; optional estimated-
+    Jaccard threshold."""
+    rows = num_perm // bands
     banded = _band_explode(sig, bands, rows)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -247,9 +285,12 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return cand.select(
+    out = cand.select(
         "doc_a", "doc_b", _est_jaccard(num_perm).alias("est_jaccard")
     )
+    if min_jaccard is not None:
+        out = out.where(F.col("est_jaccard") >= min_jaccard)
+    return out
 
 
 def minhash_incremental_pairs(

@@ -182,6 +182,7 @@ def run_with_resume(
     spans: bool = False,
     translate: bool = False,
     dedup: bool = False,
+    near_dup: bool = False,
     quarantine: bool = False,
     detect_changes: bool = False,
     run_id: str | None = None,
@@ -418,6 +419,72 @@ def run_with_resume(
             )
             clusters.write.mode("overwrite").parquet(
                 os.path.join(output_dir, "dup_clusters")
+            )
+
+    if near_dup:
+        # Near-dup clustering under lineage, split at the right seam:
+        # (1) MinHash signatures — the pass that touches document text —
+        # are per-bucket incremental + backfill-aware; (2) pair
+        # generation + connected components run globally, but over the
+        # compact signature table (one 32-long array per conversation),
+        # a banded equi-join + O(log n) star rounds — never a corpus
+        # re-scan or an all-pairs product.
+        from engine.spark import dedup as dmod
+
+        sig_out = os.path.join(output_dir, "signatures")
+        docs_out_path = os.path.join(output_dir, "docs")
+        have = _partition_buckets(sig_out)
+        backfill = sorted(_partition_buckets(turns_out) - have - set(run_buckets))
+        need = sorted(set(run_buckets) | set(backfill))
+        if need and os.path.exists(docs_out_path):
+            d = spark.read.parquet(docs_out_path).filter(
+                F.col("part_hash").isin(need)
+            )
+            # hash CONTENT, not assembly artifacts: the OCR-stub blocks
+            # and image links the pipeline inserts are near-identical
+            # across conversations once the id is normalized out, so
+            # leaving them in makes image-heavy documents look like
+            # near-dups of each other regardless of their actual text
+            content = F.regexp_replace(
+                F.regexp_replace(
+                    F.col("markdown"),
+                    r"(?s)> 📄 Image OCR Result:\n\n```json\n.*?\n```",
+                    "",
+                ),
+                r"!\[[^\]]*\]\([^)]*\)",
+                "",
+            )
+            sigs = dmod.minhash_signatures(
+                d.select(
+                    F.col("conv_id").alias("doc_id"),
+                    content.alias("text"),
+                ),
+                num_perm=32,
+            )
+            sigs = with_part_hash(
+                sigs.select(F.col("doc_id").alias("conv_id"), "sig"),
+                n_buckets,
+            )
+            (
+                sigs.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("part_hash")
+                .parquet(sig_out)
+            )
+        if os.path.exists(sig_out):
+            all_sigs = spark.read.parquet(sig_out).select(
+                F.col("conv_id").alias("doc_id"), "sig"
+            )
+            pairs = dmod.minhash_pairs_from_signatures(
+                all_sigs, num_perm=32, bands=16, min_jaccard=0.8
+            )
+            cc = dmod.connected_components(pairs)
+            (
+                cc.selectExpr(
+                    "doc_id AS conv_id", "cluster_id AS cluster_conv_id"
+                )
+                .write.mode("overwrite")
+                .parquet(os.path.join(output_dir, "near_dup_clusters"))
             )
 
     # lineage rows for the buckets processed in this run — collected once

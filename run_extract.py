@@ -46,6 +46,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="also write per-bucket document fingerprints "
                          "(incremental) and the global exact-dup cluster "
                          "table derived from them")
+    ap.add_argument("--near-dup", action="store_true",
+                    help="also write per-bucket MinHash signatures "
+                         "(incremental) and the global near-dup cluster "
+                         "table (banded pair-gen + connected components "
+                         "over the compact signature table)")
     ap.add_argument("--quarantine", action="store_true",
                     help="also write the diverted-rows error-channel "
                          "table (empty/tag-only payloads with reasons)")
@@ -99,6 +104,7 @@ def main(argv: list[str] | None = None) -> int:
         spans=args.spans,
         translate=args.translate,
         dedup=args.dedup,
+        near_dup=args.near_dup,
         quarantine=args.quarantine,
         detect_changes=args.detect_changes,
     )

@@ -109,3 +109,37 @@ def test_canonical_docs_tiebreak(spark):
     }
     assert rows[1] == (1, 3)
     assert rows[7] == (7, 1)
+
+
+def test_minhash_est_tracks_true_jaccard(spark):
+    """Regression for the degenerate permutation family (rounds 1-3):
+    h_i(x) = (2i+1)x + b_i mod 2^61-1 never wrapped, so every perm chose
+    the same min-code shingle and est_jaccard collapsed to exactly 0 or
+    1.  With a genuine universal family the estimate must track the true
+    Jaccard within ~4 sigma (sqrt(J(1-J)/num_perm)).  Inputs are
+    deterministic, so this is a fixed, non-flaky check."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    common = " ".join(f"shared{i:03d}" for i in range(120))
+    ua = " ".join(f"alpha{i:03d}" for i in range(60))
+    ub = " ".join(f"beta{i:03d}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, f"{common} {ua}"), (2, f"{common} {ub}")],
+        "doc_id: long, text: string",
+    )
+    sh = dedup.word_shingles(docs, 3).toPandas()
+    sets = sh.groupby("doc_id")["shingle"].apply(set)
+    true_j = len(sets[1] & sets[2]) / len(sets[1] | sets[2])
+    num_perm = 64
+    pairs = dedup.minhash_lsh_pairs(docs, num_perm=num_perm, bands=32)
+    row = pairs.where(
+        (F.col("doc_a") == 1) & (F.col("doc_b") == 2)
+    ).collect()
+    assert row, "banded join should surface the pair at J≈0.5"
+    est = row[0]["est_jaccard"]
+    sigma = math.sqrt(true_j * (1 - true_j) / num_perm)
+    assert abs(est - true_j) < 4 * sigma, (est, true_j, sigma)
+    # and in particular NOT the degenerate 0/1 collapse
+    assert 0.05 < est < 0.95

@@ -584,3 +584,47 @@ def test_dedup_quarantine_backfill_on_completed_run(spark, transcripts_pdf, tmp_
     qr = spark.read.parquet(os.path.join(out, "quarantine"))
     assert qr.count() == n_blanks
     assert qr.where(F.col("reason") != "empty_payload").count() == 0
+
+
+def test_near_dup_stage(spark, transcripts_pdf, tmp_path):
+    """--near-dup: incremental per-bucket MinHash signatures + global
+    banded pair-gen + connected components.  A near-identical copy of a
+    conversation (one token appended in one turn) under a NEW conv_id
+    must land in the same cluster."""
+    src = transcripts_pdf.copy()
+    c0 = src["conv_id"].iloc[0]
+    near = src[src["conv_id"] == c0].copy()
+    near["conv_id"] = "zz-near"
+    i = near.index[0]
+    near.loc[i, "text"] = str(near.loc[i, "text"]) + " extraword"
+    full = pd.concat([src, near], ignore_index=True)
+    full["ts"] = full["ts"].dt.as_unit("us")
+    p = str(tmp_path / "t.parquet")
+    full.to_parquet(p, index=False)
+    df = spark.read.parquet(p)
+    out = str(tmp_path / "out")
+
+    r1 = lineage.run_with_resume(
+        spark, df, out, snapshot_id="s", n_buckets=8, near_dup=True
+    )
+    assert r1["buckets_processed"] > 0
+    clusters = {
+        r["conv_id"]: r["cluster_conv_id"]
+        for r in spark.read.parquet(
+            os.path.join(out, "near_dup_clusters")
+        ).collect()
+    }
+    assert clusters.get(c0) == clusters.get("zz-near") is not None
+    # the planted pair must not have dragged unrelated convs in
+    assert len(clusters) == 2
+
+    # signatures are incremental: resume reprocesses nothing, table intact
+    n_sigs = spark.read.parquet(os.path.join(out, "signatures")).count()
+    assert n_sigs == df.select("conv_id").distinct().count()
+    r2 = lineage.run_with_resume(
+        spark, df, out, snapshot_id="s", n_buckets=8, near_dup=True
+    )
+    assert r2["buckets_processed"] == 0
+    assert (
+        spark.read.parquet(os.path.join(out, "signatures")).count() == n_sigs
+    )
