@@ -1317,8 +1317,8 @@ code AS (
 ),
 per AS (
   SELECT doc_id, i AS perm,
-         min(((2 * i + 1) * code + (i * 2654435761 + 11))
-             % 2305843009213693951) AS mh
+         min((((i * 1103515245 + 12345) % 2147483646 + 1) * code
+              + (i * 2654435761 + 11) % 2147483647) % 2147483647) AS mh
   FROM code, UNNEST(range(0, 32)) r(i)
   GROUP BY doc_id, i
 ),
@@ -2120,8 +2120,8 @@ code AS (
 ),
 per AS (
   SELECT doc_id, is_new, i AS perm,
-         min(((2 * i + 1) * code + (i * 2654435761 + 11))
-             % 2305843009213693951) AS mh
+         min((((i * 1103515245 + 12345) % 2147483646 + 1) * code
+              + (i * 2654435761 + 11) % 2147483647) % 2147483647) AS mh
   FROM code, UNNEST(range(0, 32)) r(i)
   GROUP BY 1, 2, 3
 ),
@@ -2375,6 +2375,33 @@ def q_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(outp).select("conv_id", "turn_idx", "reason")
 
 
+def q_extraction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational rollup of an extraction run: turn/conv/image counts
+    and total extracted bytes in one partial-agg pass over the turns
+    output — the dashboard row a 10^12-turn job emits per snapshot.
+    The oracle re-derives every number from the input (image count via
+    regexp over the assembled markdown, not trusted from the engine)."""
+    turns = pipeline.extract_turns(_docs_as_transcripts(spark, sf_dir))
+    return turns.agg(
+        F.count("*").alias("n_turns"),
+        F.countDistinct("conv_id").alias("n_convs"),
+        F.sum(F.size("images")).alias("n_images"),
+        F.sum(F.length("markdown")).alias("md_chars"),
+    )
+
+
+SQL_EXTRACTION_REPORT = rf"""
+WITH turns AS ({SQL_EXTRACT_MARKDOWN})
+SELECT count(*) AS n_turns,
+       count(DISTINCT conv_id) AS n_convs,
+       CAST(sum(len(regexp_extract_all(markdown,
+                                       '!\[img-1\.jpeg\]\(images_')))
+            AS BIGINT) AS n_images,
+       CAST(sum(length(markdown)) AS BIGINT) AS md_chars
+FROM turns
+"""
+
+
 # -------------------------------------------------------------------- driver
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction pipeline on sf0.001 documents-as-turns."""
@@ -2426,6 +2453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier": q_q5_local_supplier,
         "latest_events": q_latest_events,
         "stream_quarantine": q_stream_quarantine,
+        "extraction_report": q_extraction_report,
         "dedup_exact": q_dedup_exact,
         "ngram_pairs": q_ngram_pairs,
         "embedding_topk": q_embedding_topk,
@@ -2497,6 +2525,7 @@ def oracle_sql() -> dict[str, str]:
         "q5_local_supplier": SQL_Q5_LOCAL_SUPPLIER,
         "latest_events": SQL_LATEST_EVENTS,
         "stream_quarantine": SQL_QUARANTINE,
+        "extraction_report": SQL_EXTRACTION_REPORT,
         "dedup_exact": SQL_DEDUP_EXACT,
         "ngram_pairs": SQL_NGRAM_PAIRS,
         "embedding_topk": SQL_EMBEDDING_TOPK,

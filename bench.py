@@ -313,6 +313,7 @@ RELATIONAL = [
     "json_fields",
     "q5_local_supplier",
     "latest_events",
+    "extraction_report",
 ]
 
 

@@ -313,3 +313,23 @@ def test_latest_events_single_shuffle_no_sort(spark):
     assert body.count("Exchange hashpartitioning") == 1, plan
     assert "Window" not in body, plan
     assert "partial_max" in body or "partial max" in body.lower(), plan
+
+
+def test_dynamic_partition_pruning(spark, tmp_path_factory):
+    """A part_hash-partitioned fact table joined to a filtered dim must
+    plan a dynamicpruning subquery on the partition key — at 100 TB this
+    is the difference between scanning 2 buckets and scanning 4096."""
+    base = str(tmp_path_factory.mktemp("dpp"))
+    fact = spark.range(2000).selectExpr(
+        "id", "CAST(id % 16 AS INT) AS part_hash", "id * 2 AS v"
+    )
+    fact.write.partitionBy("part_hash").parquet(f"{base}/fact")
+    dim = spark.range(16).selectExpr(
+        "CAST(id AS INT) AS part_hash", "id AS tag"
+    )
+    dim.write.parquet(f"{base}/dim")
+    f = spark.read.parquet(f"{base}/fact")
+    d = spark.read.parquet(f"{base}/dim").where(F.col("tag") < 2)
+    q = f.join(d, "part_hash").agg(F.sum("v"))
+    plan = _plan(q)
+    assert "dynamicpruning" in plan.lower(), plan
