@@ -2402,6 +2402,29 @@ FROM turns
 """
 
 
+def q_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second REAL codec path: deterministic synthetic PCM-16 WAVs
+    decoded by the pure-stdlib RIFF parser inside Arrow batches.  The
+    oracle re-derives rate/counts AND the integer abs-sum of all decoded
+    samples from the generation formula — header walk, chunk alignment,
+    and sample decode all sit under the hard cross-engine signal."""
+    media = multimodal.wav_media_from_documents(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_audio_features(media)
+
+
+SQL_WAV_FEATURES = """
+SELECT doc_id AS media_id,
+       (8000 + (doc_id % 4) * 4000)::INTEGER AS sample_rate,
+       1::INTEGER AS n_channels,
+       16::INTEGER AS bits,
+       (doc_id % 50 + 10)::INTEGER AS n_samples,
+       CAST(list_sum(list_transform(range(0, doc_id % 50 + 10),
+              i -> abs((doc_id * 131 + i * 17) % 2003 - 1001)))
+            AS BIGINT) AS sample_abs_sum
+FROM documents
+"""
+
+
 # -------------------------------------------------------------------- driver
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction pipeline on sf0.001 documents-as-turns."""
@@ -2454,6 +2477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_events": q_latest_events,
         "stream_quarantine": q_stream_quarantine,
         "extraction_report": q_extraction_report,
+        "wav_features": q_wav_features,
         "dedup_exact": q_dedup_exact,
         "ngram_pairs": q_ngram_pairs,
         "embedding_topk": q_embedding_topk,
@@ -2526,6 +2550,7 @@ def oracle_sql() -> dict[str, str]:
         "latest_events": SQL_LATEST_EVENTS,
         "stream_quarantine": SQL_QUARANTINE,
         "extraction_report": SQL_EXTRACTION_REPORT,
+        "wav_features": SQL_WAV_FEATURES,
         "dedup_exact": SQL_DEDUP_EXACT,
         "ngram_pairs": SQL_NGRAM_PAIRS,
         "embedding_topk": SQL_EMBEDDING_TOPK,

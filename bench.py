@@ -314,6 +314,7 @@ RELATIONAL = [
     "q5_local_supplier",
     "latest_events",
     "extraction_report",
+    "wav_features",
 ]
 
 

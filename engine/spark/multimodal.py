@@ -99,9 +99,12 @@ def decode_stub(payload: bytes, mime: str):
     in production."""
     if payload[: len(PNG_SIG)] == PNG_SIG:
         return decode_png(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
     raise NotImplementedError(
-        "non-PNG media decoding requires image/audio libraries not present "
-        "in this environment; wire PIL/torchaudio/ffmpeg here in production"
+        "media decoding beyond PNG/WAV requires image/video libraries not "
+        "present in this environment; wire PIL/torchaudio/ffmpeg here in "
+        "production"
     )
 
 
@@ -342,4 +345,134 @@ def thumbnail(media: DataFrame, width: int = 64, height: int = 64,
         F.least(F.octet_length("payload"), F.lit(head_bytes))
         .cast("long")
         .alias("thumb_bytes"),
+    )
+
+
+# ------------------------------------------------------------ real WAV codec
+# Second honest codec, zero new deps: RIFF/WAVE PCM is a pure-struct
+# format.  Encoder exists for deterministic fixtures; decoder is the
+# production-shaped path inside the Arrow audio-feature batches.
+WAV_SIG = b"RIFF"
+
+
+def encode_wav_pcm16(sample_rate: int, samples: list[int], n_channels: int = 1) -> bytes:
+    """Minimal PCM-16 mono/stereo WAV encoder (fixtures only)."""
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    byte_rate = sample_rate * n_channels * 2
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate, byte_rate,
+                      n_channels * 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> dict:
+    """RIFF/WAVE PCM-16 decoder: chunk walk (fmt /data, odd-size
+    padding honored), sample decode via array('h').  Returns rate,
+    channels, bit depth, per-channel sample count, and the integer
+    abs-sum of all samples (the exactly-verifiable feature)."""
+    import array
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if tag == b"fmt ":
+            fmt = body
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"only PCM-16 supported (fmt={audio_fmt}, bits={bits})")
+    a = array.array("h")
+    a.frombytes(data[: len(data) - (len(data) % 2)])
+    return {
+        "sample_rate": int(rate),
+        "n_channels": int(n_ch),
+        "bits": int(bits),
+        "n_samples": len(a) // n_ch,
+        "sample_abs_sum": int(sum(abs(x) for x in a)),
+    }
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("sample_abs_sum", T.LongType()),
+    ]
+)
+
+
+def wav_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic WAV media table: one PCM-16 mono clip per
+    document, rate and samples pure functions of doc_id so a SQL oracle
+    re-derives every decoded value from first principles.
+
+        sample_rate = 8000 + (doc_id % 4) * 4000
+        n           = doc_id % 50 + 10
+        sample[i]   = (doc_id * 131 + i * 17) % 2003 - 1001
+    """
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for did in ids:
+                did = int(did)
+                rate = 8000 + (did % 4) * 4000
+                n = did % 50 + 10
+                samples = [(did * 131 + i * 17) % 2003 - 1001 for i in range(n)]
+                payloads.append(encode_wav_pcm16(rate, samples))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "audio",
+                    "mime": "audio/wav",
+                    "payload": payloads,
+                    "meta": [{"codec": "wav"}] * len(ids),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def _audio_feature_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        decoded = pdf["payload"].map(lambda b: decode_wav(bytes(b)))
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "sample_rate": decoded.map(lambda d: d["sample_rate"]).astype("int32"),
+                "n_channels": decoded.map(lambda d: d["n_channels"]).astype("int32"),
+                "bits": decoded.map(lambda d: d["bits"]).astype("int32"),
+                "n_samples": decoded.map(lambda d: d["n_samples"]).astype("int32"),
+                "sample_abs_sum": decoded.map(lambda d: d["sample_abs_sum"]).astype("int64"),
+            }
+        )
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched audio feature extraction — the REAL WAV decode path
+    (pure-stdlib codec above) with the same plumbing shape as
+    extract_features."""
+    return media.select("media_id", "payload").mapInPandas(
+        _audio_feature_batches, schema=AUDIO_FEATURES_SCHEMA
     )

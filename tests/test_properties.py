@@ -91,3 +91,32 @@ def test_png_roundtrip_random(w, h, seed):
     assert (d["width"], d["height"]) == (w, h)
     assert d["pixel_sum"] == sum(px)
     assert d["pixel_crc32"] == _z.crc32(px) & 0xFFFFFFFF
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=8000, max_value=48000),
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=0,
+        max_size=200,
+    ),
+)
+def test_wav_roundtrip_random(rate, samples):
+    """PCM-16 WAV encode→decode round-trip over arbitrary rates and
+    sample values (incl. empty clips and int16 extremes)."""
+    from engine.spark import multimodal as mm
+
+    d = mm.decode_wav(mm.encode_wav_pcm16(rate, samples))
+    assert d["sample_rate"] == rate
+    assert d["n_channels"] == 1 and d["bits"] == 16
+    assert d["n_samples"] == len(samples)
+    assert d["sample_abs_sum"] == sum(abs(s) for s in samples)
+
+
+def test_wav_rejects_garbage():
+    from engine.spark import multimodal as mm
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mm.decode_wav(b"not a riff payload at all")
