@@ -2425,6 +2425,32 @@ FROM documents
 """
 
 
+def q_variant_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as json_fields but through Spark 4's VariantType
+    (try_parse_json → try_variant_get): the binary variant encoding is
+    parsed once and fields are extracted without re-parsing the JSON
+    text per path — the SURVEY §1 recommendation for the reference's
+    schemaless ocr_contents dict.  Malformed/null payloads degrade to
+    NULL (try_ variants), identical to the get_json_object path, so the
+    two engines AND the two Spark codepaths share one oracle."""
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "props")
+    bad = spark.createDataFrame(
+        [(9000001, "corrupt", "not json"), (9000002, "corrupt", None)],
+        "event_id: long, event_type: string, props: string",
+    )
+    u = e.unionByName(bad)
+    k = F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "long")
+    return (
+        u.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.sum(F.when(k.isNull(), 1).otherwise(0)).alias("null_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # -------------------------------------------------------------------- driver
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction pipeline on sf0.001 documents-as-turns."""
@@ -2478,6 +2504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_quarantine": q_stream_quarantine,
         "extraction_report": q_extraction_report,
         "wav_features": q_wav_features,
+        "variant_fields": q_variant_fields,
         "dedup_exact": q_dedup_exact,
         "ngram_pairs": q_ngram_pairs,
         "embedding_topk": q_embedding_topk,
@@ -2551,6 +2578,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_quarantine": SQL_QUARANTINE,
         "extraction_report": SQL_EXTRACTION_REPORT,
         "wav_features": SQL_WAV_FEATURES,
+        "variant_fields": SQL_JSON_FIELDS,
         "dedup_exact": SQL_DEDUP_EXACT,
         "ngram_pairs": SQL_NGRAM_PAIRS,
         "embedding_topk": SQL_EMBEDDING_TOPK,

@@ -315,6 +315,7 @@ RELATIONAL = [
     "latest_events",
     "extraction_report",
     "wav_features",
+    "variant_fields",
 ]
 
 
