@@ -103,6 +103,18 @@ def _partition_buckets(path: str) -> set[int]:
     return out
 
 
+def _stage_coverage(stage_out: str, turns_out: str, run_buckets) -> list[int]:
+    """Buckets a derived stage must (re)write: this run's buckets plus
+    any committed turns buckets the stage's table doesn't cover yet —
+    the backfill rule shared by spans / translate / quarantine /
+    fingerprints / signatures (a completed extraction re-run with a
+    stage newly enabled must fill it for already-done buckets)."""
+    have = _partition_buckets(stage_out)
+    backfill = _partition_buckets(turns_out) - have - set(run_buckets)
+    return sorted(set(run_buckets) | backfill)
+
+
+
 def changed_buckets_since(
     spark: SparkSession, output_dir: str, since_ts: float
 ) -> list[int]:
@@ -309,9 +321,7 @@ def run_with_resume(
         # a completed extraction re-run with spans=True must backfill
         # spans for already-done buckets (which new_turns excludes).
         spans_out = os.path.join(output_dir, "spans")
-        have = _partition_buckets(spans_out)
-        backfill = sorted(_partition_buckets(turns_out) - have - set(run_buckets))
-        need = sorted(set(run_buckets) | set(backfill))
+        need = _stage_coverage(spans_out, turns_out, run_buckets)
         if need:
             sp = with_part_hash(
                 pipeline.extract_spans(
@@ -333,9 +343,7 @@ def run_with_resume(
         from engine.spark import translate as tmod
 
         tr_out = os.path.join(output_dir, "docs_translated")
-        have = _partition_buckets(tr_out)
-        backfill = sorted(_partition_buckets(turns_out) - have - set(run_buckets))
-        need = sorted(set(run_buckets) | set(backfill))
+        need = _stage_coverage(tr_out, turns_out, run_buckets)
         if need:
             tr = tmod.translate_turns(
                 committed.filter(F.col("part_hash").isin(need))
@@ -354,9 +362,7 @@ def run_with_resume(
         # ORIGINAL payloads — the committed turns don't carry text, but
         # the input covers done buckets too
         q_out = os.path.join(output_dir, "quarantine")
-        have = _partition_buckets(q_out)
-        backfill = sorted(_partition_buckets(turns_out) - have - set(run_buckets))
-        need = sorted(set(run_buckets) | set(backfill))
+        need = _stage_coverage(q_out, turns_out, run_buckets)
         if need:
             all_src = with_part_hash(transcripts, n_buckets)
             qr = with_part_hash(
@@ -383,9 +389,7 @@ def run_with_resume(
 
         fp_out = os.path.join(output_dir, "fingerprints")
         docs_out_path = os.path.join(output_dir, "docs")
-        have = _partition_buckets(fp_out)
-        backfill = sorted(_partition_buckets(turns_out) - have - set(run_buckets))
-        need = sorted(set(run_buckets) | set(backfill))
+        need = _stage_coverage(fp_out, turns_out, run_buckets)
         if need and os.path.exists(docs_out_path):
             d = spark.read.parquet(docs_out_path).filter(
                 F.col("part_hash").isin(need)
@@ -433,9 +437,7 @@ def run_with_resume(
 
         sig_out = os.path.join(output_dir, "signatures")
         docs_out_path = os.path.join(output_dir, "docs")
-        have = _partition_buckets(sig_out)
-        backfill = sorted(_partition_buckets(turns_out) - have - set(run_buckets))
-        need = sorted(set(run_buckets) | set(backfill))
+        need = _stage_coverage(sig_out, turns_out, run_buckets)
         if need and os.path.exists(docs_out_path):
             d = spark.read.parquet(docs_out_path).filter(
                 F.col("part_hash").isin(need)
