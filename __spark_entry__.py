@@ -2182,6 +2182,8 @@ def q_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("bad-2", 0, "<div>  </div>"),
             ("bad-2", 1, "<p>kept</p>"),
             ("bad-3", 0, ""),
+            ("bad-4", 0, "\t\n"),  # ASCII-but-not-trim() whitespace
+            ("bad-4", 1, "\u00a0"),  # NBSP: outside Java/RE2 \s
         ],
         "conv_id: string, turn_idx: int, text: string",
     )
@@ -2190,7 +2192,12 @@ def q_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_QUARANTINE = """
+# blank rule shares pipeline.PY_WS_CLASS verbatim (Python-isspace set as
+# literal chars — valid in both Java regex and DuckDB's RE2), so the two
+# engines cannot drift on which whitespace counts as "empty"; the
+# tab/newline-only and NBSP-only fixture rows below pin exactly the
+# payloads where DuckDB trim()/ASCII-\s would have diverged
+SQL_QUARANTINE = f"""
 WITH src AS (
   SELECT 'doc-' || doc_id AS conv_id, 0 AS turn_idx,
          '# Doc ' || doc_id AS text FROM documents  -- never quarantined
@@ -2200,16 +2207,22 @@ WITH src AS (
     ('bad-1', 1, '   '),
     ('bad-2', 0, '<div>  </div>'),
     ('bad-2', 1, '<p>kept</p>'),
-    ('bad-3', 0, '')
+    ('bad-3', 0, ''),
+    ('bad-4', 0, chr(9) || chr(10)),
+    ('bad-4', 1, chr(160))
   ) v(conv_id, turn_idx, text)
 ), cls AS (
   SELECT conv_id, turn_idx,
          CASE
-           WHEN text IS NULL OR trim(text) = '' THEN 'empty_payload'
+           WHEN text IS NULL
+                OR regexp_matches(text, '^{pipeline.PY_WS_CLASS}*$')
+             THEN 'empty_payload'
            -- tag-only HTML: the structural parse strips to nothing
            WHEN regexp_matches(text,
                   '</?(html|body|article|section|main|div|nav|header|footer|aside|p|h[1-6]|ul|ol|li|table|thead|tbody|tr|th|td|pre|blockquote|span|a|b|i|em|strong|code|img|br|script|style)\\b')
-                AND trim(regexp_replace(text, '<[^>]*>', '', 'g')) = ''
+                AND regexp_matches(
+                      regexp_replace(text, '<[^>]*>', '', 'g'),
+                      '^{pipeline.PY_WS_CLASS}*$')
              THEN 'empty_extraction'
          END AS reason
   FROM src
@@ -2363,6 +2376,8 @@ def q_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("bad-2", 0, "<div>  </div>"),
             ("bad-2", 1, "<p>kept</p>"),
             ("bad-3", 0, ""),
+            ("bad-4", 0, "\t\n"),  # ASCII-but-not-trim() whitespace
+            ("bad-4", 1, "\u00a0"),  # NBSP: outside Java/RE2 \s
         ],
         "conv_id: string, turn_idx: int, text: string",
     )
@@ -2458,7 +2473,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry ORDER is load-bearing: the driver's oracle gate samples the
+    # first 50 keys, so entries are sorted by driver-coverage recency —
+    # (1) the 9 queries never driver-checked through round 3, (2) the 11
+    # whose last driver row is round 2, (3) the 50 that went green in
+    # round 3.  Rotate stale entries forward each round so every query
+    # keeps a recent CORRECTNESS row.
     return {
+        # -- never driver-checked (r1-r3) — must land in CORRECTNESS_r04
+        "dup_clusters": q_dup_clusters,
+        "dedup_canonical": q_dedup_canonical,
+        "minhash_incremental": q_minhash_incremental,
+        "events_cube": q_events_cube,
+        "quarantine": q_quarantine,
+        "png_features": q_png_features,
+        "event_type_pivot": q_event_type_pivot,
+        "stream_event_counts_append": q_stream_event_counts_append,
+        "stream_stream_join": q_stream_stream_join,
+        # -- last driver row was round 2
+        "simhash": q_simhash,
+        "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
+        "embedding_dupes": q_embedding_dupes,
+        "multimodal_features": q_multimodal_features,
+        "frame_sample": q_frame_sample,
+        "thumbnail": q_thumbnail,
+        "stream_event_counts": q_stream_event_counts,
+        "stream_dedup": q_stream_dedup,
+        "stream_extract": q_stream_extract,
+        "stream_sessionize": q_stream_sessionize,
+        # -- green in CORRECTNESS_r03
         "extract_markdown": q_extract_markdown,
         "extract_html": q_extract_html,
         "extract_images": q_extract_images,
@@ -2509,34 +2553,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_pairs": q_ngram_pairs,
         "embedding_topk": q_embedding_topk,
         "minhash_lsh": q_minhash_lsh,
-        "dup_clusters": q_dup_clusters,
-        "dedup_canonical": q_dedup_canonical,
-        "minhash_incremental": q_minhash_incremental,
-        "events_cube": q_events_cube,
-        "quarantine": q_quarantine,
-        "simhash": q_simhash,
-        "lsh_ann": q_lsh_ann,
-        "ivf_ann": q_ivf_ann,
-        "embedding_dupes": q_embedding_dupes,
-        "multimodal_features": q_multimodal_features,
-        "png_features": q_png_features,
-        "frame_sample": q_frame_sample,
-        "thumbnail": q_thumbnail,
-        "stream_event_counts": q_stream_event_counts,
-        "stream_event_counts_append": q_stream_event_counts_append,
-        "stream_dedup": q_stream_dedup,
-        "stream_extract": q_stream_extract,
-        "stream_sessionize": q_stream_sessionize,
-        "stream_stream_join": q_stream_stream_join,
-        "event_type_pivot": q_event_type_pivot,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    # Same driver-coverage-recency order as queries() — see that comment.
     return {
+        # -- never driver-checked (r1-r3)
+        "dup_clusters": SQL_DUP_CLUSTERS,
+        "dedup_canonical": SQL_DEDUP_CANONICAL,
+        "minhash_incremental": SQL_MINHASH_INCREMENTAL,
+        "events_cube": SQL_EVENTS_CUBE,
+        "quarantine": SQL_QUARANTINE,
+        "png_features": SQL_PNG_FEATURES,
+        "event_type_pivot": SQL_EVENT_TYPE_PIVOT,
+        "stream_event_counts_append": SQL_STREAM_EVENT_COUNTS_APPEND,
+        "stream_stream_join": SQL_STREAM_STREAM_JOIN,
+        # -- last driver row was round 2
+        "simhash": SQL_SIMHASH,
+        "lsh_ann": SQL_LSH_ANN,
+        "ivf_ann": SQL_IVF_ANN,
+        "embedding_dupes": SQL_EMBEDDING_DUPES,
+        "multimodal_features": SQL_MULTIMODAL_FEATURES,
+        "frame_sample": SQL_FRAME_SAMPLE,
+        "thumbnail": SQL_THUMBNAIL,
+        "stream_event_counts": SQL_STREAM_EVENT_COUNTS,
+        "stream_dedup": SQL_STREAM_DEDUP,
+        "stream_extract": SQL_EXTRACT_MARKDOWN,
+        "stream_sessionize": SQL_STREAM_SESSIONIZE,
+        # -- green in CORRECTNESS_r03
         "extract_markdown": SQL_EXTRACT_MARKDOWN,
         "extract_html": SQL_EXTRACT_HTML,
         "extract_images": SQL_EXTRACT_IMAGES,
+        "extract_spans": SQL_EXTRACT_SPANS,
         "images_b64_decode": SQL_IMAGES_B64_DECODE,
         "inline_images_b64": SQL_INLINE_IMAGES_B64,
         "structured_ocr": SQL_STRUCTURED_OCR,
@@ -2582,26 +2631,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "ngram_pairs": SQL_NGRAM_PAIRS,
         "embedding_topk": SQL_EMBEDDING_TOPK,
-        "multimodal_features": SQL_MULTIMODAL_FEATURES,
-        "png_features": SQL_PNG_FEATURES,
-        "frame_sample": SQL_FRAME_SAMPLE,
-        "thumbnail": SQL_THUMBNAIL,
-        "stream_event_counts": SQL_STREAM_EVENT_COUNTS,
-        "stream_event_counts_append": SQL_STREAM_EVENT_COUNTS_APPEND,
-        "stream_dedup": SQL_STREAM_DEDUP,
-        "stream_extract": SQL_EXTRACT_MARKDOWN,
-        "stream_sessionize": SQL_STREAM_SESSIONIZE,
-        "stream_stream_join": SQL_STREAM_STREAM_JOIN,
-        "event_type_pivot": SQL_EVENT_TYPE_PIVOT,
-        "extract_spans": SQL_EXTRACT_SPANS,
         "minhash_lsh": SQL_MINHASH_LSH,
-        "dup_clusters": SQL_DUP_CLUSTERS,
-        "dedup_canonical": SQL_DEDUP_CANONICAL,
-        "minhash_incremental": SQL_MINHASH_INCREMENTAL,
-        "events_cube": SQL_EVENTS_CUBE,
-        "quarantine": SQL_QUARANTINE,
-        "simhash": SQL_SIMHASH,
-        "lsh_ann": SQL_LSH_ANN,
-        "ivf_ann": SQL_IVF_ANN,
-        "embedding_dupes": SQL_EMBEDDING_DUPES,
     }

@@ -217,11 +217,21 @@ def run_scaling_legs() -> dict:
         ][-1]
         return json.loads(line)
 
+    def burn_at(c: int) -> float:
+        # pure-CPU aggregate Miters at c procs — measures the HOST's
+        # compute ceiling independent of Spark, so each round's record is
+        # self-contained evidence of how much scaling the hypervisor
+        # itself offers at that proc count (VERDICT r3 next #8)
+        with mp.Pool(c) as p:
+            return round(sum(p.map(_burn1s, range(c))) / 1e6, 1)
+
     pairs = list(zip(legs, legs[1:]))
     round_reports: list[dict] = []
+    hw_rounds: list[dict] = []
     corpus_turns = None
     for _ in range(rounds):
         tps, cpu, win = {}, {}, {}
+        hw_rounds.append({c: burn_at(c) for c in legs})
         for c in legs:
             win[c] = window_idx()
             r = one_leg(c)
@@ -268,6 +278,18 @@ def run_scaling_legs() -> dict:
         out[f"eff_legmax_{a}_{b}"] = round(
             leg_max[str(b)] / ((b / a) * leg_max[str(a)]), 3
         )
+    # hardware ceiling: per-leg max burn throughput across rounds (a
+    # throttle window only lowers a burn), plus the ideal-scaling ratio
+    # the hardware itself achieves at each step — the denominator any
+    # Spark eff_{a}_{b} should be judged against
+    hw_max = {c: max(h[c] for h in hw_rounds) for c in legs}
+    out["hw_ceiling"] = {
+        "miters": {str(c): hw_max[c] for c in legs},
+        **{
+            f"eff_{a}_{b}": round(hw_max[b] / ((b / a) * hw_max[a]), 3)
+            for a, b in pairs
+        },
+    }
     return out
 
 
@@ -396,6 +418,42 @@ def main(argv=None) -> int:
         except Exception as e:  # a failed leg must not void the suite
             out["scaling"] = {"error": str(e)[:200]}
         print(json.dumps(out), flush=True)
+        # The enriched line above (all_rounds + best_round detail) broke
+        # 2000 chars in round 3 and the consumer's take-the-last-JSON-line
+        # rule landed on truncated JSON (BENCH_r03 parsed: null).  Emit a
+        # FINAL line that keeps the full per-query timings (the frozen
+        # cross-round comparison keys) but only the scalar scaling
+        # composites, and hard-cap its length.
+        sc = out["scaling"]
+        if "error" in sc:
+            sc_compact: dict = sc
+        else:
+            sc_compact = {
+                k: sc[k]
+                for k in sc
+                if k.startswith("eff_")
+                or k in ("corpus_turns", "per_leg_max_tps", "hw_ceiling")
+            }
+        compact = {
+            "metric": out["metric"],
+            "value": total,
+            "unit": "sec",
+            "queries": queries,
+            "sf": 0.1,
+            "cores": cores,
+            "bench_corpus_turns": ext["n_turns"],
+            "turns_per_sec": ext["turns_per_sec"],
+            "cpu_secs_per_kturn": ext["cpu_secs_per_kturn"],
+            "scaling": sc_compact,
+        }
+        # belt: if the compact line still nears the consumer's 2000-char
+        # tail window, shed detail (never the queries dict — those are
+        # the frozen comparison keys)
+        for drop in ("per_leg_max_tps", "hw_ceiling", "corpus_turns"):
+            if len(json.dumps(compact)) <= 1800:
+                break
+            sc_compact.pop(drop, None)
+        print(json.dumps(compact), flush=True)
     return 0
 
 

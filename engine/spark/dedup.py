@@ -301,6 +301,7 @@ def minhash_incremental_pairs(
     n: int = 3,
     text_col: str = "text",
     fast_hash: bool = False,
+    broadcast_new: bool = True,
 ) -> DataFrame:
     """Daily-ingest dedup: candidate pairs touching the NEW batch only —
     new×new plus new×corpus, never corpus×corpus (those pairs were
@@ -313,6 +314,19 @@ def minhash_incremental_pairs(
     rebuild.  In production the corpus band table is precomputed and
     persisted (it is exactly ``_band_explode(minhash_signatures(...))``),
     making the incremental run a pure scan+probe.
+
+    ``broadcast_new`` (default True) force-broadcasts the banded new
+    batch into the corpus probe.  The broadcast payload is
+    ``bands × |new_docs|`` rows each carrying the full ``num_perm``-long
+    signature (~``bands × |new| × (8·num_perm + 50)`` bytes ≈ 2.4 KB per
+    new doc at the defaults), and an explicit ``F.broadcast`` hint
+    BYPASSES spark.sql.autoBroadcastJoinThreshold — so it is the
+    caller's contract that the daily batch fits the driver/executor
+    heap (rule of thumb: ≲ 1-2M docs per 10 GB of executor memory).
+    For an oversized backfill batch pass ``broadcast_new=False`` to fall
+    back to a shuffled band-bucket equi-join: the corpus IS reshuffled
+    that run, but nothing can OOM, and AQE may still pick a broadcast if
+    the batch turns out small.
 
     Output: (doc_a, doc_b, est_jaccard, pair_type) with doc_a < doc_b
     and pair_type ∈ {'new_new', 'new_corpus'}."""
@@ -343,8 +357,9 @@ def minhash_incremental_pairs(
         )
     )
     o = b_old.alias("o")
+    probe = F.broadcast(b_new) if broadcast_new else b_new
     no = (
-        F.broadcast(b_new).alias("a")
+        probe.alias("a")
         .join(
             o,
             (F.col("a.band") == F.col("o.band"))
@@ -514,6 +529,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_rounds: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph via
     alternating large-star / small-star — the standard O(log² n)-round
@@ -523,19 +539,35 @@ def connected_components(
     Returns ``(doc_id, cluster_id)`` for every node that appears in
     ``pairs``; ``cluster_id`` is the minimum doc_id of the component
     (deterministic).  Each round is bounded work: a groupBy(min) and an
-    equi-join per star op, with ``localCheckpoint`` breaking lineage so
-    the plan stays O(1) per round (on a real cluster prefer
-    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint`` for
-    fault-tolerant truncation).
+    equi-join per star op, with a checkpoint breaking lineage so the
+    plan stays O(1) per round.
+
+    ``checkpoint_dir=None`` (default, fine in local mode / tests) uses
+    ``localCheckpoint`` — blocks live only on executor storage, so on a
+    real cluster a lost executor mid-round forces recomputing the whole
+    star-contraction chain.  Pass a durable path (HDFS/S3) for the
+    production variant: the SparkContext checkpoint dir is set and each
+    round is persisted with reliable ``.checkpoint()``, making every
+    round a recoverable barrier at 100 TB edge scale.
 
     Convergence is detected by an order-insensitive edge-set checksum
     (count + sum of per-edge xxhash64): the alternating-star fixpoint is
     exactly the star graph rooted at each component minimum."""
-    edges = (
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint()
+
+    else:
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
+
+    edges = _ckpt(
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
     )
 
     def _chk(e: DataFrame) -> tuple:
@@ -549,7 +581,7 @@ def connected_components(
 
     prev = _chk(edges)
     for _ in range(max_rounds):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        edges = _ckpt(_small_star(_large_star(edges)))
         cur = _chk(edges)
         if cur == prev:
             break
@@ -572,13 +604,20 @@ def connected_components(
 
 
 def dup_clusters(
-    docs: DataFrame, pairs: DataFrame, max_rounds: int = 25
+    docs: DataFrame,
+    pairs: DataFrame,
+    max_rounds: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Cluster assignment for *every* doc: components of the pair graph,
     singletons keep their own id.  The left join is a plain equi-join on
     doc_id; the CC result is tiny relative to the corpus (only docs with
-    at least one dup candidate), so AQE broadcasts it in practice."""
-    cc = connected_components(pairs, max_rounds=max_rounds)
+    at least one dup candidate), so AQE broadcasts it in practice.
+    ``checkpoint_dir`` threads through to ``connected_components`` for
+    the durable-checkpoint production variant."""
+    cc = connected_components(
+        pairs, max_rounds=max_rounds, checkpoint_dir=checkpoint_dir
+    )
     return (
         docs.select("doc_id")
         .join(cc, "doc_id", "left")

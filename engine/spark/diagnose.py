@@ -21,16 +21,29 @@ from pyspark.sql import functions as F
 
 def key_profile(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
     """Top-k heaviest keys: (key, n, share, rank).  ``share`` is the
-    key's fraction of all rows, rounded to 6 places."""
+    key's fraction of all rows, rounded to 6 places.
+
+    The denominator (total rows = sum of all per-key counts) rides as a
+    broadcast single-row ``count(*)`` branch over the source — a
+    scan-only metadata pass, no shuffle and no driver ``.first()`` — so
+    the profile is ONE lazy job instead of a construction-time action
+    plus a query."""
     counts = df.groupBy(F.col(key_col).alias("key")).agg(
         F.count("*").alias("n")
     )
-    total = counts.agg(F.sum("n")).first()[0] or 1
+    total_df = df.agg(F.count("*").alias("_total"))
     topk = counts.orderBy(F.col("n").desc(), F.col("key")).limit(k)
     rank = F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("key")))
-    return topk.select(
-        "key",
-        "n",
-        F.round(F.col("n") / F.lit(float(total)), 6).alias("share"),
-        rank.cast("long").alias("rank"),
+    return (
+        topk.crossJoin(F.broadcast(total_df))
+        .select(
+            "key",
+            "n",
+            F.round(
+                F.col("n")
+                / F.greatest(F.col("_total"), F.lit(1)).cast("double"),
+                6,
+            ).alias("share"),
+            rank.cast("long").alias("rank"),
+        )
     )

@@ -390,7 +390,18 @@ def run_with_resume(
         fp_out = os.path.join(output_dir, "fingerprints")
         docs_out_path = os.path.join(output_dir, "docs")
         need = _stage_coverage(fp_out, turns_out, run_buckets)
-        if need and os.path.exists(docs_out_path):
+        if need and not os.path.exists(docs_out_path):
+            # a silent no-op here would let the global cluster rewrite
+            # below publish clusters from a stale/partial fingerprint
+            # table — fail loudly instead (the docs table is written by
+            # every normal run; its absence means a corrupted output dir)
+            raise RuntimeError(
+                f"dedup stage needs fingerprints for buckets {sorted(need)[:8]}"
+                f"{'…' if len(need) > 8 else ''} but {docs_out_path} is "
+                "missing; refusing to publish dup_clusters from a stale "
+                "fingerprint table (re-run extraction or pass force=True)"
+            )
+        if need:
             d = spark.read.parquet(docs_out_path).filter(
                 F.col("part_hash").isin(need)
             )
@@ -438,7 +449,15 @@ def run_with_resume(
         sig_out = os.path.join(output_dir, "signatures")
         docs_out_path = os.path.join(output_dir, "docs")
         need = _stage_coverage(sig_out, turns_out, run_buckets)
-        if need and os.path.exists(docs_out_path):
+        if need and not os.path.exists(docs_out_path):
+            # same stale-publish hazard as the dedup stage above
+            raise RuntimeError(
+                f"near-dup stage needs signatures for buckets "
+                f"{sorted(need)[:8]}{'…' if len(need) > 8 else ''} but "
+                f"{docs_out_path} is missing; refusing to publish "
+                "near_dup_clusters from a stale signature table"
+            )
+        if need:
             d = spark.read.parquet(docs_out_path).filter(
                 F.col("part_hash").isin(need)
             )

@@ -149,6 +149,17 @@ def write_clustered(
     )
 
 
+# Python str.isspace()'s exact character set, spelled as LITERAL chars
+# (ranges included) so one class string is valid in Java regex (Spark
+# rlike), RE2 (DuckDB regexp_matches) and Python re alike — none of
+# their \s escapes covers the non-ASCII members (NBSP, NEL, ogham,
+# en/em spaces, LS/PS, NNBSP, MMSP, ideographic space).
+PY_WS_CLASS = (
+    "[\t-\r \x1c-\x1f\x85\xa0\u1680\u2000-\u200a"
+    "\u2028\u2029\u202f\u205f\u3000]"
+)
+
+
 def quarantine(transcripts: DataFrame) -> DataFrame:
     """Error channel for malformed payloads — the batch analog of the
     reference's per-page error-marker semantics (translate stage,
@@ -167,9 +178,12 @@ def quarantine(transcripts: DataFrame) -> DataFrame:
         "conv_id", "turn_idx", "text", md.alias("markdown")
     )
     # blank must match the parser's KIND_EMPTY rule (Python str.strip):
-    # Spark's trim() removes ASCII spaces only, so a "\n\t " payload
-    # would misclassify as empty_extraction instead of empty_payload
-    blank = F.col("text").isNull() | F.col("text").rlike(r"^\s*$")
+    # both Java's and RE2's \s are ASCII-only, so PY_WS_CLASS spells the
+    # full Python-isspace set as literal characters — the same class
+    # string works verbatim in Spark rlike and the DuckDB oracle
+    blank = F.col("text").isNull() | F.col("text").rlike(
+        f"^{PY_WS_CLASS}*$"
+    )
     reason = (
         F.when(blank, F.lit("empty_payload"))
         .when(F.length("markdown") == 0, F.lit("empty_extraction"))

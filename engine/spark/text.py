@@ -256,10 +256,13 @@ def tfidf_top_terms(
     ``max_df_ratio`` of documents (stopwords — exactly the hot keys that
     would skew the term join) are dropped *before* the join, the same
     df-cap pattern as ``dedup.ngram_jaccard_pairs``.  The final top-k is
-    a bounded window per doc_id, never a global sort."""
+    a bounded window per doc_id, never a global sort.  The corpus size N
+    rides as a broadcast single-row aggregate (scan-only count branch,
+    no shuffle), not a driver ``.count()``, so plan construction stays
+    lazy and the whole query is ONE timed/schedulable job."""
     from pyspark.sql import Window
 
-    n_docs = docs.count()  # one metadata-cheap pass, reused as a literal
+    n_docs_df = docs.agg(F.count("*").alias("_n_docs"))
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
@@ -270,14 +273,19 @@ def tfidf_top_terms(
     df = (
         tf.groupBy("term")
         .agg(F.count("*").alias("df"))
-        .where(F.col("df") <= int(max_df_ratio * n_docs))
+        .crossJoin(F.broadcast(n_docs_df))
+        # floor() matches the former int(max_df_ratio * n_docs)
+        .where(F.col("df") <= F.floor(F.lit(max_df_ratio) * F.col("_n_docs")))
     )
     scored = tf.join(df, "term").select(
         "doc_id",
         "term",
         "tf",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
-        .alias("tfidf"),
+        F.round(
+            F.col("tf")
+            * F.log(F.col("_n_docs").cast("double") / F.col("df")),
+            6,
+        ).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("term").asc()

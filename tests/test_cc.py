@@ -76,6 +76,31 @@ def test_cc_vs_union_find(spark):
     assert got == want
 
 
+def test_cc_durable_checkpoint_identical(spark, tmp_path):
+    """The production fault-tolerant variant (reliable .checkpoint() via
+    a durable dir, VERDICT r3 next #5) must yield byte-identical labels
+    to the localCheckpoint default."""
+    edges = _composite_edges()
+    df = spark.createDataFrame(edges, "doc_a: long, doc_b: long")
+    local = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(df).collect()
+    }
+    durable = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(
+            df, checkpoint_dir=str(tmp_path / "cc_ckpt")
+        ).collect()
+    }
+    assert durable == local
+    # the durable run must have actually materialised checkpoint data
+    import os
+    hit = False
+    for root, _, files in os.walk(tmp_path / "cc_ckpt"):
+        hit = hit or bool(files)
+    assert hit, "no checkpoint files written under checkpoint_dir"
+
+
 def test_dup_clusters_includes_singletons(spark):
     docs = spark.createDataFrame(
         [(i, "t") for i in range(10)], "doc_id: long, text: string"

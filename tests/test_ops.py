@@ -76,6 +76,26 @@ def test_minhash_lsh_planted(spark):
     assert (0, 2) in by_pair and by_pair[(0, 2)] > 0.3
 
 
+def test_minhash_incremental_broadcast_fallback_parity(spark):
+    """broadcast_new=False (the oversized-daily-batch fallback,
+    ADVICE r3) must yield the identical candidate pair set and
+    estimates as the default broadcast probe."""
+    docs = _planted_docs(spark)
+    new = docs.filter(F.col("doc_id") <= 1)
+    corpus = docs.filter(F.col("doc_id") >= 2)
+
+    def rows(b):
+        out = dedup.minhash_incremental_pairs(
+            new, corpus, num_perm=32, bands=16, broadcast_new=b
+        ).collect()
+        return sorted(
+            (r["doc_a"], r["doc_b"], r["est_jaccard"], r["pair_type"])
+            for r in out
+        )
+
+    assert rows(True) == rows(False)
+
+
 def test_simhash_planted(spark):
     pairs = dedup.simhash_pairs(_planted_docs(spark), max_hamming=16).collect()
     by_pair = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs}
