@@ -2472,6 +2472,213 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_extract_markdown(spark, "/root/testdata/sf0.001")
 
 
+# ---------------------------------------------------------------------------
+# Round-4 additions: the LLM-training-data preparation quartet + the
+# decontamination screen — each a Catalyst-only construction with an
+# exact DuckDB twin.
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction with per-doc counts: emails, IPv4, phone-like
+    runs replaced by typed placeholders.  Zero-shuffle projection —
+    three regexp_count + three regexp_replace in whole-stage codegen;
+    patterns are shared verbatim with the oracle (Java-regex ∩ RE2)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(
+        [
+            (9000001, "contact bob@example.com or +1 (555) 123-4567 today"),
+            (9000002, "server at 10.0.0.1 mailed alice.smith+x@sub.example.org"),
+            (9000003, "no pii here at all"),
+            (9000004, "dial 555 867 5309 twice: 555 867 5309"),
+        ],
+        "doc_id: long, text: string",
+    )
+    return etext.pii_scrub(d.unionByName(planted))
+
+
+SQL_PII_SCRUB = f"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    (9000001, 'contact bob@example.com or +1 (555) 123-4567 today'),
+    (9000002, 'server at 10.0.0.1 mailed alice.smith+x@sub.example.org'),
+    (9000003, 'no pii here at all'),
+    (9000004, 'dial 555 867 5309 twice: 555 867 5309')
+  ) v(doc_id, text)
+), e AS (
+  SELECT doc_id,
+         regexp_replace(text, '{etext.PII_EMAIL}', '<EMAIL>', 'g') AS t1,
+         len(regexp_extract_all(text, '{etext.PII_EMAIL}'))::BIGINT AS n_emails
+  FROM src
+), i AS (
+  SELECT doc_id, regexp_replace(t1, '{etext.PII_IPV4}', '<IP>', 'g') AS t2,
+         n_emails,
+         len(regexp_extract_all(t1, '{etext.PII_IPV4}'))::BIGINT AS n_ips
+  FROM e
+)
+SELECT doc_id,
+       regexp_replace(t2, '{etext.PII_PHONE}', '<PHONE>', 'g') AS clean_text,
+       n_emails, n_ips,
+       len(regexp_extract_all(t2, '{etext.PII_PHONE}'))::BIGINT AS n_phones
+FROM i
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition quality signals: duplicate-token and
+    duplicate-bigram fractions + heaviest-token share, per document."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(
+        [
+            (9000001, "spam spam spam spam spam spam"),
+            (9000002, "one two three four five six seven eight"),
+        ],
+        "doc_id: long, text: string",
+    )
+    return etext.repetition_stats(d.unionByName(planted))
+
+
+SQL_REPETITION_STATS = r"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    (9000001, 'spam spam spam spam spam spam'),
+    (9000002, 'one two three four five six seven eight')
+  ) v(doc_id, text)
+), tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM src
+), pt AS (
+  SELECT doc_id, tok, count(*) AS c FROM tok WHERE tok <> ''
+  GROUP BY 1, 2
+), st AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct,
+         max(c) AS top_c
+  FROM pt GROUP BY 1
+), tg AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM src
+), g AS (
+  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS shingle
+  FROM tg, UNNEST(range(1, greatest(len(t) - 2, 0) + 2)) AS r(i)
+), bg AS (
+  SELECT doc_id, count(DISTINCT shingle) AS n_distinct_bigrams
+  FROM g GROUP BY 1
+)
+SELECT st.doc_id, n_tokens, n_distinct,
+       round(n_distinct / n_tokens::DOUBLE, 6) AS distinct_ratio,
+       round(top_c / n_tokens::DOUBLE, 6) AS top_share,
+       CASE WHEN n_tokens > 1
+            THEN round(1 - n_distinct_bigrams / (n_tokens - 1)::DOUBLE, 6)
+       END AS dup_bigram_ratio
+FROM st LEFT JOIN bg ON st.doc_id = bg.doc_id
+"""
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (64-token windows, 16-token overlap) for
+    context-length-bounded training — zero-shuffle generate-projection."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text").where(
+        F.col("doc_id") < 200
+    )
+    return etext.doc_chunks(d, chunk_tokens=64, overlap=16)
+
+
+SQL_DOC_CHUNKS = r"""
+WITH tokd AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE doc_id < 200
+), nn AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) = 1 AND t[1] = '' THEN 0 ELSE len(t) END AS n
+  FROM tokd
+), c AS (
+  SELECT doc_id, t, n, i AS chunk_idx
+  FROM nn,
+       UNNEST(range(0, 1 + ceil(greatest(n - 64, 0) / 48.0)::INT)) AS r(i)
+)
+SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+       array_to_string(t[chunk_idx*48 + 1 : chunk_idx*48 + 64], ' ')
+         AS chunk_text,
+       least(64, greatest(n - chunk_idx*48, 0))::BIGINT AS n_tokens
+FROM c
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic next-fit sequence packing into 512-token bins
+    within bounded (source, doc_id % 8) window partitions — the
+    hot-key-safe batch-construction pass."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return etext.pack_sequences(d, capacity=512, n_buckets=8)
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH base AS (
+  SELECT doc_id, source, (doc_id % 8)::INT AS bucket,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+         END::BIGINT AS n_tokens
+  FROM documents
+)
+SELECT doc_id, source, bucket,
+       floor((sum(n_tokens) OVER (PARTITION BY source, bucket
+                                  ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens)
+             / 512.0)::BIGINT AS bin_id,
+       n_tokens
+FROM base
+"""
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing an 8-token gram
+    with a (broadcast) benchmark set.  The benchmark is derived
+    deterministically from the corpus itself (first 20 tokens of docs
+    3 and 7, re-keyed +1000000) so both engines construct the identical
+    eval set and the planted leakage is guaranteed."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    bench = d.where(F.col("doc_id").isin(3, 7)).select(
+        (F.col("doc_id") + 1000000).alias("bench_id"),
+        F.array_join(F.slice(toks, 1, 20), " ").alias("text"),
+    )
+    return dedup.contamination_screen(d, bench, n=8)
+
+
+SQL_CONTAMINATION = r"""
+WITH bench AS (
+  SELECT doc_id + 1000000 AS bench_id,
+         array_to_string(regexp_split_to_array(trim(lower(text)), '\s+')[1:20],
+                         ' ') AS text
+  FROM documents WHERE doc_id IN (3, 7)
+), bt AS (
+  SELECT bench_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM bench
+), bgr AS (
+  SELECT bench_id, array_to_string(t[i:i+7], ' ') AS shingle
+  FROM bt, UNNEST(range(1, greatest(len(t) - 8, 0) + 2)) AS r(i)
+), bg AS (
+  SELECT DISTINCT bench_id, shingle FROM bgr
+), dt AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+), dgr AS (
+  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS shingle
+  FROM dt, UNNEST(range(1, greatest(len(t) - 8, 0) + 2)) AS r(i)
+), dg AS (
+  SELECT DISTINCT doc_id, shingle FROM dgr
+)
+SELECT dg.doc_id, bg.bench_id, count(*)::BIGINT AS n_shared
+FROM dg JOIN bg USING (shingle)
+WHERE dg.doc_id <> bg.bench_id
+GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples the
     # first 50 keys, so entries are sorted by driver-coverage recency —
@@ -2490,6 +2697,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_pivot": q_event_type_pivot,
         "stream_event_counts_append": q_stream_event_counts_append,
         "stream_stream_join": q_stream_stream_join,
+        # -- new in round 4 (never driver-checked yet)
+        "pii_scrub": q_pii_scrub,
+        "repetition_stats": q_repetition_stats,
+        "doc_chunks": q_doc_chunks,
+        "pack_sequences": q_pack_sequences,
+        "contamination": q_contamination,
         # -- last driver row was round 2
         "simhash": q_simhash,
         "lsh_ann": q_lsh_ann,
@@ -2569,6 +2782,12 @@ def oracle_sql() -> dict[str, str]:
         "event_type_pivot": SQL_EVENT_TYPE_PIVOT,
         "stream_event_counts_append": SQL_STREAM_EVENT_COUNTS_APPEND,
         "stream_stream_join": SQL_STREAM_STREAM_JOIN,
+        # -- new in round 4
+        "pii_scrub": SQL_PII_SCRUB,
+        "repetition_stats": SQL_REPETITION_STATS,
+        "doc_chunks": SQL_DOC_CHUNKS,
+        "pack_sequences": SQL_PACK_SEQUENCES,
+        "contamination": SQL_CONTAMINATION,
         # -- last driver row was round 2
         "simhash": SQL_SIMHASH,
         "lsh_ann": SQL_LSH_ANN,

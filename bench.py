@@ -338,6 +338,12 @@ RELATIONAL = [
     "extraction_report",
     "wav_features",
     "variant_fields",
+    # round-4 additions (training-data prep quartet + decontamination)
+    "pii_scrub",
+    "repetition_stats",
+    "doc_chunks",
+    "pack_sequences",
+    "contamination",
 ]
 
 

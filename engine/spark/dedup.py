@@ -652,3 +652,48 @@ def canonical_docs(
             "n_members",
         )
     )
+
+
+# ------------------------------------------------ contamination screen
+def contamination_screen(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination screen for training corpora: find corpus
+    documents sharing at least one distinct ``n``-gram with any document
+    of a (small) benchmark/eval set — the standard decontamination pass
+    run before training (long grams ≈ verbatim leakage; n=8 means an
+    8-token exact overlap, far beyond chance on natural text).
+
+    ``benchmark`` must carry (bench_id, <text_col>).  Output:
+    (doc_id, bench_id, n_shared) with n_shared = count of distinct
+    shared n-grams; self-pairs (doc_id == bench_id) are excluded so a
+    benchmark derived from the corpus itself doesn't flag every source
+    row.
+
+    Scale shape: the corpus side is a streamed shingle projection
+    (word_shingles' materialized-array gram builder, no shuffle before
+    the join); the benchmark side is tiny by definition and explicitly
+    broadcast, so the probe is a map-side BroadcastHashJoin — the
+    corpus is NEVER shuffled and no pairwise corpus×corpus product
+    exists.  The only exchange is the final groupBy on (doc_id,
+    bench_id), whose input is just the matching shingles."""
+    d = word_shingles(docs, n, text_col)
+    b = (
+        word_shingles(
+            benchmark.select(
+                F.col("bench_id").alias("doc_id"), F.col(text_col)
+            ),
+            n,
+            text_col,
+        )
+        .select(F.col("doc_id").alias("bench_id"), "shingle")
+    )
+    return (
+        d.join(F.broadcast(b), "shingle")
+        .where(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+    )

@@ -295,3 +295,213 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "tfidf", "rank")
     )
+
+
+# ----------------------------------------------------------- PII scrub
+# Redaction patterns shared VERBATIM with the DuckDB oracle: every
+# construct here ( \b, {m,n}, character classes ) means the same thing
+# in Java regex and RE2, so the two engines cannot drift.  Deliberately
+# conservative (no lookaround — RE2 has none) and anchored on digits/@
+# so the false-positive surface on prose is small.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+?[0-9][0-9() -]{6,}[0-9]"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-data PII redaction: emails, IPv4 addresses and
+    phone-like digit runs replaced with typed placeholder tokens, with
+    per-document redaction counts for pipeline monitoring.
+
+    Order matters and is part of the contract: emails first (their
+    local/domain parts may contain digits a later pass would chew),
+    then IPs (dotted quads — the phone class has no '.' so the reverse
+    order would also work, but the fixed order keeps the oracle exact),
+    then phones over the already-redacted text.
+
+    Scale shape: a zero-shuffle projection — three regexp_count + three
+    regexp_replace, all inside whole-stage codegen; at 100 TB this is a
+    pure map over the scan with no Python anywhere."""
+    t = F.col(text_col)
+    after_email = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, PII_IPV4, "<IP>")
+    clean = F.regexp_replace(after_ip, PII_PHONE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.regexp_count(t, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(after_email, F.lit(PII_IPV4))
+        .cast("long")
+        .alias("n_ips"),
+        F.regexp_count(after_ip, F.lit(PII_PHONE))
+        .cast("long")
+        .alias("n_phones"),
+    )
+
+
+# ------------------------------------------------------ repetition stats
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition-based quality signals — the standard web-corpus
+    filters (Gopher/C4 style): duplicate-token and duplicate-bigram
+    fractions plus the heaviest single token's share of the document.
+
+    Columns: (doc_id, n_tokens, n_distinct, distinct_ratio, top_share,
+    dup_bigram_ratio), ratios rounded to 6 places; empty docs yield
+    n_tokens=0 and NULL ratios.
+
+    Scale shape: one explode + ONE map-side-combined two-level
+    aggregation keyed by doc_id (token counts, then per-doc stats), and
+    a distinct-bigram aggregation reusing dedup.word_shingles' gram
+    builder; both shuffles are on doc_id, so data volume after the
+    partial agg is O(distinct tokens per doc), not O(corpus tokens)."""
+    from engine.spark import dedup as _dedup
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("tok"),
+    ).where(F.col("tok") != "")
+    per_tok = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    stats = per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    bigrams = (
+        _dedup.word_shingles(docs, n=2, text_col=text_col)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_distinct_bigrams"))
+    )
+    return (
+        stats.join(bigrams, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias(
+                "distinct_ratio"
+            ),
+            F.round(F.col("top_c") / F.col("n_tokens"), 6).alias("top_share"),
+            F.when(
+                F.col("n_tokens") > 1,
+                F.round(
+                    1
+                    - F.col("n_distinct_bigrams")
+                    / (F.col("n_tokens") - 1),
+                    6,
+                ),
+            ).alias("dup_bigram_ratio"),
+        )
+    )
+
+
+# --------------------------------------------------------- doc chunking
+def doc_chunks(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking for context-length-bounded
+    training: token windows of ``chunk_tokens`` advancing by
+    ``chunk_tokens - overlap``, last window allowed short, every doc
+    yielding at least one chunk.
+
+    Columns: (doc_id, chunk_idx, chunk_text, n_tokens).
+
+    Scale shape: zero shuffle — split once into a materialized token
+    array (NOT inside a higher-order-function lambda; see
+    dedup.word_shingles for the measured O(tokens²) trap), posexplode a
+    chunk-index sequence, then one slice + array_join per chunk.  At
+    100 TB this is a pure generate-projection over the scan; output
+    rows ≈ input tokens / stride."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    tokd = docs.select(
+        "doc_id",
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_toks"),
+    ).withColumn(
+        "_n",
+        F.when(
+            (F.size("_toks") == 1) & (F.element_at("_toks", 1) == ""),
+            F.lit(0),
+        ).otherwise(F.size("_toks")),
+    )
+    # number of windows: 1 + ceil(max(n - chunk, 0) / stride)
+    n_chunks = 1 + F.ceil(
+        F.greatest(F.col("_n") - chunk_tokens, F.lit(0))
+        / F.lit(stride)
+    ).cast("int")
+    exploded = tokd.select(
+        "doc_id",
+        "_toks",
+        "_n",
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias(
+            "chunk_idx", "_i"
+        ),
+    )
+    start = F.col("chunk_idx") * stride  # 0-based
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.array_join(
+            F.slice(F.col("_toks"), start + 1, chunk_tokens), " "
+        ).alias("chunk_text"),
+        F.least(
+            F.lit(chunk_tokens), F.greatest(F.col("_n") - start, F.lit(0))
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
+# ------------------------------------------------------ sequence packing
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = 512,
+    n_buckets: int = 8,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic next-fit sequence packing: assign documents to
+    fixed-token-capacity bins (training micro-batches) via a cumulative
+    token sum — bin_id = floor((cumsum - n_tokens) / capacity) within
+    each (group, bucket), ordered by doc_id.
+
+    Deliberately NEXT-FIT, not first-fit-decreasing: next-fit is a pure
+    window function (one shuffle, no iteration), its waste is bounded
+    (each bin except the last is > capacity/2 full when items ≤
+    capacity), and it is exactly expressible in ANSI SQL, so the DuckDB
+    oracle pins it bit-for-bit.
+
+    Hot-key shape (same two-phase idea as joins.asof_join): the window
+    partition is (group, doc_id % n_buckets), never the whole group, so
+    a group holding 10^10 docs spreads over n_buckets bounded sort
+    partitions instead of serializing one reducer; bins are independent
+    per bucket (bin ids only unique per (group, bucket))."""
+    t = F.col(text_col)
+    from pyspark.sql import Window
+
+    base = docs.select(
+        "doc_id",
+        F.col(group_col).alias("grp"),
+        F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int").alias("bucket"),
+        ws_token_count(t).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("grp", "bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        "doc_id",
+        F.col("grp").alias(group_col),
+        "bucket",
+        F.floor((cum - F.col("n_tokens")) / capacity)
+        .cast("long")
+        .alias("bin_id"),
+        "n_tokens",
+    )

@@ -90,3 +90,53 @@ def test_key_profile_planted_hot_key(spark):
     # remaining keys are uniform (10 rows each); ties break by key asc
     assert (prof[1]["key"], prof[2]["key"]) == (0, 1)
     assert prof[1]["n"] == 10
+
+
+def _avg_span(path, col):
+    """Mean fraction of the column's global domain each file covers —
+    the direct proxy for min/max pruning power (lower = more prunable)."""
+    ranges = _file_ranges(path, col)
+    glo = min(lo for lo, _ in ranges)
+    ghi = max(hi for _, hi in ranges)
+    dom = max(ghi - glo, 1)
+    return sum((hi - lo) / dom for lo, hi in ranges) / len(ranges)
+
+
+def test_write_zordered_prunes_both_dimensions(spark):
+    """Morton layout: every file covers a small rectangle of the 2-D
+    key space, so min/max stats prune on EITHER column; a single-key
+    sorted write leaves the second column unprunable (its per-file
+    spans cover ~the whole domain)."""
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    tmp = tempfile.mkdtemp(prefix="layout_z_")
+    try:
+        pipeline.write_zordered(
+            events, f"{tmp}/z", cols=("user_id", "event_id"), n_files=16
+        )
+        z_user = _avg_span(f"{tmp}/z", "user_id")
+        z_event = _avg_span(f"{tmp}/z", "event_id")
+        # both dims bounded: each file covers a fraction of each domain
+        assert z_user < 0.6, z_user
+        assert z_event < 0.6, z_event
+
+        pipeline.write_clustered(
+            events, f"{tmp}/sorted", order_cols=("event_id",), n_files=16
+        )
+        s_user = _avg_span(f"{tmp}/sorted", "user_id")
+        s_event = _avg_span(f"{tmp}/sorted", "event_id")
+        # the single-key layout is tighter on ITS key ...
+        assert s_event < z_event
+        # ... but useless on the other: z-order must beat it decisively
+        assert s_user > 0.9, s_user
+        assert z_user < s_user / 1.5
+
+        # same rows either way
+        a = spark.read.parquet(f"{tmp}/z").agg(
+            F.count("*"), F.sum("event_id"), F.sum("user_id")
+        ).first()
+        b = events.agg(
+            F.count("*"), F.sum("event_id"), F.sum("user_id")
+        ).first()
+        assert tuple(a) == tuple(b)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

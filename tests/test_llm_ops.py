@@ -1,0 +1,192 @@
+"""Unit tests for the round-4 training-data preparation operators:
+PII scrub, repetition stats, sliding-window chunking, next-fit sequence
+packing, and the benchmark-contamination screen.  Hand-computed
+expectations — independent of both engines."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine.spark import dedup
+from engine.spark import text as etext
+from engine.spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(cores=4, shuffle_partitions=8, app="engine-tests")
+    yield s
+    s.stop()
+
+
+# ------------------------------------------------------------- PII scrub
+
+
+def test_pii_scrub_planted(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob@example.com or +1 (555) 123-4567 today"),
+            (2, "server at 10.0.0.1 mailed alice.smith+x@sub.example.org"),
+            (3, "no pii here at all"),
+            (4, "dial 555 867 5309 twice: 555 867 5309"),
+        ],
+        "doc_id: long, text: string",
+    )
+    rows = {r["doc_id"]: r for r in etext.pii_scrub(docs).collect()}
+    r1 = rows[1]
+    assert "<EMAIL>" in r1["clean_text"] and "<PHONE>" in r1["clean_text"]
+    assert "bob@example.com" not in r1["clean_text"]
+    assert (r1["n_emails"], r1["n_ips"], r1["n_phones"]) == (1, 0, 1)
+    r2 = rows[2]
+    assert "<IP>" in r2["clean_text"] and "<EMAIL>" in r2["clean_text"]
+    assert (r2["n_emails"], r2["n_ips"], r2["n_phones"]) == (1, 1, 0)
+    r3 = rows[3]
+    assert r3["clean_text"] == "no pii here at all"
+    assert (r3["n_emails"], r3["n_ips"], r3["n_phones"]) == (0, 0, 0)
+    r4 = rows[4]
+    assert r4["n_phones"] == 2 and r4["clean_text"].count("<PHONE>") == 2
+
+
+def test_pii_scrub_email_digits_not_rescrubbed(spark):
+    """The order contract: an address whose local part is digit-heavy
+    must be redacted as ONE email, not leave digit shrapnel for the
+    phone pass."""
+    docs = spark.createDataFrame(
+        [(1, "mail 5551234567@txt.example.net now")],
+        "doc_id: long, text: string",
+    )
+    r = etext.pii_scrub(docs).collect()[0]
+    assert r["n_emails"] == 1 and r["n_phones"] == 0
+    assert r["clean_text"] == "mail <EMAIL> now"
+
+
+# ------------------------------------------------------- repetition stats
+
+
+def test_repetition_stats_planted(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "one two three four five six seven eight"),
+        ],
+        "doc_id: long, text: string",
+    )
+    rows = {r["doc_id"]: r for r in etext.repetition_stats(docs).collect()}
+    r1 = rows[1]
+    assert r1["n_tokens"] == 6 and r1["n_distinct"] == 1
+    assert r1["top_share"] == 1.0
+    # 5 bigram positions, 1 distinct bigram → 1 - 1/5
+    assert r1["dup_bigram_ratio"] == 0.8
+    r2 = rows[2]
+    assert r2["n_tokens"] == 8 and r2["n_distinct"] == 8
+    assert r2["distinct_ratio"] == 1.0
+    assert r2["top_share"] == 0.125
+    assert r2["dup_bigram_ratio"] == 0.0
+
+
+# ------------------------------------------------------------- chunking
+
+
+def test_doc_chunks_windows(spark):
+    toks = [f"t{i:03d}" for i in range(100)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, " ".join(toks[:64])), (3, "")],
+        "doc_id: long, text: string",
+    )
+    out = etext.doc_chunks(docs, chunk_tokens=64, overlap=16)
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): r for r in out.collect()
+    }
+    # 100 tokens, stride 48 → chunks at 0 and 48
+    assert (1, 0) in rows and (1, 1) in rows and (1, 2) not in rows
+    assert rows[(1, 0)]["n_tokens"] == 64
+    assert rows[(1, 0)]["chunk_text"].split() == toks[:64]
+    assert rows[(1, 1)]["n_tokens"] == 52
+    assert rows[(1, 1)]["chunk_text"].split() == toks[48:100]
+    # overlap: last 16 of chunk 0 == first 16 of chunk 1
+    assert (
+        rows[(1, 0)]["chunk_text"].split()[48:]
+        == rows[(1, 1)]["chunk_text"].split()[:16]
+    )
+    # exactly-one-window doc
+    assert (2, 0) in rows and (2, 1) not in rows
+    assert rows[(2, 0)]["n_tokens"] == 64
+    # empty doc still yields one (empty) chunk
+    assert rows[(3, 0)]["n_tokens"] == 0
+    assert rows[(3, 0)]["chunk_text"] == ""
+
+
+def test_doc_chunks_rejects_bad_overlap(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id: long, text: string")
+    with pytest.raises(ValueError):
+        etext.doc_chunks(docs, chunk_tokens=8, overlap=8)
+
+
+# ------------------------------------------------------------- packing
+
+
+def test_pack_sequences_next_fit(spark):
+    # one source, n_buckets=1 → pure next-fit over doc_id order
+    docs = spark.createDataFrame(
+        [
+            (1, "web", " ".join(["w"] * 300)),
+            (2, "web", " ".join(["w"] * 300)),
+            (3, "web", " ".join(["w"] * 300)),
+            (4, "web", " ".join(["w"] * 600)),
+        ],
+        "doc_id: long, source: string, text: string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in etext.pack_sequences(
+            docs, capacity=512, n_buckets=1
+        ).collect()
+    }
+    # cumsum-starts: 0, 300, 600, 900 → bins 0, 0, 1, 1
+    assert [out[i]["bin_id"] for i in (1, 2, 3, 4)] == [0, 0, 1, 1]
+    assert all(out[i]["bucket"] == 0 for i in (1, 2, 3, 4))
+
+
+def test_pack_sequences_bucketed_partitions(spark):
+    """Buckets split a source into independent next-fit streams — every
+    doc appears once, bin ids are per (source, bucket)."""
+    docs = spark.createDataFrame(
+        [(i, "web", " ".join(["w"] * 100)) for i in range(16)],
+        "doc_id: long, source: string, text: string",
+    )
+    out = etext.pack_sequences(docs, capacity=512, n_buckets=4).collect()
+    assert len(out) == 16
+    for r in out:
+        assert r["bucket"] == r["doc_id"] % 4
+        # 4 docs per bucket × 100 tokens < 512 → everything in bin 0
+        assert r["bin_id"] == 0
+
+
+# --------------------------------------------------------- contamination
+
+
+def test_contamination_screen_planted(spark):
+    bench_text = " ".join(f"bench{i:02d}" for i in range(12))
+    clean_text = " ".join(f"clean{i:02d}" for i in range(30))
+    leaked = clean_text + " " + bench_text  # contains the benchmark verbatim
+    docs = spark.createDataFrame(
+        [(1, leaked), (2, clean_text), (3, bench_text)],
+        "doc_id: long, text: string",
+    )
+    bench = spark.createDataFrame(
+        [(100, bench_text)], "bench_id: long, text: string"
+    )
+    rows = dedup.contamination_screen(docs, bench, n=8).collect()
+    got = {(r["doc_id"], r["bench_id"]): r["n_shared"] for r in rows}
+    # doc 1 embeds the 12-token benchmark → all 5 of its 8-grams shared
+    assert got[(1, 100)] == 5
+    # doc 3 IS the benchmark text (distinct id) → flagged too
+    assert got[(3, 100)] == 5
+    # doc 2 shares nothing
+    assert (2, 100) not in got
+
+
+def test_contamination_screen_excludes_self(spark):
+    text = " ".join(f"x{i:02d}" for i in range(20))
+    docs = spark.createDataFrame([(7, text)], "doc_id: long, text: string")
+    bench = docs.select(F.col("doc_id").alias("bench_id"), "text")
+    assert dedup.contamination_screen(docs, bench, n=8).count() == 0

@@ -333,3 +333,43 @@ def test_dynamic_partition_pruning(spark, tmp_path_factory):
     q = f.join(d, "part_hash").agg(F.sum("v"))
     plan = _plan(q)
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_pii_scrub_zero_shuffle(spark):
+    """PII redaction is a pure projection: no exchange anywhere, no
+    Python eval — three regexp passes inside codegen."""
+    q = entry_mod.q_pii_scrub(spark, SF_DIR)
+    plan = _plan(q)
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_doc_chunks_zero_shuffle(spark):
+    """Chunking is scan → generate → project: no exchange, and the
+    token array is materialized once (no O(tokens²) re-split)."""
+    q = entry_mod.q_doc_chunks(spark, SF_DIR)
+    plan = _plan(q)
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan, plan
+
+
+def test_pack_sequences_single_bounded_window_exchange(spark):
+    """Packing = exactly one hash exchange on the bounded (source,
+    bucket) window partition — never a global sort or a single-reducer
+    window over a whole source."""
+    q = entry_mod.q_pack_sequences(spark, SF_DIR)
+    plan = _plan(q)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "bucket" in plan, plan  # the window key includes the salt bucket
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """The corpus side must stream into a BroadcastHashJoin against the
+    tiny benchmark shingle set — the corpus is never shuffled for the
+    probe, and nothing is a cartesian product."""
+    q = entry_mod.q_contamination(spark, SF_DIR)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
