@@ -2478,6 +2478,44 @@ def entry(spark: SparkSession) -> DataFrame:
 # exact DuckDB twin.
 
 
+def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup against a persisted corpus band store
+    (dedup.band_table + foreachBatch probe, streaming.stream_near_dup):
+    the SAME new docs as q_minhash_incremental, deliberately split
+    across TWO micro-batches — the accumulating band store must make
+    the split invisible (cross-batch new×new pairs typed new_new), so
+    this shares SQL_MINHASH_INCREMENTAL verbatim."""
+    import shutil
+
+    from engine.spark import streaming
+
+    old = _doubled_docs(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select(
+        "doc_id", "text"
+    )
+    batch1 = d.select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    batch2 = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 2100000).alias("doc_id"), "text"
+    )
+    src = tempfile.mkdtemp(prefix="snd_src_")
+    # one file per write => maxFilesPerTrigger=1 makes them two batches
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    ckpt = tempfile.mkdtemp(prefix="snd_ckpt_")
+    outp = tempfile.mkdtemp(prefix="snd_out_")
+    store = tempfile.mkdtemp(prefix="snd_store_")
+    shutil.rmtree(outp)
+    shutil.rmtree(store)
+    streaming.stream_near_dup(
+        spark, src, old, ckpt, outp, store, num_perm=32, bands=16
+    )
+    return (
+        spark.read.parquet(outp)
+        .dropDuplicates(["doc_a", "doc_b"])
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction with per-doc counts: emails, IPv4, phone-like
     runs replaced by typed placeholders.  Zero-shuffle projection —
@@ -2703,6 +2741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "pack_sequences": q_pack_sequences,
         "contamination": q_contamination,
+        "stream_near_dup": q_stream_near_dup,
         # -- last driver row was round 2
         "simhash": q_simhash,
         "lsh_ann": q_lsh_ann,
@@ -2788,6 +2827,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": SQL_DOC_CHUNKS,
         "pack_sequences": SQL_PACK_SEQUENCES,
         "contamination": SQL_CONTAMINATION,
+        "stream_near_dup": SQL_MINHASH_INCREMENTAL,
         # -- last driver row was round 2
         "simhash": SQL_SIMHASH,
         "lsh_ann": SQL_LSH_ANN,

@@ -697,3 +697,98 @@ def contamination_screen(
         .groupBy("doc_id", "bench_id")
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+# ----------------------------------------- persisted-band incremental
+def band_table(
+    docs: DataFrame,
+    num_perm: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    fast_hash: bool = False,
+) -> DataFrame:
+    """The persistable LSH band table — exactly the structure
+    ``minhash_incremental_pairs`` derives on the fly from the corpus
+    (see its docstring: "in production the corpus band table is
+    precomputed and persisted").  One row per (doc, band) with the
+    band's bucket key and the full signature; write it once, then every
+    incremental/streaming ingest is a pure scan+probe with NO corpus
+    re-shingling."""
+    rows = num_perm // bands
+    return _band_explode(
+        minhash_signatures(docs, num_perm, n, text_col, fast_hash),
+        bands,
+        rows,
+    )
+
+
+def incremental_pairs_from_bands(
+    b_new: DataFrame,
+    b_old: DataFrame,
+    num_perm: int = 32,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Candidate pairs for a new banded batch against a PERSISTED band
+    store: new×new within the batch plus new×store via a (by default
+    broadcast) probe — the store is only ever streamed, never shuffled.
+
+    ``b_old`` must carry an ``origin`` column ('corpus' or 'stream'):
+    pairs against store rows that were THEMSELVES earlier stream
+    arrivals are typed 'new_new', so an incremental run split across
+    arbitrarily many batches yields the identical (pair, pair_type) set
+    as one big batch — the invariant the streaming near-dup test and
+    the shared batch oracle both pin.
+
+    Same output contract as ``minhash_incremental_pairs``."""
+    a = b_new.alias("a")
+    b = b_new.alias("b")
+    nn = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+            F.lit("new_new").alias("pair_type"),
+        )
+    )
+    probe = F.broadcast(b_new) if broadcast_new else b_new
+    o = b_old.alias("o")
+    no = (
+        probe.alias("a")
+        .join(
+            o,
+            (F.col("a.band") == F.col("o.band"))
+            & (F.col("a.bucket") == F.col("o.bucket"))
+            & (F.col("a.doc_id") != F.col("o.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("o.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("o.doc_id")).alias("doc_b"),
+            F.when(
+                F.col("a.doc_id") < F.col("o.doc_id"), F.col("a.sig")
+            ).otherwise(F.col("o.sig")).alias("sig_a"),
+            F.when(
+                F.col("a.doc_id") < F.col("o.doc_id"), F.col("o.sig")
+            ).otherwise(F.col("a.sig")).alias("sig_b"),
+            F.when(
+                F.col("o.origin") == "stream", F.lit("new_new")
+            ).otherwise(F.lit("new_corpus")).alias("pair_type"),
+        )
+    )
+    return (
+        nn.unionByName(no)
+        .dropDuplicates(["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            _est_jaccard(num_perm).alias("est_jaccard"),
+            "pair_type",
+        )
+    )

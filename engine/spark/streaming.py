@@ -541,3 +541,78 @@ def stream_quarantine(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_near_dup(
+    spark: SparkSession,
+    docs_path: str,
+    corpus_docs,
+    checkpoint_dir: str,
+    output_path: str,
+    band_store: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> None:
+    """Streaming near-duplicate screen against a persisted corpus — the
+    production shape of daily/continuous ingest dedup:
+
+      1. the corpus's LSH band table is computed ONCE and persisted to
+         ``band_store`` (``dedup.band_table``; origin='corpus');
+      2. each arriving micro-batch of documents is banded and probed
+         against the store via ``foreachBatch`` (new×new within the
+         batch + broadcast probe into the store scan — the store is
+         never shuffled, the corpus never re-shingled);
+      3. the batch's own bands are APPENDED to the store
+         (origin='stream'), so later batches pair against earlier
+         stream arrivals — a run split across any number of
+         micro-batches yields the identical pair set as one big batch,
+         which is exactly why this shares the batch oracle.
+
+    Exactly-once caveat (stated, not hidden): foreachBatch is
+    at-least-once on retry; the parquet appends here are made
+    idempotent-for-consumers by the reader contract (pairs are unique
+    on (doc_a, doc_b) per run — re-delivered batches can only re-append
+    the same rows, which the reading query drops with dropDuplicates).
+    On a real cluster use a MERGE-capable table format for the two
+    sinks to get exactly-once without the reader contract."""
+    from engine.spark import dedup
+
+    (
+        dedup.band_table(corpus_docs, num_perm, bands, n)
+        .withColumn("origin", F.lit("corpus"))
+        .write.mode("overwrite")
+        .parquet(band_store)
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def _probe(batch_df, batch_id):
+        b_new = dedup.band_table(batch_df, num_perm, bands, n)
+        b_old = batch_df.sparkSession.read.parquet(band_store)
+        pairs = dedup.incremental_pairs_from_bands(b_new, b_old, num_perm)
+        pairs.write.mode("append").parquet(output_path)
+        (
+            b_new.withColumn("origin", F.lit("stream"))
+            .write.mode("append")
+            .parquet(band_store)
+        )
+
+    src = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(docs_path)
+    )
+    q = (
+        src.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

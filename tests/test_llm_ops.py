@@ -190,3 +190,62 @@ def test_contamination_screen_excludes_self(spark):
     docs = spark.createDataFrame([(7, text)], "doc_id: long, text: string")
     bench = docs.select(F.col("doc_id").alias("bench_id"), "text")
     assert dedup.contamination_screen(docs, bench, n=8).count() == 0
+
+
+# --------------------------------------- streaming near-dup band store
+
+
+def test_stream_near_dup_split_invariance(spark, tmp_path):
+    """Splitting an ingest across micro-batches must be invisible: the
+    streamed pair set (including cross-batch new_new typing via the
+    accumulating band store) equals the one-shot batch computation."""
+    import shutil
+
+    from engine.spark import streaming
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc {i} alpha beta gamma delta {i}") for i in range(10)],
+        "doc_id: long, text: string",
+    )
+    # two near-identical new docs that land in DIFFERENT micro-batches,
+    # plus a near-copy of corpus doc 3
+    t3 = "corpus doc 3 alpha beta gamma delta 3"
+    newdocs = [
+        (100, "fresh text one two three four five six seven"),
+        (101, "fresh text one two three four five six eight"),
+        (102, t3 + " extra"),
+    ]
+    b1 = spark.createDataFrame(newdocs[:2], "doc_id: long, text: string")
+    b2 = spark.createDataFrame(newdocs[2:], "doc_id: long, text: string")
+    src = str(tmp_path / "src")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    outp, store = str(tmp_path / "out"), str(tmp_path / "store")
+    streaming.stream_near_dup(
+        spark, src, corpus, str(tmp_path / "ckpt"), outp, store,
+        num_perm=32, bands=16,
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["pair_type"], r["est_jaccard"])
+        for r in spark.read.parquet(outp)
+        .dropDuplicates(["doc_a", "doc_b"])
+        .collect()
+    }
+    allnew = spark.createDataFrame(newdocs, "doc_id: long, text: string")
+    want = {
+        (r["doc_a"], r["doc_b"]): (r["pair_type"], r["est_jaccard"])
+        for r in dedup.minhash_incremental_pairs(
+            allnew, corpus, num_perm=32, bands=16
+        ).collect()
+    }
+    assert got == want
+    # the planted cross-batch pair was actually exercised
+    assert (100, 101) in got and got[(100, 101)][0] == "new_new"
+    assert (3, 102) in got and got[(3, 102)][0] == "new_corpus"
+    # the band store accumulated both origins
+    origins = {
+        r["origin"]
+        for r in spark.read.parquet(store).select("origin").distinct().collect()
+    }
+    assert origins == {"corpus", "stream"}
