@@ -2478,6 +2478,103 @@ def entry(spark: SparkSession) -> DataFrame:
 # exact DuckDB twin.
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the composed pipeline a training-data
+    job actually runs: repetition/length quality gates + exact-dedup
+    keep-list, rolled up per language.  Composition of already-oracled
+    parts (repetition_stats, md5 fingerprint dedup), so the twin
+    re-derives every stage in SQL.  Shape: two doc_id-keyed partial-agg
+    joins + one small rollup — no new shuffle patterns."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    planted = spark.createDataFrame(
+        [
+            (9000001, "xx", "spam spam spam spam spam spam spam spam"),
+            (9000002, "xx", "a perfectly fine short document of nine tokens"),
+            (9000003, "xx", "a perfectly fine short document of nine tokens"),
+            (9000004, "xx", "tiny doc"),
+        ],
+        "doc_id: long, lang: string, text: string",
+    )
+    u = d.unionByName(planted)
+    rep = etext.repetition_stats(u)
+    keep_min = (
+        u.select("doc_id", etext.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    fp = u.select("doc_id", etext.fingerprint(F.col("text")).alias("fp"))
+    j = (
+        u.join(rep, "doc_id", "left")
+        .join(fp, "doc_id")
+        .join(keep_min, "fp")
+    )
+    kept = (
+        F.coalesce(F.col("dup_bigram_ratio") <= 0.5, F.lit(False))
+        & F.coalesce(F.col("n_tokens") >= 5, F.lit(False))
+        & (F.col("doc_id") == F.col("keep_id"))
+    )
+    return j.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias(
+            "kept_tokens"
+        ),
+    )
+
+
+SQL_CORPUS_CURATION = r"""
+WITH src AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    (9000001, 'xx', 'spam spam spam spam spam spam spam spam'),
+    (9000002, 'xx', 'a perfectly fine short document of nine tokens'),
+    (9000003, 'xx', 'a perfectly fine short document of nine tokens'),
+    (9000004, 'xx', 'tiny doc')
+  ) v(doc_id, lang, text)
+), tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM src
+), pt AS (
+  SELECT doc_id, tok, count(*) AS c FROM tok WHERE tok <> '' GROUP BY 1, 2
+), st AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_tokens FROM pt GROUP BY 1
+), tg AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM src
+), g AS (
+  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS shingle
+  FROM tg, UNNEST(range(1, greatest(len(t) - 2, 0) + 2)) AS r(i)
+), bg AS (
+  SELECT doc_id, count(DISTINCT shingle) AS n_bi FROM g GROUP BY 1
+), rep AS (
+  SELECT st.doc_id, n_tokens,
+         CASE WHEN n_tokens > 1
+              THEN round(1 - n_bi / (n_tokens - 1)::DOUBLE, 6) END AS dbr
+  FROM st LEFT JOIN bg ON st.doc_id = bg.doc_id
+), fp AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+  FROM src
+), km AS (
+  SELECT fp, min(doc_id) AS keep_id FROM fp GROUP BY 1
+), j AS (
+  SELECT src.doc_id, src.lang,
+         coalesce(rep.dbr <= 0.5, FALSE)
+           AND coalesce(rep.n_tokens >= 5, FALSE)
+           AND src.doc_id = km.keep_id AS kept,
+         coalesce(rep.n_tokens, 0) AS n_tokens
+  FROM src
+  LEFT JOIN rep ON src.doc_id = rep.doc_id
+  JOIN fp ON src.doc_id = fp.doc_id
+  JOIN km ON fp.fp = km.fp
+)
+SELECT lang, count(*) AS n_total,
+       sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       sum(CASE WHEN kept THEN n_tokens ELSE 0 END)::BIGINT AS kept_tokens
+FROM j GROUP BY lang
+"""
+
+
 def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-dup against a persisted corpus band store
     (dedup.band_table + foreachBatch probe, streaming.stream_near_dup):
@@ -2742,6 +2839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "contamination": q_contamination,
         "stream_near_dup": q_stream_near_dup,
+        "corpus_curation": q_corpus_curation,
         # -- last driver row was round 2
         "simhash": q_simhash,
         "lsh_ann": q_lsh_ann,
@@ -2828,6 +2926,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": SQL_PACK_SEQUENCES,
         "contamination": SQL_CONTAMINATION,
         "stream_near_dup": SQL_MINHASH_INCREMENTAL,
+        "corpus_curation": SQL_CORPUS_CURATION,
         # -- last driver row was round 2
         "simhash": SQL_SIMHASH,
         "lsh_ann": SQL_LSH_ANN,

@@ -344,6 +344,7 @@ RELATIONAL = [
     "doc_chunks",
     "pack_sequences",
     "contamination",
+    "corpus_curation",
 ]
 
 

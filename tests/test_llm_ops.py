@@ -249,3 +249,31 @@ def test_stream_near_dup_split_invariance(spark, tmp_path):
         for r in spark.read.parquet(store).select("origin").distinct().collect()
     }
     assert origins == {"corpus", "stream"}
+
+
+def test_doc_chunks_reconstruction_property(spark):
+    """Lossless-coverage invariant for arbitrary doc lengths around the
+    window boundaries: dropping each chunk's leading `overlap` tokens
+    (except chunk 0) and concatenating in chunk_idx order reproduces
+    the original token stream exactly — no token lost, none duplicated."""
+    import random
+
+    rng = random.Random(4)
+    lens = [0, 1, 15, 16, 17, 47, 48, 49, 63, 64, 65, 100, 112, 113, 200]
+    rows = [
+        (i, " ".join(f"d{i}t{j}" for j in range(n)))
+        for i, n in enumerate(lens)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = etext.doc_chunks(docs, chunk_tokens=64, overlap=16).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_text"])
+        )
+    for i, n in enumerate(lens):
+        chunks = [t for _, t in sorted(by_doc[i])]
+        toks = chunks[0].split()
+        for c in chunks[1:]:
+            toks.extend(c.split()[16:])
+        assert toks == [f"d{i}t{j}" for j in range(n)], (i, n, len(toks))
