@@ -1848,6 +1848,36 @@ FROM events GROUP BY user_id
 """
 
 
+def q_event_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — the inverse of the pivot matrix: the wide per-user
+    count matrix back to long (user_id, event_type, n) form via
+    DataFrame.unpivot (Spark's Expand-based melt, no join and no UDF —
+    one projection over the already-aggregated matrix).  Zero-count
+    cells are kept (they are real matrix entries), so melt(pivot(x))
+    restricted to observed kinds is total."""
+    wide = q_event_type_pivot(spark, sf_dir)
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return wide.unpivot(
+        "user_id", kinds, "event_type", "n"
+    ).select("user_id", "event_type", F.col("n").cast("long").alias("n"))
+
+
+SQL_EVENT_MELT = """
+WITH wide AS (
+  SELECT user_id,
+         count(*) FILTER (WHERE event_type = 'click')    AS click,
+         count(*) FILTER (WHERE event_type = 'error')    AS error,
+         count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+         count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+         count(*) FILTER (WHERE event_type = 'view')     AS view
+  FROM events GROUP BY user_id
+)
+SELECT user_id, kind AS event_type, n
+FROM wide
+UNPIVOT (n FOR kind IN (click, error, purchase, signup, view))
+"""
+
+
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming op (applyInPandasWithState session
     windows).  Emitted = completed sessions; each user's trailing open
@@ -2840,6 +2870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "stream_near_dup": q_stream_near_dup,
         "corpus_curation": q_corpus_curation,
+        "event_melt": q_event_melt,
         # -- last driver row was round 2
         "simhash": q_simhash,
         "lsh_ann": q_lsh_ann,
@@ -2927,6 +2958,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": SQL_CONTAMINATION,
         "stream_near_dup": SQL_MINHASH_INCREMENTAL,
         "corpus_curation": SQL_CORPUS_CURATION,
+        "event_melt": SQL_EVENT_MELT,
         # -- last driver row was round 2
         "simhash": SQL_SIMHASH,
         "lsh_ann": SQL_LSH_ANN,

@@ -196,6 +196,7 @@ def run_with_resume(
     dedup: bool = False,
     near_dup: bool = False,
     quarantine: bool = False,
+    curate: bool = False,
     detect_changes: bool = False,
     run_id: str | None = None,
 ) -> dict[str, int]:
@@ -354,6 +355,74 @@ def run_with_resume(
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("part_hash")
                 .parquet(tr_out)
+            )
+
+    if curate:
+        # Per-conversation curation metrics table (round-4 quality ops:
+        # repetition stats + PII counts over the assembled documents)
+        # under the same backfill-aware coverage rule as spans — the
+        # scores a 10^12-turn corpus filter/monitor job reads instead of
+        # re-scanning text.  Derived from the committed docs table, so
+        # it is incremental per bucket and a completed run re-executed
+        # with curate=True backfills every bucket.
+        from engine.spark import text as etext
+
+        cur_out = os.path.join(output_dir, "curation")
+        docs_out_path = os.path.join(output_dir, "docs")
+        need = _stage_coverage(cur_out, turns_out, run_buckets)
+        if need and not os.path.exists(docs_out_path):
+            raise RuntimeError(
+                f"curate stage needs metrics for buckets {sorted(need)[:8]}"
+                f"{'…' if len(need) > 8 else ''} but {docs_out_path} is "
+                "missing; re-run extraction first"
+            )
+        if need:
+            d = spark.read.parquet(docs_out_path).filter(
+                F.col("part_hash").isin(need)
+            )
+            # Metrics over CONTENT, not assembly artifacts: the inserted
+            # OCR stub blocks, image embeds and rewritten link targets
+            # carry conv-id digit runs and repeated boilerplate that
+            # would pollute both the repetition ratios and the PII
+            # regex counts (an 8-digit conv id segment matches the
+            # conservative phone pattern) — same normalization rationale
+            # as the near-dup stage's signature input below.
+            content = F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.col("markdown"),
+                        r"(?s)> 📄 Image OCR Result:\n\n```json\n.*?\n```",
+                        "",
+                    ),
+                    r"!\[[^\]]*\]\([^)]*\)",
+                    "",
+                ),
+                r"\]\([^)]*\)",
+                "]()",
+            )
+            docs_for = d.select(
+                F.col("conv_id").alias("doc_id"),
+                content.alias("text"),
+            )
+            rep = etext.repetition_stats(docs_for)
+            pii = etext.pii_scrub(docs_for).drop("clean_text")
+            cur = rep.join(pii, "doc_id").select(
+                F.col("doc_id").alias("conv_id"),
+                "n_tokens",
+                "n_distinct",
+                "distinct_ratio",
+                "top_share",
+                "dup_bigram_ratio",
+                "n_emails",
+                "n_ips",
+                "n_phones",
+            )
+            (
+                with_part_hash(cur, n_buckets)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("part_hash")
+                .parquet(cur_out)
             )
 
     if quarantine:

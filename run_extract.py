@@ -54,6 +54,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--quarantine", action="store_true",
                     help="also write the diverted-rows error-channel "
                          "table (empty/tag-only payloads with reasons)")
+    ap.add_argument("--curate", action="store_true",
+                    help="also write the per-conversation curation "
+                         "metrics table (repetition/quality + PII "
+                         "counts over the assembled documents)")
     args = ap.parse_args(argv)
 
     from engine.spark import lineage
@@ -106,6 +110,7 @@ def main(argv: list[str] | None = None) -> int:
         dedup=args.dedup,
         near_dup=args.near_dup,
         quarantine=args.quarantine,
+        curate=args.curate,
         detect_changes=args.detect_changes,
     )
     dt = time.time() - t0

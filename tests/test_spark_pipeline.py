@@ -610,7 +610,7 @@ def test_all_stages_backfill_on_half_completed_resume(
     r2 = lineage.run_with_resume(
         spark, df, out, snapshot_id="s", n_buckets=8,
         spans=True, translate=True, dedup=True, near_dup=True,
-        quarantine=True,
+        quarantine=True, curate=True,
     )
     assert 0 < r2["buckets_processed"] <= 4
 
@@ -624,7 +624,9 @@ def test_all_stages_backfill_on_half_completed_resume(
     # bucket-partitioned derived stages must cover every turns bucket
     # (quarantine is sparse — only buckets with diverted rows — so it is
     # asserted by content below instead)
-    for stage in ("spans", "docs_translated", "fingerprints", "signatures"):
+    for stage in (
+        "spans", "docs_translated", "fingerprints", "signatures", "curation"
+    ):
         t = spark.read.parquet(os.path.join(out, stage))
         got = {
             r["part_hash"]
@@ -649,6 +651,13 @@ def test_all_stages_backfill_on_half_completed_resume(
     assert spark.read.parquet(
         os.path.join(out, "signatures")
     ).count() == n_convs
+    cur = spark.read.parquet(os.path.join(out, "curation"))
+    assert cur.count() == n_convs
+    # metrics are real numbers computed over the assembled markdown
+    assert cur.where(F.col("n_tokens") <= 0).count() == 0
+    assert cur.where(
+        (F.col("distinct_ratio") <= 0) | (F.col("distinct_ratio") > 1)
+    ).count() == 0
     n_blanks = int(
         (
             transcripts_pdf["text"].isna()
