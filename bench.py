@@ -278,6 +278,18 @@ def run_scaling_legs() -> dict:
         out[f"eff_legmax_{a}_{b}"] = round(
             leg_max[str(b)] / ((b / a) * leg_max[str(a)]), 3
         )
+        # per-PAIR same-round max: the one-round-for-all-pairs "best"
+        # above can be dominated by a throttle artifact in another pair
+        # (observed: a round with a superlinear 8→32 wall reading from a
+        # throttled 8-leg won best_round while a different round held
+        # the meaningful 0.89 at 2→8).  Each of these is still a strict
+        # same-round reading, just selected per pair.
+        out[f"eff_best_{a}_{b}"] = max(
+            r[f"eff_{a}_{b}"] for r in round_reports
+        )
+        out[f"eff_cpu_best_{a}_{b}"] = max(
+            r[f"eff_cpu_{a}_{b}"] for r in round_reports
+        )
     # hardware ceiling: per-leg max burn throughput across rounds (a
     # throttle window only lowers a burn), plus the ideal-scaling ratio
     # the hardware itself achieves at each step — the denominator any
