@@ -2643,6 +2643,79 @@ def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS + grouping_id — the general form of
+    rollup/cube (one Expand + ONE shuffle for an arbitrary set list;
+    grouping_id disambiguates which set produced a row, exactly how a
+    materialized-aggregate table serves mixed-granularity dashboards)."""
+    e = _t(spark, sf_dir, "events")
+    v = f"events_gs_{uuid.uuid4().hex[:8]}"
+    e.select(
+        "event_type", F.hour("ts").alias("hour"), "value"
+    ).createOrReplaceTempView(v)
+    return spark.sql(f"""
+        SELECT event_type, hour,
+               CAST(grouping_id(event_type, hour) AS BIGINT) AS gid,
+               count(*) AS n,
+               round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+                 AS sum_value
+        FROM {v}
+        GROUP BY GROUPING SETS ((event_type), (event_type, hour), ())
+    """)
+
+
+SQL_GROUPING_SETS = """
+SELECT event_type, date_part('hour', ts)::INT AS hour,
+       GROUPING(event_type, date_part('hour', ts)::INT)::BIGINT AS gid,
+       count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+         AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), (event_type, hour), ())
+"""
+
+
+def q_sliding_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1-hour RANGE-frame window per user (event-time sliding
+    aggregate — the batch twin of the streaming windowed counts): frame
+    bounds are VALUE-based (epoch seconds), not row counts, so ties and
+    gaps behave identically in both engines.  One shuffle on user_id
+    with bounded per-user frames."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    sec = F.unix_timestamp("ts").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("long").alias("n_1h"),
+        F.round(
+            F.avg(F.col("value").cast("decimal(18,4)")).over(w).cast(
+                "double"
+            ),
+            4,
+        ).alias("avg_1h"),
+    )
+
+
+SQL_SLIDING_WINDOW_AVG = """
+SELECT event_id, user_id,
+       count(*) OVER w::BIGINT AS n_1h,
+       round(CAST(avg(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE), 4)
+         AS avg_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction with per-doc counts: emails, IPv4, phone-like
     runs replaced by typed placeholders.  Zero-shuffle projection —
@@ -2871,6 +2944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_near_dup": q_stream_near_dup,
         "corpus_curation": q_corpus_curation,
         "event_melt": q_event_melt,
+        "grouping_sets": q_grouping_sets,
+        "sliding_window_avg": q_sliding_window_avg,
         # -- last driver row was round 2
         "simhash": q_simhash,
         "lsh_ann": q_lsh_ann,
@@ -2959,6 +3034,8 @@ def oracle_sql() -> dict[str, str]:
         "stream_near_dup": SQL_MINHASH_INCREMENTAL,
         "corpus_curation": SQL_CORPUS_CURATION,
         "event_melt": SQL_EVENT_MELT,
+        "grouping_sets": SQL_GROUPING_SETS,
+        "sliding_window_avg": SQL_SLIDING_WINDOW_AVG,
         # -- last driver row was round 2
         "simhash": SQL_SIMHASH,
         "lsh_ann": SQL_LSH_ANN,

@@ -277,3 +277,50 @@ def test_doc_chunks_reconstruction_property(spark):
         for c in chunks[1:]:
             toks.extend(c.split()[16:])
         assert toks == [f"d{i}t{j}" for j in range(n)], (i, n, len(toks))
+
+
+# ----------------------------------------- approx sketches vs exact
+
+
+def test_percentile_approx_rank_error_bound(spark):
+    """percentile_approx (GK sketch) guarantees rank error ≤ n/accuracy:
+    the approximate quantile must lie between the exact order statistics
+    at rank ± n/accuracy.  (Sketches can't hash-match a cross-engine
+    oracle — value_quantiles covers the exact path — so the approx path
+    is pinned by its own theoretical bound, like distinct_users' HLL.)"""
+    df = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    vals = sorted(r["value"] for r in df.select("value").collect())
+    n = len(vals)
+    acc = 1000
+    for q in (0.5, 0.9, 0.99):
+        approx = df.agg(
+            F.percentile_approx("value", q, acc)
+        ).first()[0]
+        rank = int(q * n)
+        eps = n // acc + 1
+        lo = vals[max(rank - eps, 0)]
+        hi = vals[min(rank + eps, n - 1)]
+        assert lo <= approx <= hi, (q, approx, lo, hi)
+
+
+def test_doc_chunks_giant_doc(spark):
+    """A 60k-token document (the planted-skew shape) must chunk without
+    quadratic blowup and reconstruct exactly — guards the
+    materialized-array rule (no per-chunk re-split) at the size where
+    the O(tokens²) HOF trap originally bit."""
+    n = 60_000
+    text = " ".join(f"w{i}" for i in range(n))
+    docs = spark.createDataFrame([(1, text)], "doc_id: long, text: string")
+    rows = sorted(
+        (r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+        for r in etext.doc_chunks(
+            docs, chunk_tokens=512, overlap=64
+        ).collect()
+    )
+    stride = 512 - 64
+    import math
+    assert len(rows) == 1 + math.ceil((n - 512) / stride)
+    toks = rows[0][1].split()
+    for _, t, _ in rows[1:]:
+        toks.extend(t.split()[64:])
+    assert len(toks) == n and toks[0] == "w0" and toks[-1] == f"w{n-1}"
