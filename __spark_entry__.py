@@ -2643,6 +2643,94 @@ def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint validation (diagnose.check_constraints,
+    Deequ/dbt-tests analog): four rules over events + planted bad rows,
+    all evaluated in ONE scan (single partial agg + constant unpivot).
+    Null conditions count as violations (expectation semantics)."""
+    e = _t(spark, sf_dir, "events")
+    bad = spark.createDataFrame(
+        [
+            (9000001, None, None, "click", -5.0, None),
+            (9000002, None, 3, "bogus", 1.0, None),
+        ],
+        "event_id: long, ts: timestamp, user_id: long, "
+        "value_ignore: string, value: double, props: string",
+    ).select(
+        "event_id", "ts", "user_id",
+        F.col("value_ignore").alias("event_type"), "value", "props",
+    )
+    u = e.unionByName(bad)
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    rules = [
+        ("user_id_not_null", F.col("user_id").isNotNull()),
+        ("value_non_negative", F.col("value") >= 0),
+        ("event_type_known", F.col("event_type").isin(kinds)),
+        ("ts_not_null", F.col("ts").isNotNull()),
+    ]
+    return diagnose.check_constraints(u, rules)
+
+
+SQL_DATA_QUALITY = """
+WITH src AS (
+  SELECT event_id, ts, user_id, event_type, value FROM events
+  UNION ALL
+  SELECT * FROM (VALUES
+    (9000001, NULL::TIMESTAMP, NULL::BIGINT, 'click', -5.0),
+    (9000002, NULL::TIMESTAMP, 3, 'bogus', 1.0)
+  ) v(event_id, ts, user_id, event_type, value)
+), wide AS (
+  SELECT
+    sum(CASE WHEN coalesce(user_id IS NOT NULL, FALSE)
+             THEN 0 ELSE 1 END)::BIGINT AS user_id_not_null,
+    sum(CASE WHEN coalesce(value >= 0, FALSE)
+             THEN 0 ELSE 1 END)::BIGINT AS value_non_negative,
+    sum(CASE WHEN coalesce(event_type IN
+               ('click','error','purchase','signup','view'), FALSE)
+             THEN 0 ELSE 1 END)::BIGINT AS event_type_known,
+    sum(CASE WHEN coalesce(ts IS NOT NULL, FALSE)
+             THEN 0 ELSE 1 END)::BIGINT AS ts_not_null,
+    count(*)::BIGINT AS n_rows
+  FROM src
+)
+SELECT rule, n_violations, n_rows
+FROM wide
+UNPIVOT (n_violations FOR rule IN
+         (user_id_not_null, value_non_negative,
+          event_type_known, ts_not_null))
+"""
+
+
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment (streaming lookup-join):
+    stateless per micro-batch, so byte-identical to the batch join —
+    the oracle is the plain SQL join."""
+    import shutil
+
+    from engine.spark import streaming
+
+    dim = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    src = tempfile.mkdtemp(prefix="enrich_src_")
+    _t(spark, sf_dir, "events").coalesce(2).write.mode("overwrite").parquet(src)
+    ckpt = tempfile.mkdtemp(prefix="enrich_ckpt_")
+    outp = tempfile.mkdtemp(prefix="enrich_out_")
+    shutil.rmtree(outp)
+    streaming.stream_enrich(spark, src, dim, ckpt, outp)
+    return spark.read.parquet(outp).select(
+        "event_id", "user_id", "event_type", "c_name",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+    )
+
+
+SQL_STREAM_ENRICH = """
+SELECT e.event_id, e.user_id, e.event_type, c.c_name,
+       c.c_nationkey::BIGINT AS c_nationkey
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS + grouping_id — the general form of
     rollup/cube (one Expand + ONE shuffle for an arbitrary set list;
@@ -2946,6 +3034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_melt": q_event_melt,
         "grouping_sets": q_grouping_sets,
         "sliding_window_avg": q_sliding_window_avg,
+        "data_quality": q_data_quality,
+        "stream_enrich": q_stream_enrich,
         # -- last driver row was round 2
         "simhash": q_simhash,
         "lsh_ann": q_lsh_ann,
@@ -3036,6 +3126,8 @@ def oracle_sql() -> dict[str, str]:
         "event_melt": SQL_EVENT_MELT,
         "grouping_sets": SQL_GROUPING_SETS,
         "sliding_window_avg": SQL_SLIDING_WINDOW_AVG,
+        "data_quality": SQL_DATA_QUALITY,
+        "stream_enrich": SQL_STREAM_ENRICH,
         # -- last driver row was round 2
         "simhash": SQL_SIMHASH,
         "lsh_ann": SQL_LSH_ANN,

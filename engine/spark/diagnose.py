@@ -47,3 +47,32 @@ def key_profile(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
             rank.cast("long").alias("rank"),
         )
     )
+
+
+def check_constraints(
+    df: DataFrame, rules: list[tuple[str, "F.Column"]]
+) -> DataFrame:
+    """Declarative data-quality validation (Deequ/dbt-tests analog):
+    evaluate every rule in ONE scan and return the long-form report
+    (rule, n_violations, n_rows).
+
+    A row violates a rule when its condition is not satisfied —
+    including when the condition evaluates to NULL (a null value fails
+    ``value >= 0``; expectation semantics, not SQL three-valued logic).
+
+    Scale shape: all rules fold into a single partial aggregation over
+    one pass of the table (no per-rule scans), then a constant-size
+    unpivot of the one-row result — at 100 TB the cost is exactly one
+    column-pruned scan regardless of how many rules are checked."""
+    aggs = [
+        F.sum(
+            F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)
+        )
+        .cast("long")
+        .alias(name)
+        for name, cond in rules
+    ]
+    wide = df.agg(*aggs, F.count("*").cast("long").alias("n_rows"))
+    return wide.unpivot(
+        ["n_rows"], [name for name, _ in rules], "rule", "n_violations"
+    ).select("rule", "n_violations", "n_rows")

@@ -616,3 +616,42 @@ def stream_near_dup(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_enrich(
+    spark: SparkSession,
+    events_path: str,
+    dim: DataFrame,
+    checkpoint_dir: str,
+    output_path: str,
+) -> None:
+    """Stream-static enrichment: arriving events joined to a broadcast
+    dimension table — the standard streaming lookup-join.  Stateless
+    per micro-batch (the static side is re-broadcast, no streaming
+    state), so the result is byte-identical to the batch join and
+    shares its oracle.  File sink + checkpoint = idempotent resume."""
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    src = (
+        spark.readStream.schema(schema).format("parquet").load(events_path)
+    )
+    joined = src.join(F.broadcast(dim), src["user_id"] == dim["c_custkey"])
+    q = (
+        joined.select(
+            "event_id", "user_id", "event_type", "c_name", "c_nationkey"
+        )
+        .writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -324,3 +324,48 @@ def test_doc_chunks_giant_doc(spark):
     for _, t, _ in rows[1:]:
         toks.extend(t.split()[64:])
     assert len(toks) == n and toks[0] == "w0" and toks[-1] == f"w{n-1}"
+
+
+# -------------------------------------------------- constraint checking
+
+
+def test_check_constraints_null_semantics(spark):
+    """NULL conditions are violations (expectation semantics), and all
+    rules are evaluated in one pass with exact counts."""
+    from engine.spark import diagnose
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, None), (None, 2.0)],
+        "id: long, v: double",
+    )
+    out = {
+        r["rule"]: (r["n_violations"], r["n_rows"])
+        for r in diagnose.check_constraints(
+            df,
+            [
+                ("id_not_null", F.col("id").isNotNull()),
+                ("v_non_negative", F.col("v") >= 0),
+            ],
+        ).collect()
+    }
+    assert out["id_not_null"] == (1, 4)
+    # -1.0 violates; NULL v also counts as a violation
+    assert out["v_non_negative"] == (2, 4)
+
+
+def test_check_constraints_single_scan_plan(spark):
+    """N rules must not mean N scans: the physical plan reads the
+    source exactly once."""
+    from engine.spark import diagnose
+
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rep = diagnose.check_constraints(
+        df,
+        [
+            ("a", F.col("user_id").isNotNull()),
+            ("b", F.col("value") >= 0),
+            ("c", F.col("ts").isNotNull()),
+        ],
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
