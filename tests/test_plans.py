@@ -373,3 +373,41 @@ def test_contamination_broadcasts_benchmark(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_grouping_sets_single_expand_single_shuffle(spark):
+    """Explicit GROUPING SETS must plan like rollup/cube: one Expand
+    (3 sets) + ONE aggregation exchange + one scan — never a pass per
+    grouping set."""
+    q = entry_mod.q_grouping_sets(spark, SF_DIR)
+    plan = _plan(q)
+    assert plan.count("Expand") >= 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_sliding_window_single_bounded_exchange(spark):
+    """The RANGE-frame window shuffles once on user_id (bounded per-user
+    frames) — no global sort exchange."""
+    q = entry_mod.q_sliding_window_avg(spark, SF_DIR)
+    plan = _plan(q)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_event_melt_no_join(spark):
+    """melt is an Expand-based projection over the aggregated matrix —
+    no join of any kind appears."""
+    q = entry_mod.q_event_melt(spark, SF_DIR)
+    plan = _plan(q)
+    assert "Join" not in plan, plan
+    assert "Expand" in plan, plan
+
+
+def test_corpus_curation_no_cartesian(spark):
+    """The composite curation DAG joins only on doc_id/fp equi-keys —
+    no cartesian/broadcast-nested-loop anywhere."""
+    q = entry_mod.q_corpus_curation(spark, SF_DIR)
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
