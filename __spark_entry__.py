@@ -2643,6 +2643,41 @@ def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 min-max embedding quantization (similarity.quantize_
+    embeddings) — 4× corpus-memory reduction for ANN at 10^10+ vectors.
+    Codes exploded to scalar rows for the cross-engine compare; the
+    floor(+0.5) half-up rounding is spelled identically in both engines
+    (Spark round() and DuckDB round() disagree on ties)."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    q = similarity.quantize_embeddings(emb)
+    return q.select(
+        "vec_id",
+        F.posexplode("codes").alias("pos", "code"),
+        "mn",
+        "mx",
+    ).select("vec_id", F.col("pos").cast("long").alias("pos"), "code", "mn", "mx")
+
+
+SQL_QUANTIZE_EMBEDDINGS = """
+WITH src AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
+), b AS (
+  SELECT vec_id, embedding,
+         list_min(embedding)::DOUBLE AS mn,
+         list_max(embedding)::DOUBLE AS mx
+  FROM src
+)
+SELECT vec_id, (i - 1)::BIGINT AS pos,
+       CASE WHEN mx = mn THEN -128
+            ELSE (floor((embedding[i]::DOUBLE - mn) * 255 / (mx - mn)
+                        + 0.5) - 128)::INT
+       END AS code,
+       mn, mx
+FROM b, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+"""
+
+
 def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative constraint validation (diagnose.check_constraints,
     Deequ/dbt-tests analog): four rules over events + planted bad rows,
@@ -3036,6 +3071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window_avg": q_sliding_window_avg,
         "data_quality": q_data_quality,
         "stream_enrich": q_stream_enrich,
+        "quantize_embeddings": q_quantize_embeddings,
         # -- last driver row was round 2
         "simhash": q_simhash,
         "lsh_ann": q_lsh_ann,
@@ -3128,6 +3164,7 @@ def oracle_sql() -> dict[str, str]:
         "sliding_window_avg": SQL_SLIDING_WINDOW_AVG,
         "data_quality": SQL_DATA_QUALITY,
         "stream_enrich": SQL_STREAM_ENRICH,
+        "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
         # -- last driver row was round 2
         "simhash": SQL_SIMHASH,
         "lsh_ann": SQL_LSH_ANN,

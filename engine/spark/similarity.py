@@ -378,3 +378,69 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+# ------------------------------------------------------- quantization
+def quantize_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector int8 min-max quantization — the memory-side scale
+    lever for ANN over 10^10+ embeddings: a float32 corpus shrinks 4×
+    (codes: array<tinyint> + two float scale factors per vector), which
+    is the difference between an in-memory inverted-list probe and
+    spilling the corpus scan.
+
+    Encoding (exactly mirrored by the DuckDB oracle, so the arithmetic
+    is cross-engine pinned): per vector, over [mn, mx] of ITS values,
+        code = floor((v - mn) * 255 / (mx - mn) + 0.5) - 128
+    (explicit floor(+0.5) half-up rounding — Spark's round() and
+    DuckDB's round() disagree on ties, so neither is used).  Constant
+    vectors (mx == mn) encode as all -128 with scale 0.
+
+    Output: (id, codes array<int>, mn double, mx double).  A pure
+    zero-shuffle projection (array HOFs in codegen, no UDF)."""
+    v = _as_double(F.col(vec_col))
+    base = emb.select(F.col(id_col), v.alias("v"))
+    mn = F.array_min("v")
+    mx = F.array_max("v")
+    rng = mx - mn
+    code = lambda x: F.when(rng == 0, F.lit(-128)).otherwise(
+        (F.floor((x - mn) * 255 / rng + F.lit(0.5)) - 128).cast("int")
+    )
+    return base.select(
+        F.col(id_col),
+        F.transform("v", code).alias("codes"),
+        mn.alias("mn"),
+        mx.alias("mx"),
+    )
+
+
+def dequantize_col(codes: Column, mn: Column, mx: Column) -> Column:
+    """Inverse mapping: v ≈ mn + (code + 128) · (mx − mn) / 255."""
+    rng = mx - mn
+    return F.transform(
+        codes, lambda c: mn + (c + 128).cast("double") * rng / 255
+    )
+
+
+def quantized_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """brute_force_topk over the int8-dequantized corpus — the accuracy
+    end of the quantization trade (recall vs full precision is pinned
+    by test_quantized_topk_recall).  Same plan shape as the exact path:
+    broadcast queries, unshuffled corpus scan."""
+    q = quantize_embeddings(emb, id_col, vec_col)
+    deq = q.select(
+        F.col(id_col),
+        dequantize_col(F.col("codes"), F.col("mn"), F.col("mx")).alias(
+            "embedding"
+        ),
+    )
+    return brute_force_topk(deq, n_queries, k, id_col, "embedding")

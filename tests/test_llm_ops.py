@@ -369,3 +369,52 @@ def test_check_constraints_single_scan_plan(spark):
     )
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1, plan
+
+
+# ------------------------------------------------- embedding quantization
+
+
+def test_quantization_roundtrip_bound(spark):
+    """Dequantization error is bounded by half a quantization step per
+    component: |v - deq(q(v))| ≤ (mx-mn)/255/2 (+ float eps) — the
+    deterministic accuracy contract of int8 min-max coding."""
+    from engine.spark import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    emb = emb.where(F.col("vec_id") < 100)
+    q = sim.quantize_embeddings(emb)
+    joined = q.join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    ).select(
+        "vec_id",
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            sim.dequantize_col(F.col("codes"), F.col("mn"), F.col("mx")),
+            lambda a, b: F.abs(a - b),
+        ).alias("err"),
+        ((F.col("mx") - F.col("mn")) / 255 / 2 + F.lit(1e-9)).alias("bound"),
+    )
+    bad = joined.where(
+        F.array_max("err") > F.col("bound")
+    ).count()
+    assert bad == 0
+
+
+def test_quantized_topk_recall(spark):
+    """int8 quantization must preserve cosine neighborhoods: per-query
+    top-5 overlap with the full-precision exact top-5 stays high."""
+    from engine.spark import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = sim.brute_force_topk(emb, n_queries=8, k=5).collect()
+    approx = sim.quantized_topk(emb, n_queries=8, k=5).collect()
+
+    def sets(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    e, a = sets(exact), sets(approx)
+    recalls = [len(e[q] & a[q]) / len(e[q]) for q in e]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
