@@ -2643,6 +2643,116 @@ def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_full_outer_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-source reconciliation via FULL OUTER join — the data-audit
+    staple: per key, activity counts from two independent tables with a
+    left_only/right_only/both status.  One shuffle per aggregate + the
+    outer join; at scale both sides are pre-aggregated (compact) before
+    joining, never fact×fact."""
+    e = _t(spark, sf_dir, "events").groupBy(
+        F.col("user_id").alias("key")
+    ).agg(F.count("*").alias("n_events"))
+    o = _t(spark, sf_dir, "orders").groupBy(
+        F.col("o_custkey").alias("key")
+    ).agg(F.count("*").alias("n_orders"))
+    j = e.join(o, "key", "full_outer")
+    status = (
+        F.when(F.col("n_events").isNull(), F.lit("right_only"))
+        .when(F.col("n_orders").isNull(), F.lit("left_only"))
+        .otherwise(F.lit("both"))
+    )
+    return j.select(
+        "key",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        status.alias("status"),
+    )
+
+
+SQL_FULL_OUTER_RECON = """
+WITH e AS (
+  SELECT user_id AS key, count(*) AS n_events FROM events GROUP BY 1
+), o AS (
+  SELECT o_custkey AS key, count(*) AS n_orders FROM orders GROUP BY 1
+)
+SELECT coalesce(e.key, o.key) AS key,
+       coalesce(n_events, 0) AS n_events,
+       coalesce(n_orders, 0) AS n_orders,
+       CASE WHEN e.key IS NULL THEN 'right_only'
+            WHEN o.key IS NULL THEN 'left_only'
+            ELSE 'both' END AS status
+FROM e FULL OUTER JOIN o ON e.key = o.key
+"""
+
+
+def q_value_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile assignment per event_type (fully deterministic
+    order: value then event_id, so tie placement matches across
+    engines) — the bucketing primitive behind per-segment score
+    calibration."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
+
+
+SQL_VALUE_NTILE = """
+SELECT event_id, event_type,
+       ntile(10) OVER (PARTITION BY event_type
+                       ORDER BY value ASC, event_id ASC)::BIGINT AS decile
+FROM events
+"""
+
+
+def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (resample-to-hourly with zero-fill): per
+    user, every hour between their first and last event exists in the
+    output, missing hours at n=0 — the densification step before any
+    rolling/derivative analytics.  Spark shape: compact per-user
+    min/max agg → F.sequence+explode generates the hour spine (no
+    driver loop, no cross join) → left join of the hourly counts."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+    ).where(F.col("user_id") < 40)
+    counts = e.groupBy("user_id", "h").agg(F.count("*").alias("n_obs"))
+    spine = (
+        e.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"),
+        )
+    )
+    return spine.join(counts, ["user_id", "h"], "left").select(
+        "user_id",
+        F.col("h").alias("hour_epoch"),
+        F.coalesce("n_obs", F.lit(0)).cast("long").alias("n"),
+    )
+
+
+SQL_EVENTS_RESAMPLE = """
+WITH e AS (
+  SELECT user_id, floor(epoch(ts) / 3600)::BIGINT AS h
+  FROM events WHERE user_id < 40
+), counts AS (
+  SELECT user_id, h, count(*) AS n_obs FROM e GROUP BY 1, 2
+), spine AS (
+  SELECT user_id, unnest(range(min(h), max(h) + 1)) AS h
+  FROM e GROUP BY user_id
+)
+SELECT s.user_id, s.h AS hour_epoch, coalesce(n_obs, 0)::BIGINT AS n
+FROM spine s LEFT JOIN counts c ON s.user_id = c.user_id AND s.h = c.h
+"""
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 min-max embedding quantization (similarity.quantize_
     embeddings) — 4× corpus-memory reduction for ANN at 10^10+ vectors.
@@ -3072,6 +3182,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_quality": q_data_quality,
         "stream_enrich": q_stream_enrich,
         "quantize_embeddings": q_quantize_embeddings,
+        "full_outer_recon": q_full_outer_recon,
+        "value_ntile": q_value_ntile,
+        "events_resample": q_events_resample,
         # -- last driver row was round 2
         "simhash": q_simhash,
         "lsh_ann": q_lsh_ann,
@@ -3165,6 +3278,9 @@ def oracle_sql() -> dict[str, str]:
         "data_quality": SQL_DATA_QUALITY,
         "stream_enrich": SQL_STREAM_ENRICH,
         "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
+        "full_outer_recon": SQL_FULL_OUTER_RECON,
+        "value_ntile": SQL_VALUE_NTILE,
+        "events_resample": SQL_EVENTS_RESAMPLE,
         # -- last driver row was round 2
         "simhash": SQL_SIMHASH,
         "lsh_ann": SQL_LSH_ANN,

@@ -357,6 +357,7 @@ RELATIONAL = [
     "pack_sequences",
     "contamination",
     "corpus_curation",
+    "quantize_embeddings",
 ]
 
 
