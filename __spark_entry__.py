@@ -2527,12 +2527,8 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u = d.unionByName(planted)
     rep = etext.repetition_stats(u)
-    keep_min = (
-        u.select("doc_id", etext.fingerprint(F.col("text")).alias("fp"))
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("keep_id"))
-    )
     fp = u.select("doc_id", etext.fingerprint(F.col("text")).alias("fp"))
+    keep_min = fp.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
     j = (
         u.join(rep, "doc_id", "left")
         .join(fp, "doc_id")
@@ -2693,8 +2689,11 @@ def q_value_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = _t(spark, sf_dir, "events")
+    # asc_nulls_last pins NULL placement to DuckDB's ASC default —
+    # Spark's default is NULLS FIRST, which would shift every decile in
+    # a partition if a NULL value ever appears
     w = Window.partitionBy("event_type").orderBy(
-        F.col("value").asc(), F.col("event_id").asc()
+        F.col("value").asc_nulls_last(), F.col("event_id").asc()
     )
     return e.select(
         "event_id",
@@ -2925,24 +2924,26 @@ def q_sliding_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(sec)
         .rangeBetween(-3599, Window.currentRow)
     )
+    avg = F.avg(F.col("value").cast("decimal(18,4)")).over(w).cast(
+        "double"
+    )
+    # floor(x*1e4 + 0.5)/1e4, NOT round(): Spark's and DuckDB's round()
+    # disagree on 4th-decimal ties (HALF_UP on a BigDecimal vs
+    # std::round on a double), so the tie rule is spelled explicitly in
+    # both engines — same rule as quantize_embeddings' coder
     return e.select(
         "event_id",
         "user_id",
         F.count("*").over(w).cast("long").alias("n_1h"),
-        F.round(
-            F.avg(F.col("value").cast("decimal(18,4)")).over(w).cast(
-                "double"
-            ),
-            4,
-        ).alias("avg_1h"),
+        (F.floor(avg * 10000 + F.lit(0.5)) / 10000).alias("avg_1h"),
     )
 
 
 SQL_SLIDING_WINDOW_AVG = """
 SELECT event_id, user_id,
        count(*) OVER w::BIGINT AS n_1h,
-       round(CAST(avg(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE), 4)
-         AS avg_1h
+       floor(CAST(avg(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+             * 10000 + 0.5) / 10000 AS avg_1h
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
              RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)

@@ -405,11 +405,23 @@ def run_with_resume(
                 content.alias("text"),
             )
             rep = etext.repetition_stats(docs_for)
+            # LEFT join from the PII side: pii_scrub is a projection
+            # (exactly one row per conversation), while repetition_stats
+            # yields no row for a conv whose normalized content is empty
+            # (e.g. all OCR stubs) — an inner join would silently drop
+            # those convs from the curation table AND leave their bucket
+            # partition unwritten, so _stage_coverage would re-queue it
+            # forever.  Empty-content convs keep a row with n_tokens=0
+            # and NULL ratios.
             pii = etext.pii_scrub(docs_for).drop("clean_text")
-            cur = rep.join(pii, "doc_id").select(
+            cur = pii.join(rep, "doc_id", "left").select(
                 F.col("doc_id").alias("conv_id"),
-                "n_tokens",
-                "n_distinct",
+                F.coalesce("n_tokens", F.lit(0)).cast("long").alias(
+                    "n_tokens"
+                ),
+                F.coalesce("n_distinct", F.lit(0)).cast("long").alias(
+                    "n_distinct"
+                ),
                 "distinct_ratio",
                 "top_share",
                 "dup_bigram_ratio",

@@ -402,9 +402,19 @@ def quantize_embeddings(
     Output: (id, codes array<int>, mn double, mx double).  A pure
     zero-shuffle projection (array HOFs in codegen, no UDF)."""
     v = _as_double(F.col(vec_col))
-    base = emb.select(F.col(id_col), v.alias("v"))
-    mn = F.array_min("v")
-    mx = F.array_max("v")
+    # mn/mx/rng are MATERIALIZED columns before the transform: an
+    # expression referenced inside a higher-order-function lambda
+    # re-evaluates PER ELEMENT (the measured O(n²) trap documented at
+    # dedup.word_shingles) — array_min/array_max inside the coder would
+    # make quantization O(d²) per vector.  A projected-column reference
+    # in the lambda is a per-row binding, evaluated once.
+    base = emb.select(F.col(id_col), v.alias("v")).select(
+        F.col(id_col),
+        "v",
+        F.array_min("v").alias("mn"),
+        F.array_max("v").alias("mx"),
+    )
+    mn, mx = F.col("mn"), F.col("mx")
     rng = mx - mn
     code = lambda x: F.when(rng == 0, F.lit(-128)).otherwise(
         (F.floor((x - mn) * 255 / rng + F.lit(0.5)) - 128).cast("int")
@@ -412,8 +422,8 @@ def quantize_embeddings(
     return base.select(
         F.col(id_col),
         F.transform("v", code).alias("codes"),
-        mn.alias("mn"),
-        mx.alias("mx"),
+        "mn",
+        "mx",
     )
 
 

@@ -593,15 +593,24 @@ def stream_near_dup(
     )
 
     def _probe(batch_df, batch_id):
-        b_new = dedup.band_table(batch_df, num_perm, bands, n)
-        b_old = batch_df.sparkSession.read.parquet(band_store)
-        pairs = dedup.incremental_pairs_from_bands(b_new, b_old, num_perm)
-        pairs.write.mode("append").parquet(output_path)
-        (
-            b_new.withColumn("origin", F.lit("stream"))
-            .write.mode("append")
-            .parquet(band_store)
-        )
+        # persist: the band table is the expensive pass (shingle +
+        # minhash) and is consumed THREE times — both sides of the
+        # new×new self-join and the store append; without the cache each
+        # consumer re-runs the whole pipeline per micro-batch
+        b_new = dedup.band_table(batch_df, num_perm, bands, n).persist()
+        try:
+            b_old = batch_df.sparkSession.read.parquet(band_store)
+            pairs = dedup.incremental_pairs_from_bands(
+                b_new, b_old, num_perm
+            )
+            pairs.write.mode("append").parquet(output_path)
+            (
+                b_new.withColumn("origin", F.lit("stream"))
+                .write.mode("append")
+                .parquet(band_store)
+            )
+        finally:
+            b_new.unpersist()
 
     src = (
         spark.readStream.schema(schema)

@@ -215,8 +215,12 @@ def test_stream_near_dup_split_invariance(spark, tmp_path):
         (101, "fresh text one two three four five six eight"),
         (102, t3 + " extra"),
     ]
-    b1 = spark.createDataFrame(newdocs[:2], "doc_id: long, text: string")
-    b2 = spark.createDataFrame(newdocs[2:], "doc_id: long, text: string")
+    # doc 100 and 101 land in DIFFERENT batches so their pairing can
+    # ONLY happen through the store probe against an origin='stream'
+    # row — the typing path this test exists to pin (a same-batch split
+    # would exercise only the nn self-join)
+    b1 = spark.createDataFrame(newdocs[:1], "doc_id: long, text: string")
+    b2 = spark.createDataFrame(newdocs[1:], "doc_id: long, text: string")
     src = str(tmp_path / "src")
     b1.coalesce(1).write.mode("append").parquet(src)
     b2.coalesce(1).write.mode("append").parquet(src)

@@ -694,6 +694,33 @@ def test_dedup_stage_refuses_stale_publish(spark, transcripts_pdf, tmp_path):
         )
 
 
+def test_curate_keeps_empty_content_convs(spark, tmp_path):
+    """A conversation whose assembled markdown is ONLY assembly
+    artifacts (image embed + OCR stub — normalized content empty) must
+    still get a curation row (n_tokens=0, NULL ratios): the code-review
+    finding was an inner join silently dropping such convs AND leaving
+    their bucket partition unwritten (re-queued forever)."""
+    df = spark.createDataFrame(
+        [
+            ("img-only", 0, "![p](x.png)"),
+            ("normal", 0, "# Title\n\nplain body text here"),
+        ],
+        "conv_id: string, turn_idx: int, text: string",
+    )
+    out = str(tmp_path / "out")
+    lineage.run_with_resume(
+        spark, df, out, snapshot_id="s", n_buckets=4, curate=True
+    )
+    cur = {
+        r["conv_id"]: r
+        for r in spark.read.parquet(os.path.join(out, "curation")).collect()
+    }
+    assert set(cur) == {"img-only", "normal"}
+    assert cur["img-only"]["n_tokens"] == 0
+    assert cur["img-only"]["distinct_ratio"] is None
+    assert cur["normal"]["n_tokens"] > 0
+
+
 def test_near_dup_stage(spark, transcripts_pdf, tmp_path):
     """--near-dup: incremental per-bucket MinHash signatures + global
     banded pair-gen + connected components.  A near-identical copy of a
