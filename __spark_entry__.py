@@ -944,8 +944,8 @@ SQL_TOKEN_STATS = r"""
 WITH b AS (
   SELECT lang,
     CASE WHEN length(trim(text)) = 0 THEN 0
-         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
-    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
+         ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) END AS n_tok,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]')) AS n_bpe
   FROM documents
 )
 SELECT lang, sum(n_tok)::BIGINT AS total_tokens,
@@ -975,8 +975,8 @@ SQL_QUALITY_SCORES = r"""
 WITH b AS (
   SELECT doc_id, text, length(text) AS n_chars,
     CASE WHEN length(trim(text)) = 0 THEN 0
-         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+         ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) END AS n_tokens,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]')) AS n_bpe_tokens
   FROM documents
 )
 SELECT doc_id, n_chars, n_tokens, n_bpe_tokens,
@@ -985,7 +985,7 @@ SELECT doc_id, n_chars, n_tokens, n_bpe_tokens,
   CASE WHEN n_chars = 0 THEN 0.0
        ELSE round(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g'))::DOUBLE / n_chars, 4) END AS punct_ratio,
   CASE WHEN n_tokens = 0 THEN 0.0
-       ELSE round(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+       ELSE round(len(list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
                    x -> x IN ('the','and','of','to','a','in','is','it','for','on')))::DOUBLE / n_tokens, 4) END AS stopword_ratio,
   CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
        WHEN contains(' ' || lower(text) || ' ', ' the ')
@@ -995,7 +995,7 @@ SELECT doc_id, n_chars, n_tokens, n_bpe_tokens,
          OR contains(' ' || lower(text) || ' ', ' la ')
          OR contains(' ' || lower(text) || ' ', ' de ') THEN 'es'
        ELSE 'other' END AS lang_pred,
-  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+  md5(lower(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS fingerprint
 FROM b
 """
 
@@ -1082,7 +1082,7 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DOC_FINGERPRINTS = rf"""
 WITH norm AS (
   SELECT doc_id,
-         trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+         trim(lower(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS t
   FROM documents
 )
 SELECT doc_id,
@@ -1211,7 +1211,7 @@ WITH dd AS (
   SELECT doc_id, text FROM documents
   UNION ALL SELECT doc_id + 1000000, text FROM documents
 )
-SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+SELECT md5(lower(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS fp,
        min(doc_id) AS keep_doc_id, count(*) AS dup_count
 FROM dd GROUP BY 1
 """
@@ -1227,7 +1227,7 @@ def q_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_NGRAM_PAIRS = r"""
 WITH d AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS t
   FROM documents WHERE doc_id < 300
 ), g AS (
   SELECT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
@@ -1305,7 +1305,7 @@ _SQL_DOUBLED_DOCS = """
 SQL_MINHASH_LSH = rf"""
 WITH d AS ({_SQL_DOUBLED_DOCS}),
 tk AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM d
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS t FROM d
 ),
 g AS (
   SELECT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
@@ -1356,7 +1356,7 @@ SQL_SIMHASH = rf"""
 WITH d AS ({_SQL_DOUBLED_DOCS}),
 tok AS (
   SELECT doc_id,
-         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+         unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS tok
   FROM d
 ),
 th AS (SELECT doc_id, {_H60.format(x='tok')} AS h FROM tok),
@@ -2014,7 +2014,7 @@ WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
 n AS (SELECT count(*) AS n_docs FROM d),
 tok AS (
   SELECT doc_id,
-         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+         unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS term
   FROM d
 ),
 tf AS (
@@ -2137,7 +2137,7 @@ WITH d AS (
 ),
 tk AS (
   SELECT doc_id, is_new,
-         regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM d
+         regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS t FROM d
 ),
 g AS (
   SELECT doc_id, is_new, array_to_string(t[i:i+2], ' ') AS shingle
@@ -2559,14 +2559,14 @@ WITH src AS (
     (9000004, 'xx', 'tiny doc')
   ) v(doc_id, lang, text)
 ), tok AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS tok
   FROM src
 ), pt AS (
   SELECT doc_id, tok, count(*) AS c FROM tok WHERE tok <> '' GROUP BY 1, 2
 ), st AS (
   SELECT doc_id, sum(c)::BIGINT AS n_tokens FROM pt GROUP BY 1
 ), tg AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM src
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS t FROM src
 ), g AS (
   SELECT doc_id, array_to_string(t[i:i+1], ' ') AS shingle
   FROM tg, UNNEST(range(1, greatest(len(t) - 2, 0) + 2)) AS r(i)
@@ -2579,7 +2579,7 @@ WITH src AS (
   FROM st LEFT JOIN bg ON st.doc_id = bg.doc_id
 ), fp AS (
   SELECT doc_id,
-         md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+         md5(lower(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS fp
   FROM src
 ), km AS (
   SELECT fp, min(doc_id) AS keep_id FROM fp GROUP BY 1
@@ -3021,7 +3021,7 @@ WITH src AS (
   ) v(doc_id, text)
 ), tok AS (
   SELECT doc_id,
-         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+         unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS tok
   FROM src
 ), pt AS (
   SELECT doc_id, tok, count(*) AS c FROM tok WHERE tok <> ''
@@ -3031,7 +3031,7 @@ WITH src AS (
          max(c) AS top_c
   FROM pt GROUP BY 1
 ), tg AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS t
   FROM src
 ), g AS (
   SELECT doc_id, array_to_string(t[i:i+1], ' ') AS shingle
@@ -3061,7 +3061,7 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DOC_CHUNKS = r"""
 WITH tokd AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS t
   FROM documents WHERE doc_id < 200
 ), nn AS (
   SELECT doc_id, t,
@@ -3092,7 +3092,7 @@ SQL_PACK_SEQUENCES = r"""
 WITH base AS (
   SELECT doc_id, source, (doc_id % 8)::INT AS bucket,
          CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+              ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'))
          END::BIGINT AS n_tokens
   FROM documents
 )
@@ -3113,7 +3113,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     3 and 7, re-keyed +1000000) so both engines construct the identical
     eval set and the planted leakage is guaranteed."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    toks = F.split(F.trim(F.lower(F.col("text"))), etext.WS)
     bench = d.where(F.col("doc_id").isin(3, 7)).select(
         (F.col("doc_id") + 1000000).alias("bench_id"),
         F.array_join(F.slice(toks, 1, 20), " ").alias("text"),
@@ -3124,11 +3124,11 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CONTAMINATION = r"""
 WITH bench AS (
   SELECT doc_id + 1000000 AS bench_id,
-         array_to_string(regexp_split_to_array(trim(lower(text)), '\s+')[1:20],
+         array_to_string(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')[1:20],
                          ' ') AS text
   FROM documents WHERE doc_id IN (3, 7)
 ), bt AS (
-  SELECT bench_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  SELECT bench_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS t
   FROM bench
 ), bgr AS (
   SELECT bench_id, array_to_string(t[i:i+7], ' ') AS shingle
@@ -3136,7 +3136,7 @@ WITH bench AS (
 ), bg AS (
   SELECT DISTINCT bench_id, shingle FROM bgr
 ), dt AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS t
   FROM documents
 ), dgr AS (
   SELECT doc_id, array_to_string(t[i:i+7], ' ') AS shingle

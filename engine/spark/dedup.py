@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from engine.spark import text
 from engine.spark.text import fingerprint
 
 
@@ -76,7 +77,7 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFr
     # skips NULLs, matching slice+array_join short-gram semantics.)
     tokd = docs.select(
         "doc_id",
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_toks"),
+        F.split(F.trim(F.lower(F.col(text_col))), text.WS).alias("_toks"),
     )
     toks = F.col("_toks")
     # i in 0..max(size-n, 0) inclusive: full grams when size≥n, a single
@@ -406,7 +407,7 @@ def simhash(
     toks = docs.select(
         "doc_id",
         F.explode(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            F.split(F.trim(F.lower(F.col(text_col))), text.WS)
         ).alias("tok"),
     ).withColumn("h", _hash_col(F.col("tok"), fast_hash))
     votes = [

@@ -12,8 +12,17 @@ from pyspark.sql import functions as F
 
 STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it", "for", "on")
 
+# Explicit ASCII whitespace class, identical under Java regex (Spark)
+# and RE2 (the DuckDB oracle): Java's \s includes U+000B (vertical tab),
+# RE2's does not, so a '\s+' tokenizer twin silently diverges on any doc
+# containing VT.  Both engines read the \xhh escape, so this one string
+# serves Spark split()/regexp_replace() and the oracle SQL verbatim.
+# Parity is pinned on a VT fixture in tests/test_ws_parity.py.
+WS = r"[ \t\n\x0b\f\r]+"
+
 # BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
-BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# (negated-whitespace spelled explicitly for the same VT reason)
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]"
 CJK_RE = r"[一-鿿]"
 
 
@@ -21,7 +30,7 @@ def ws_token_count(text: Column) -> Column:
     """Whitespace token count; empty/blank → 0."""
     t = F.trim(text)
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(
-        F.size(F.split(t, r"\s+"))
+        F.size(F.split(t, WS))
     )
 
 
@@ -45,7 +54,7 @@ def punct_ratio(text: Column) -> Column:
 
 
 def stopword_ratio(text: Column) -> Column:
-    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    toks = F.split(F.trim(F.lower(text)), WS)
     n = ws_token_count(text)
     stops = F.size(
         F.filter(toks, lambda w: w.isin(*STOPWORDS))
@@ -74,7 +83,7 @@ def lang_id(text: Column) -> Column:
 
 def fingerprint(text: Column) -> Column:
     """Whitespace-normalised lowercase md5 — document fingerprint."""
-    return F.md5(F.lower(F.regexp_replace(text, r"\s+", " ")))
+    return F.md5(F.lower(F.regexp_replace(text, WS, " ")))
 
 
 # markdown link/image-link text: [text](target)
@@ -152,7 +161,7 @@ def rolling_fingerprint(text: Column) -> Column:
     md5-prefix integer, so DuckDB re-derives the identical value with
     list_reduce and the rolling arithmetic itself sits under the
     cross-engine oracle."""
-    norm = F.trim(F.lower(F.regexp_replace(text, r"\s+", " ")))
+    norm = F.trim(F.lower(F.regexp_replace(text, WS, " ")))
     toks = F.split(norm, " ")
     mod = F.lit(ROLL_MOD)
 
@@ -265,7 +274,7 @@ def tfidf_top_terms(
     n_docs_df = docs.agg(F.count("*").alias("_n_docs"))
     toks = docs.select(
         "doc_id",
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), WS)).alias(
             "term"
         ),
     ).where(F.col("term") != "")
@@ -359,7 +368,7 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     toks = docs.select(
         "doc_id",
         F.explode(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            F.split(F.trim(F.lower(F.col(text_col))), WS)
         ).alias("tok"),
     ).where(F.col("tok") != "")
     per_tok = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
@@ -421,7 +430,7 @@ def doc_chunks(
     stride = chunk_tokens - overlap
     tokd = docs.select(
         "doc_id",
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_toks"),
+        F.split(F.trim(F.lower(F.col(text_col))), WS).alias("_toks"),
     ).withColumn(
         "_n",
         F.when(
