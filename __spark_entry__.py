@@ -3249,65 +3249,12 @@ GROUP BY 1, 2
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples the
     # first 50 keys, so entries are sorted by driver-coverage recency —
-    # (1) the 9 queries never driver-checked through round 3, (2) the 11
-    # whose last driver row is round 2, (3) the 50 that went green in
-    # round 3.  Rotate stale entries forward each round so every query
-    # keeps a recent CORRECTNESS row.
+    # round-5 additions first (never checked), then the 37 whose last
+    # green row is CORRECTNESS_r03, then the 50 re-verified in r04.
+    # Rotate stale entries forward each round so every query keeps a
+    # recent CORRECTNESS row.
+    # -- last driver row is round 3 (stale-first)
     return {
-        # -- never driver-checked (r1-r3) — must land in CORRECTNESS_r04
-        "dup_clusters": q_dup_clusters,
-        "dedup_canonical": q_dedup_canonical,
-        "minhash_incremental": q_minhash_incremental,
-        "events_cube": q_events_cube,
-        "quarantine": q_quarantine,
-        "png_features": q_png_features,
-        "event_type_pivot": q_event_type_pivot,
-        "stream_event_counts_append": q_stream_event_counts_append,
-        "stream_stream_join": q_stream_stream_join,
-        # -- new in round 4 (never driver-checked yet)
-        "pii_scrub": q_pii_scrub,
-        "repetition_stats": q_repetition_stats,
-        "doc_chunks": q_doc_chunks,
-        "pack_sequences": q_pack_sequences,
-        "contamination": q_contamination,
-        "stream_near_dup": q_stream_near_dup,
-        "corpus_curation": q_corpus_curation,
-        "event_melt": q_event_melt,
-        "grouping_sets": q_grouping_sets,
-        "sliding_window_avg": q_sliding_window_avg,
-        "data_quality": q_data_quality,
-        "stream_enrich": q_stream_enrich,
-        "quantize_embeddings": q_quantize_embeddings,
-        "full_outer_recon": q_full_outer_recon,
-        "value_ntile": q_value_ntile,
-        "events_resample": q_events_resample,
-        # -- last driver row was round 2
-        "simhash": q_simhash,
-        "lsh_ann": q_lsh_ann,
-        "ivf_ann": q_ivf_ann,
-        "embedding_dupes": q_embedding_dupes,
-        "multimodal_features": q_multimodal_features,
-        "frame_sample": q_frame_sample,
-        "thumbnail": q_thumbnail,
-        "stream_event_counts": q_stream_event_counts,
-        "stream_dedup": q_stream_dedup,
-        "stream_extract": q_stream_extract,
-        "stream_sessionize": q_stream_sessionize,
-        # -- green in CORRECTNESS_r03
-        "extract_markdown": q_extract_markdown,
-        "extract_html": q_extract_html,
-        "extract_images": q_extract_images,
-        "extract_spans": q_extract_spans,
-        "images_b64_decode": q_images_b64_decode,
-        "inline_images_b64": q_inline_images_b64,
-        "structured_ocr": q_structured_ocr,
-        "doc_assembly": q_doc_assembly,
-        "doc_assembly_salted": q_doc_assembly_salted,
-        "doc_assembly_display": q_doc_assembly_display,
-        "translate_markdown": q_translate_markdown,
-        "translate_markdown_udf": q_translate_markdown_udf,
-        "ocr_map": q_ocr_map,
-        "placeholder_rewrite": q_placeholder_rewrite,
         "ocr_insert": q_ocr_insert,
         "fence_strip": q_fence_strip,
         "sanitize_stem": q_sanitize_stem,
@@ -3345,66 +3292,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_pairs": q_ngram_pairs,
         "embedding_topk": q_embedding_topk,
         "minhash_lsh": q_minhash_lsh,
+        # -- green in CORRECTNESS_r04 (rotate forward when stale)
+        "dup_clusters": q_dup_clusters,
+        "dedup_canonical": q_dedup_canonical,
+        "minhash_incremental": q_minhash_incremental,
+        "events_cube": q_events_cube,
+        "quarantine": q_quarantine,
+        "png_features": q_png_features,
+        "event_type_pivot": q_event_type_pivot,
+        "stream_event_counts_append": q_stream_event_counts_append,
+        "stream_stream_join": q_stream_stream_join,
+        "pii_scrub": q_pii_scrub,
+        "repetition_stats": q_repetition_stats,
+        "doc_chunks": q_doc_chunks,
+        "pack_sequences": q_pack_sequences,
+        "contamination": q_contamination,
+        "stream_near_dup": q_stream_near_dup,
+        "corpus_curation": q_corpus_curation,
+        "event_melt": q_event_melt,
+        "grouping_sets": q_grouping_sets,
+        "sliding_window_avg": q_sliding_window_avg,
+        "data_quality": q_data_quality,
+        "stream_enrich": q_stream_enrich,
+        "quantize_embeddings": q_quantize_embeddings,
+        "full_outer_recon": q_full_outer_recon,
+        "value_ntile": q_value_ntile,
+        "events_resample": q_events_resample,
+        "simhash": q_simhash,
+        "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
+        "embedding_dupes": q_embedding_dupes,
+        "multimodal_features": q_multimodal_features,
+        "frame_sample": q_frame_sample,
+        "thumbnail": q_thumbnail,
+        "stream_event_counts": q_stream_event_counts,
+        "stream_dedup": q_stream_dedup,
+        "stream_extract": q_stream_extract,
+        "stream_sessionize": q_stream_sessionize,
+        "extract_markdown": q_extract_markdown,
+        "extract_html": q_extract_html,
+        "extract_images": q_extract_images,
+        "extract_spans": q_extract_spans,
+        "images_b64_decode": q_images_b64_decode,
+        "inline_images_b64": q_inline_images_b64,
+        "structured_ocr": q_structured_ocr,
+        "doc_assembly": q_doc_assembly,
+        "doc_assembly_salted": q_doc_assembly_salted,
+        "doc_assembly_display": q_doc_assembly_display,
+        "translate_markdown": q_translate_markdown,
+        "translate_markdown_udf": q_translate_markdown_udf,
+        "ocr_map": q_ocr_map,
+        "placeholder_rewrite": q_placeholder_rewrite,
     }
 
 
+
 def oracle_sql() -> dict[str, str]:
-    # Same driver-coverage-recency order as queries() — see that comment.
+    # Same order as queries() — keep the two registries aligned.
+    # (value_quantiles_approx has no oracle entry by design: the sketch
+    # twin is pinned by tests/test_sampling.py error bounds instead.)
+    # -- last driver row is round 3 (stale-first)
     return {
-        # -- never driver-checked (r1-r3)
-        "dup_clusters": SQL_DUP_CLUSTERS,
-        "dedup_canonical": SQL_DEDUP_CANONICAL,
-        "minhash_incremental": SQL_MINHASH_INCREMENTAL,
-        "events_cube": SQL_EVENTS_CUBE,
-        "quarantine": SQL_QUARANTINE,
-        "png_features": SQL_PNG_FEATURES,
-        "event_type_pivot": SQL_EVENT_TYPE_PIVOT,
-        "stream_event_counts_append": SQL_STREAM_EVENT_COUNTS_APPEND,
-        "stream_stream_join": SQL_STREAM_STREAM_JOIN,
-        # -- new in round 4
-        "pii_scrub": SQL_PII_SCRUB,
-        "repetition_stats": SQL_REPETITION_STATS,
-        "doc_chunks": SQL_DOC_CHUNKS,
-        "pack_sequences": SQL_PACK_SEQUENCES,
-        "contamination": SQL_CONTAMINATION,
-        "stream_near_dup": SQL_MINHASH_INCREMENTAL,
-        "corpus_curation": SQL_CORPUS_CURATION,
-        "event_melt": SQL_EVENT_MELT,
-        "grouping_sets": SQL_GROUPING_SETS,
-        "sliding_window_avg": SQL_SLIDING_WINDOW_AVG,
-        "data_quality": SQL_DATA_QUALITY,
-        "stream_enrich": SQL_STREAM_ENRICH,
-        "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
-        "full_outer_recon": SQL_FULL_OUTER_RECON,
-        "value_ntile": SQL_VALUE_NTILE,
-        "events_resample": SQL_EVENTS_RESAMPLE,
-        # -- last driver row was round 2
-        "simhash": SQL_SIMHASH,
-        "lsh_ann": SQL_LSH_ANN,
-        "ivf_ann": SQL_IVF_ANN,
-        "embedding_dupes": SQL_EMBEDDING_DUPES,
-        "multimodal_features": SQL_MULTIMODAL_FEATURES,
-        "frame_sample": SQL_FRAME_SAMPLE,
-        "thumbnail": SQL_THUMBNAIL,
-        "stream_event_counts": SQL_STREAM_EVENT_COUNTS,
-        "stream_dedup": SQL_STREAM_DEDUP,
-        "stream_extract": SQL_EXTRACT_MARKDOWN,
-        "stream_sessionize": SQL_STREAM_SESSIONIZE,
-        # -- green in CORRECTNESS_r03
-        "extract_markdown": SQL_EXTRACT_MARKDOWN,
-        "extract_html": SQL_EXTRACT_HTML,
-        "extract_images": SQL_EXTRACT_IMAGES,
-        "extract_spans": SQL_EXTRACT_SPANS,
-        "images_b64_decode": SQL_IMAGES_B64_DECODE,
-        "inline_images_b64": SQL_INLINE_IMAGES_B64,
-        "structured_ocr": SQL_STRUCTURED_OCR,
-        "doc_assembly": SQL_DOC_ASSEMBLY,
-        "doc_assembly_salted": SQL_DOC_ASSEMBLY,
-        "doc_assembly_display": SQL_DOC_ASSEMBLY_DISPLAY,
-        "translate_markdown": SQL_TRANSLATE_MARKDOWN,
-        "translate_markdown_udf": SQL_TRANSLATE_MARKDOWN_UDF,
-        "ocr_map": SQL_OCR_MAP,
-        "placeholder_rewrite": SQL_PLACEHOLDER_REWRITE,
         "ocr_insert": SQL_OCR_INSERT,
         "fence_strip": SQL_FENCE_STRIP,
         "sanitize_stem": SQL_SANITIZE_STEM,
@@ -3441,4 +3389,56 @@ def oracle_sql() -> dict[str, str]:
         "ngram_pairs": SQL_NGRAM_PAIRS,
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "minhash_lsh": SQL_MINHASH_LSH,
+        # -- green in CORRECTNESS_r04 (rotate forward when stale)
+        "dup_clusters": SQL_DUP_CLUSTERS,
+        "dedup_canonical": SQL_DEDUP_CANONICAL,
+        "minhash_incremental": SQL_MINHASH_INCREMENTAL,
+        "events_cube": SQL_EVENTS_CUBE,
+        "quarantine": SQL_QUARANTINE,
+        "png_features": SQL_PNG_FEATURES,
+        "event_type_pivot": SQL_EVENT_TYPE_PIVOT,
+        "stream_event_counts_append": SQL_STREAM_EVENT_COUNTS_APPEND,
+        "stream_stream_join": SQL_STREAM_STREAM_JOIN,
+        "pii_scrub": SQL_PII_SCRUB,
+        "repetition_stats": SQL_REPETITION_STATS,
+        "doc_chunks": SQL_DOC_CHUNKS,
+        "pack_sequences": SQL_PACK_SEQUENCES,
+        "contamination": SQL_CONTAMINATION,
+        "stream_near_dup": SQL_MINHASH_INCREMENTAL,
+        "corpus_curation": SQL_CORPUS_CURATION,
+        "event_melt": SQL_EVENT_MELT,
+        "grouping_sets": SQL_GROUPING_SETS,
+        "sliding_window_avg": SQL_SLIDING_WINDOW_AVG,
+        "data_quality": SQL_DATA_QUALITY,
+        "stream_enrich": SQL_STREAM_ENRICH,
+        "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
+        "full_outer_recon": SQL_FULL_OUTER_RECON,
+        "value_ntile": SQL_VALUE_NTILE,
+        "events_resample": SQL_EVENTS_RESAMPLE,
+        "simhash": SQL_SIMHASH,
+        "lsh_ann": SQL_LSH_ANN,
+        "ivf_ann": SQL_IVF_ANN,
+        "embedding_dupes": SQL_EMBEDDING_DUPES,
+        "multimodal_features": SQL_MULTIMODAL_FEATURES,
+        "frame_sample": SQL_FRAME_SAMPLE,
+        "thumbnail": SQL_THUMBNAIL,
+        "stream_event_counts": SQL_STREAM_EVENT_COUNTS,
+        "stream_dedup": SQL_STREAM_DEDUP,
+        "stream_extract": SQL_EXTRACT_MARKDOWN,
+        "stream_sessionize": SQL_STREAM_SESSIONIZE,
+        "extract_markdown": SQL_EXTRACT_MARKDOWN,
+        "extract_html": SQL_EXTRACT_HTML,
+        "extract_images": SQL_EXTRACT_IMAGES,
+        "extract_spans": SQL_EXTRACT_SPANS,
+        "images_b64_decode": SQL_IMAGES_B64_DECODE,
+        "inline_images_b64": SQL_INLINE_IMAGES_B64,
+        "structured_ocr": SQL_STRUCTURED_OCR,
+        "doc_assembly": SQL_DOC_ASSEMBLY,
+        "doc_assembly_salted": SQL_DOC_ASSEMBLY,
+        "doc_assembly_display": SQL_DOC_ASSEMBLY_DISPLAY,
+        "translate_markdown": SQL_TRANSLATE_MARKDOWN,
+        "translate_markdown_udf": SQL_TRANSLATE_MARKDOWN_UDF,
+        "ocr_map": SQL_OCR_MAP,
+        "placeholder_rewrite": SQL_PLACEHOLDER_REWRITE,
     }
+
