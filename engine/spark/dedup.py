@@ -553,9 +553,17 @@ def connected_components(
 
     Convergence is detected by an order-insensitive edge-set checksum
     (count + sum of per-edge xxhash64): the alternating-star fixpoint is
-    exactly the star graph rooted at each component minimum."""
+    exactly the star graph rooted at each component minimum.
+
+    The SparkContext checkpoint directory is application-global; when
+    ``checkpoint_dir`` is given it is set for the CC rounds and the
+    prior value (usually unset) is restored before returning, so a
+    later ``.checkpoint()`` elsewhere in the session can't silently
+    inherit this job's directory."""
+    sc = pairs.sparkSession.sparkContext
+    prev_ckpt_dir = sc.getCheckpointDir()
     if checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        sc.setCheckpointDir(checkpoint_dir)
 
         def _ckpt(df: DataFrame) -> DataFrame:
             return df.checkpoint()
@@ -565,6 +573,17 @@ def connected_components(
         def _ckpt(df: DataFrame) -> DataFrame:
             return df.localCheckpoint()
 
+    try:
+        return _cc_rounds(pairs, a_col, b_col, max_rounds, _ckpt)
+    finally:
+        if checkpoint_dir is not None:
+            # restore the application-global checkpoint dir (py4j maps
+            # None back to null = unset); every .checkpoint() above is
+            # eager, so nothing still needs this job's directory
+            sc._jsc.setCheckpointDir(prev_ckpt_dir)
+
+
+def _cc_rounds(pairs, a_col, b_col, max_rounds, _ckpt) -> DataFrame:
     edges = _ckpt(
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .where(F.col("u") != F.col("v"))

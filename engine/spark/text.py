@@ -474,16 +474,33 @@ def pack_sequences(
     group_col: str = "source",
     text_col: str = "text",
 ) -> DataFrame:
-    """Deterministic next-fit sequence packing: assign documents to
-    fixed-token-capacity bins (training micro-batches) via a cumulative
-    token sum — bin_id = floor((cumsum - n_tokens) / capacity) within
-    each (group, bucket), ordered by doc_id.
+    """Deterministic offset-interval sequence packing: documents are
+    laid head-to-tail in a per-(group, bucket) token stream ordered by
+    doc_id, and each doc's bin is the capacity-aligned window containing
+    its START offset — bin_id = floor((cumsum - n_tokens) / capacity).
 
-    Deliberately NEXT-FIT, not first-fit-decreasing: next-fit is a pure
-    window function (one shuffle, no iteration), its waste is bounded
-    (each bin except the last is > capacity/2 full when items ≤
-    capacity), and it is exactly expressible in ANSI SQL, so the DuckDB
-    oracle pins it bit-for-bit.
+    This is NOT bin packing with a hard capacity: a doc that starts near
+    a bin boundary overflows its bin by up to its own length.  The exact
+    guarantees (both pinned by tests/test_llm_ops.py property tests):
+
+    * **load bound** — every bin's token total ≤ ``capacity +
+      max_doc_tokens − 1`` (a doc can start at most ``capacity − 1``
+      tokens into its bin, and everything else in the bin lies inside
+      the bin's capacity-sized offset window);
+    * **bin-count bound** — bins per (group, bucket) =
+      ``floor((total_tokens − last_doc_tokens) / capacity) + 1``
+      ≤ ``total_tokens / capacity + 1``, i.e. average fill approaches
+      ``capacity`` — no fragmentation, unlike true next-fit whose bins
+      can be half-empty.
+
+    Chosen over true next-fit (close a bin the moment an item doesn't
+    fit) because the offset rule is a pure window function — one
+    shuffle, no sequential recurrence — and is exactly expressible in
+    ANSI SQL, so the DuckDB oracle pins it bit-for-bit.  Consumers that
+    need a hard per-bin token ceiling should size ``capacity`` as
+    ``target − max_doc_tokens + 1`` or pre-chunk long docs with
+    :func:`doc_chunks` so ``max_doc_tokens ≤`` the slack they can
+    absorb.
 
     Hot-key shape (same two-phase idea as joins.asof_join): the window
     partition is (group, doc_id % n_buckets), never the whole group, so

@@ -99,6 +99,28 @@ def test_cc_durable_checkpoint_identical(spark, tmp_path):
     for root, _, files in os.walk(tmp_path / "cc_ckpt"):
         hit = hit or bool(files)
     assert hit, "no checkpoint files written under checkpoint_dir"
+    # the application-global checkpoint dir must be restored (ADVICE r4):
+    # a later .checkpoint() elsewhere must not inherit this job's dir
+    assert spark.sparkContext.getCheckpointDir() is None
+
+
+def test_cc_checkpoint_dir_restored_to_prior_value(spark, tmp_path):
+    """If the session already had a checkpoint dir, CC's durable variant
+    must put it back rather than clobbering application-global state."""
+    sc = spark.sparkContext
+    prior = str(tmp_path / "prior_ckpt")
+    sc.setCheckpointDir(prior)
+    try:
+        df = spark.createDataFrame([(1, 2)], "doc_a: long, doc_b: long")
+        dedup.connected_components(
+            df, checkpoint_dir=str(tmp_path / "cc_ckpt2")
+        ).collect()
+        # Spark resolves setCheckpointDir to <dir>/<uuid>; restoring that
+        # resolved path keeps later checkpoints under the prior root
+        got = sc.getCheckpointDir()
+        assert got is not None and "prior_ckpt" in got
+    finally:
+        sc._jsc.setCheckpointDir(None)
 
 
 def test_dup_clusters_includes_singletons(spark):
