@@ -2650,6 +2650,7 @@ def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         spark.read.parquet(outp)
+        .drop("ingest_batch")  # sink partition stamp, not pair data
         .dropDuplicates(["doc_a", "doc_b"])
         .orderBy("doc_a", "doc_b")
     )

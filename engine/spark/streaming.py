@@ -543,6 +543,23 @@ def stream_quarantine(
     q.awaitTermination()
 
 
+def _overwrite_batch_partition(
+    df: DataFrame, path: str, batch_id: int
+) -> None:
+    """Idempotent per-micro-batch parquet sink: rows are stamped with
+    the foreachBatch ``batch_id`` and written with dynamic-partition
+    overwrite into ``ingest_batch=<id>/`` — an at-least-once retry of
+    the same batch replaces its own partition instead of appending a
+    duplicate copy, and never touches other batches' partitions."""
+    (
+        df.withColumn("ingest_batch", F.lit(batch_id).cast("long"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(path)
+    )
+
+
 def stream_near_dup(
     spark: SparkSession,
     docs_path: str,
@@ -563,25 +580,31 @@ def stream_near_dup(
          against the store via ``foreachBatch`` (new×new within the
          batch + broadcast probe into the store scan — the store is
          never shuffled, the corpus never re-shingled);
-      3. the batch's own bands are APPENDED to the store
+      3. the batch's own bands are added to the store
          (origin='stream'), so later batches pair against earlier
          stream arrivals — a run split across any number of
          micro-batches yields the identical pair set as one big batch,
          which is exactly why this shares the batch oracle.
 
-    Exactly-once caveat (stated, not hidden): foreachBatch is
-    at-least-once on retry; the parquet appends here are made
-    idempotent-for-consumers by the reader contract (pairs are unique
-    on (doc_a, doc_b) per run — re-delivered batches can only re-append
-    the same rows, which the reading query drops with dropDuplicates).
-    On a real cluster use a MERGE-capable table format for the two
-    sinks to get exactly-once without the reader contract."""
+    Retry idempotence: foreachBatch is at-least-once on retry, so a
+    blind append would duplicate the retried batch's band rows forever
+    and every later batch's probe-join fan-out would grow with each
+    duplicate.  Both sinks are therefore partitioned by
+    ``ingest_batch`` (= the foreachBatch batch_id; −1 for the corpus
+    seed) and written with dynamic-partition OVERWRITE: a re-delivered
+    batch replaces exactly its own partition, leaving the store — and
+    the pairs output — byte-identical to the single-delivery run
+    (pinned by tests/test_llm_ops.py::test_stream_near_dup_retry_
+    idempotent).  This is the parquet analog of the MERGE a
+    table-format sink would use."""
     from engine.spark import dedup
 
     (
         dedup.band_table(corpus_docs, num_perm, bands, n)
         .withColumn("origin", F.lit("corpus"))
+        .withColumn("ingest_batch", F.lit(-1).cast("long"))
         .write.mode("overwrite")
+        .partitionBy("ingest_batch")
         .parquet(band_store)
     )
 
@@ -603,11 +626,11 @@ def stream_near_dup(
             pairs = dedup.incremental_pairs_from_bands(
                 b_new, b_old, num_perm
             )
-            pairs.write.mode("append").parquet(output_path)
-            (
-                b_new.withColumn("origin", F.lit("stream"))
-                .write.mode("append")
-                .parquet(band_store)
+            _overwrite_batch_partition(pairs, output_path, batch_id)
+            _overwrite_batch_partition(
+                b_new.withColumn("origin", F.lit("stream")),
+                band_store,
+                batch_id,
             )
         finally:
             b_new.unpersist()

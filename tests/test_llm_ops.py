@@ -296,6 +296,34 @@ def test_stream_near_dup_split_invariance(spark, tmp_path):
     }
     assert origins == {"corpus", "stream"}
 
+    # retry idempotence (ADVICE r4): foreachBatch is at-least-once — a
+    # re-delivered batch must OVERWRITE its own ingest_batch partition,
+    # not append a duplicate copy that inflates every later probe join.
+    store_df = spark.read.parquet(store)
+    out_df = spark.read.parquet(outp)
+    store_before = store_df.count()
+    out_before = out_df.count()
+    # simulate the retry exactly as _probe would re-run it: re-write
+    # batch 1's bands/pairs through the same idempotent sink helper
+    b1_bands = dedup.band_table(b2, num_perm=32, bands=16)
+    streaming._overwrite_batch_partition(
+        b1_bands.withColumn("origin", F.lit("stream")), store, batch_id=1
+    )
+    b_old = store_df.where(F.col("ingest_batch") < 1)
+    retry_pairs = dedup.incremental_pairs_from_bands(
+        b1_bands, b_old, num_perm=32
+    )
+    streaming._overwrite_batch_partition(retry_pairs, outp, batch_id=1)
+    assert spark.read.parquet(store).count() == store_before
+    assert spark.read.parquet(outp).count() == out_before
+    got_retry = {
+        (r["doc_a"], r["doc_b"]): (r["pair_type"], r["est_jaccard"])
+        for r in spark.read.parquet(outp)
+        .dropDuplicates(["doc_a", "doc_b"])
+        .collect()
+    }
+    assert got_retry == want
+
 
 def test_doc_chunks_reconstruction_property(spark):
     """Lossless-coverage invariant for arbitrary doc lengths around the
