@@ -3247,6 +3247,85 @@ GROUP BY 1, 2
 """
 
 
+_SUBSTR_FIXTURES = [
+    (
+        9200001,
+        "unique preamble one two three the quick brown fox jumps over "
+        "the lazy dog near riverbank nine tail alpha end",
+    ),
+    (
+        9200002,
+        "different opening words here the quick brown fox jumps over "
+        "the lazy dog near riverbank nine other closing text",
+    ),
+    (
+        9200003,
+        "start marker alpha beta gamma delta epsilon zeta eta theta "
+        "iota kappa middle filler words alpha beta gamma delta epsilon "
+        "zeta eta theta iota kappa finish",
+    ),
+]
+
+
+def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level duplicate spans (Lee et al. suffix-array
+    dedup, re-expressed as the distributed sorted-shingle-table shape:
+    dedup.substring_spans).  Corpus = documents < 150 plus three planted
+    fixtures: a 12-token passage shared verbatim by two otherwise-unique
+    docs (cross-doc span, exact extent in both) and a doc repeating a
+    10-token passage internally (two disjoint spans)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150).select(
+        "doc_id", "text"
+    )
+    fixtures = spark.createDataFrame(
+        _SUBSTR_FIXTURES, "doc_id: long, text: string"
+    )
+    return (
+        dedup.substring_spans(d.unionByName(fixtures), k=8)
+        .select(
+            "doc_id",
+            F.col("start_tok").cast("long").alias("start_tok"),
+            F.col("end_tok").cast("long").alias("end_tok"),
+            F.col("span_tokens").cast("long").alias("span_tokens"),
+        )
+        .orderBy("doc_id", "start_tok")
+    )
+
+
+SQL_SUBSTRING_DUP = rf"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 150
+  UNION ALL
+  SELECT * FROM (VALUES
+    (9200001, 'unique preamble one two three the quick brown fox jumps over the lazy dog near riverbank nine tail alpha end'),
+    (9200002, 'different opening words here the quick brown fox jumps over the lazy dog near riverbank nine other closing text'),
+    (9200003, 'start marker alpha beta gamma delta epsilon zeta eta theta iota kappa middle filler words alpha beta gamma delta epsilon zeta eta theta iota kappa finish')
+  ) AS v(doc_id, text)
+), d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+') AS t
+  FROM base
+), p AS (
+  SELECT doc_id, i - 1 AS pos,
+         {_H60.format(x="array_to_string(t[i:i+7], ' ')")} AS sh
+  FROM d, UNNEST(range(1, len(t) - 8 + 2)) AS r(i)
+  WHERE len(t) >= 8
+), dup AS (
+  SELECT sh FROM p GROUP BY sh HAVING count(*) >= 2
+), hits AS (
+  SELECT p.doc_id, p.pos FROM p JOIN dup USING (sh)
+), runs AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits
+)
+SELECT doc_id, min(pos)::BIGINT AS start_tok,
+       (max(pos) + 8)::BIGINT AS end_tok,
+       (max(pos) - min(pos) + 8)::BIGINT AS span_tokens
+FROM runs GROUP BY doc_id, grp
+ORDER BY doc_id, start_tok
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples the
     # first 50 keys, so entries are sorted by driver-coverage recency —
@@ -3254,8 +3333,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green row is CORRECTNESS_r03, then the 50 re-verified in r04.
     # Rotate stale entries forward each round so every query keeps a
     # recent CORRECTNESS row.
-    # -- last driver row is round 3 (stale-first)
     return {
+        # -- round-5 additions (never driver-checked)
+        "substring_dup": q_substring_dup,
+        # -- last driver row is round 3 (stale-first)
         "ocr_insert": q_ocr_insert,
         "fence_strip": q_fence_strip,
         "sanitize_stem": q_sanitize_stem,
@@ -3352,8 +3433,10 @@ def oracle_sql() -> dict[str, str]:
     # Same order as queries() — keep the two registries aligned.
     # (value_quantiles_approx has no oracle entry by design: the sketch
     # twin is pinned by tests/test_sampling.py error bounds instead.)
-    # -- last driver row is round 3 (stale-first)
     return {
+        # -- round-5 additions (never driver-checked)
+        "substring_dup": SQL_SUBSTRING_DUP,
+        # -- last driver row is round 3 (stale-first)
         "ocr_insert": SQL_OCR_INSERT,
         "fence_strip": SQL_FENCE_STRIP,
         "sanitize_stem": SQL_SANITIZE_STEM,

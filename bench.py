@@ -358,6 +358,8 @@ RELATIONAL = [
     "contamination",
     "corpus_curation",
     "quantize_embeddings",
+    # round-5 additions
+    "substring_dup",
 ]
 
 

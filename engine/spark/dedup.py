@@ -719,6 +719,91 @@ def contamination_screen(
     )
 
 
+# ------------------------------------------- substring-level dup spans
+def substring_spans(
+    docs: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    fast_hash: bool = False,
+) -> DataFrame:
+    """Exact substring-level duplicate spans (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): every maximal token
+    span of length ≥ ``k`` that occurs more than once ANYWHERE in the
+    corpus — across documents or repeated within one — reported as
+    (doc_id, start_tok, end_tok, span_tokens), end exclusive.  This is
+    the one dedup modality MinHash/SimHash/exact-doc can't express:
+    verbatim boilerplate, licence blocks, and copied passages inside
+    otherwise-unique documents.
+
+    The single-node reference algorithm is a suffix array; that is a
+    driver-side O(corpus) structure and a non-starter at 100 TB.  The
+    distributed equivalent used here is the sorted k-token shingle
+    table: a maximal duplicated span of length L ≥ k is EXACTLY the run
+    of duplicated k-gram start offsets [s, s+L−k], so
+
+      1. posexplode every k-gram start (tokens split exactly — no
+         lowercasing, substring dedup is byte-exact);
+      2. groupBy the gram hash, keep hashes with ≥ 2 occurrences —
+         partial aggregation (map-side combine), so a boilerplate gram
+         occurring 10⁹ times never buffers on one reducer (the count
+         pass re-derives the shingles from a second, hash-column-only
+         scan — deliberately chosen over a single-scan window count on
+         sh, whose WindowExec would buffer/spill every position of a
+         hot gram on one reducer);
+      3. shuffle equi-join positions back on the hash (sort-based
+         exchange; streams, AQE skew-split applies — never a cartesian,
+         never a broadcast of the corpus);
+      4. gaps-and-islands per document (window partitioned by doc_id —
+         bounded by that document's own token count) to merge
+         consecutive duplicated starts into maximal spans.
+
+    Guarantees: every duplicated span of length ≥ k is found with its
+    exact extent; spans shorter than k are below threshold by design;
+    two distinct duplicated spans that overlap in a document merge into
+    one (still entirely duplicated text).  Hash collisions (60-bit md5
+    prefix, or xxhash64 with ``fast_hash``) are the only false-positive
+    source, ~2⁻⁶⁰ per gram pair."""
+    from pyspark.sql import Window
+
+    tokd = docs.select(
+        "doc_id",
+        F.split(F.trim(F.col(text_col)), text.WS).alias("_toks"),
+    )
+    toks = F.col("_toks")
+    tokd = tokd.where(F.size(toks) >= k)
+    # materialized token array (never re-split inside the lambda — the
+    # measured O(tokens²) HOF trap, see word_shingles); O(1) F.get
+    # lookups per gram position
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: _hash_col(
+            F.concat_ws(" ", *[F.get(toks, i + j) for j in range(k)]),
+            fast_hash,
+        ),
+    )
+    pos_sh = tokd.select(
+        "doc_id", F.posexplode(grams).alias("pos", "sh")
+    )
+    dup = (
+        pos_sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= 2)
+        .select("sh")
+    )
+    hits = pos_sh.join(dup, "sh")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = hits.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+    return (
+        runs.groupBy("doc_id", "_grp")
+        .agg(
+            F.min("pos").alias("start_tok"),
+            (F.max("pos") + F.lit(k)).alias("end_tok"),
+            (F.max("pos") - F.min("pos") + F.lit(k)).alias("span_tokens"),
+        )
+        .select("doc_id", "start_tok", "end_tok", "span_tokens")
+    )
+
+
 # ----------------------------------------- persisted-band incremental
 def band_table(
     docs: DataFrame,

@@ -192,6 +192,57 @@ def test_contamination_screen_excludes_self(spark):
     assert dedup.contamination_screen(docs, bench, n=8).count() == 0
 
 
+# ------------------------------------------- substring-level dup spans
+
+
+def test_substring_spans_planted(spark):
+    """Hand-computed maximal duplicated spans, k=4: a cross-doc shared
+    passage reported with its exact extent in BOTH docs, an internal
+    repetition yielding two disjoint spans, and a unique doc absent."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "x x a b c d e f y"),
+            (3, "p q r s t p q r s u"),
+            (4, "m n o p"),
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {
+        (r["doc_id"], r["start_tok"], r["end_tok"], r["span_tokens"])
+        for r in dedup.substring_spans(docs, k=4).collect()
+    }
+    assert got == {(1, 0, 6, 6), (2, 2, 8, 6), (3, 0, 4, 4), (3, 5, 9, 4)}
+
+
+def test_substring_spans_exactness_no_normalization(spark):
+    """Substring dedup is byte-exact: case or punctuation differences
+    break the match (unlike the lowercasing word_shingles path)."""
+    docs = spark.createDataFrame(
+        [(1, "The quick brown fox jumps"), (2, "the quick brown fox jumps")],
+        "doc_id: long, text: string",
+    )
+    assert dedup.substring_spans(docs, k=5).count() == 0
+    same = spark.createDataFrame(
+        [(1, "The quick brown fox jumps"), (2, "The quick brown fox jumps")],
+        "doc_id: long, text: string",
+    )
+    got = {
+        (r["doc_id"], r["start_tok"], r["end_tok"])
+        for r in dedup.substring_spans(same, k=5).collect()
+    }
+    assert got == {(1, 0, 5), (2, 0, 5)}
+
+
+def test_substring_spans_below_threshold_missed(spark):
+    """A duplicated run shorter than k is below threshold by design."""
+    docs = spark.createDataFrame(
+        [(1, "a b c q w e r t"), (2, "a b c z x v n m")],
+        "doc_id: long, text: string",
+    )
+    assert dedup.substring_spans(docs, k=4).count() == 0
+
+
 # --------------------------------------- streaming near-dup band store
 
 

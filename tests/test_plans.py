@@ -433,3 +433,35 @@ def test_value_ntile_no_per_type_sort(spark):
     assert "windowspecdefinition(pid" in plan, plan
     assert "InMemoryTableScan" in plan, plan
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+
+
+def test_substring_spans_shingle_join_shape(spark):
+    """Substring-level dedup (Lee et al.) must plan as the distributed
+    shingle-table shape: map-side partial count on the gram hash, a
+    sort-based equi-join exchange on the hash (never a cartesian, never
+    a broadcast of the corpus), and a gaps-and-islands window keyed by
+    doc_id only — no global (unpartitioned) sort of positions."""
+    from engine.spark import dedup
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        d = (
+            spark.read.parquet(SF_DIR + "/documents.parquet")
+            .filter(F.col("doc_id") < 150)
+            .select("doc_id", "text")
+        )
+        plan = _plan(dedup.substring_spans(d, k=8))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the sort-based exchange on the gram hash
+    assert "SortMergeJoin [sh#" in plan, plan
+    # duplicated-hash detection is partial-aggregated (hot-gram safe)
+    assert "partial_count" in plan, plan
+    # islands window bounded per doc, and no global sort anywhere
+    assert "windowspecdefinition(doc_id#" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    # the count pass is column-pruned to the hash only
+    assert "Project [sh#" in plan, plan
