@@ -1542,6 +1542,97 @@ SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
 """
 
 
+def q_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + int8 inverted lists + exact re-rank
+    (similarity.ivf_quantized_topk) — the 10^10-vector serving shape:
+    the corpus is scanned only as 1-byte codes, the approximate-score
+    shortlist (deterministic: 6 dp round, id tie-break) is re-ranked
+    against full precision by an id equi-join.  The DuckDB twin
+    retrains the quantizer, re-derives the codes with the identical
+    floor(+0.5) arithmetic, and must match value-exactly."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = similarity.ivf_quantized_topk(
+        e, dim=64, n_centroids=8, n_probe=2, n_queries=8, k=5, shortlist=20
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+SQL_IVF_QUANTIZED = f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+seeds AS (SELECT vec_id AS cid, v AS c FROM base WHERE vec_id < 8),
+cl AS (
+  SELECT list(struct_pack(cid := cid, c := c) ORDER BY cid) AS cents
+  FROM seeds
+),
+a1 AS (SELECT vec_id, v, {_dk_assign('v')} AS cid FROM base, cl),
+dims AS (
+  SELECT cid, i AS d, v[i] AS x FROM a1, UNNEST(range(1, 65)) r(i)
+),
+means AS (SELECT cid, d, round(avg(x), 6) AS m FROM dims GROUP BY cid, d),
+cent2 AS (SELECT cid, list(m ORDER BY d) AS c FROM means GROUP BY cid),
+cent2b AS (
+  SELECT s.cid, coalesce(c2.c, s.c) AS c
+  FROM seeds s LEFT JOIN cent2 c2 USING (cid)
+),
+cl2 AS (
+  SELECT list(struct_pack(cid := cid, c := c) ORDER BY cid) AS cents
+  FROM cent2b
+),
+a2 AS (SELECT vec_id, v, {_dk_assign('v')} AS cid FROM base, cl2),
+qz AS (
+  SELECT vec_id, cid, v,
+         list_min(v)::DOUBLE AS mn, list_max(v)::DOUBLE AS mx
+  FROM a2
+),
+dq AS (
+  -- dequantized int8 codes: dv = mn + (code+128)*rng/255 with
+  -- code+128 = floor((x-mn)*255/rng + 0.5) — the exact
+  -- quantize_embeddings/dequantize_col arithmetic
+  SELECT vec_id, cid,
+         CASE WHEN mx = mn THEN list_transform(v, x -> mn)
+              ELSE list_transform(v, x ->
+                mn + floor((x - mn) * 255 / (mx - mn) + 0.5)
+                     * (mx - mn) / 255)
+         END AS dv
+  FROM qz
+),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv,
+         unnest(list_transform(
+           list_sort(list_transform(cents, s ->
+             {{'dist': 1.0 - {_dk_cos('v', 's.c')}, 'cid': s.cid}}))[1:2],
+           t -> t.cid)) AS cid
+  FROM base, cl2 WHERE vec_id < 8
+),
+approx AS (
+  SELECT p.query_id, p.qv, d.vec_id AS neighbor_id,
+         round({_dk_cos('p.qv', 'd.dv')}, 6) AS approx_sim
+  FROM probes p JOIN dq d ON d.cid = p.cid AND d.vec_id != p.query_id
+),
+short AS (
+  SELECT query_id, qv, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY approx_sim DESC, neighbor_id) AS arank
+  FROM approx
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id,
+         round({_dk_cos('s.qv', 'b.v')}, 6) AS cosine_sim
+  FROM short s JOIN base b ON b.vec_id = s.neighbor_id
+  WHERE s.arank <= 20
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM rer
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
 def q_embedding_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs over a derived corpus with
     deterministic planted near-dups (the driver's embeddings table has
@@ -3336,6 +3427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-5 additions (never driver-checked)
         "substring_dup": q_substring_dup,
+        "ivf_quantized": q_ivf_quantized,
         # -- last driver row is round 3 (stale-first)
         "ocr_insert": q_ocr_insert,
         "fence_strip": q_fence_strip,
@@ -3436,6 +3528,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         # -- round-5 additions (never driver-checked)
         "substring_dup": SQL_SUBSTRING_DUP,
+        "ivf_quantized": SQL_IVF_QUANTIZED,
         # -- last driver row is round 3 (stale-first)
         "ocr_insert": SQL_OCR_INSERT,
         "fence_strip": SQL_FENCE_STRIP,

@@ -360,6 +360,7 @@ RELATIONAL = [
     "quantize_embeddings",
     # round-5 additions
     "substring_dup",
+    "ivf_quantized",
 ]
 
 

@@ -543,3 +543,68 @@ def test_quantized_topk_recall(spark):
     e, a = sets(exact), sets(approx)
     recalls = [len(e[q] & a[q]) / len(e[q]) for q in e]
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_ivf_quantized_recall_and_full_probe(spark):
+    """The IVF + int8-lists + exact-re-rank composite (VERDICT r4 ask
+    #7): mean recall@5 vs brute force ≥ 0.8 at n_probe=2, and with a
+    full probe the only loss channel is int8 shortlist truncation —
+    which a 4k shortlist absorbs, so full-probe == brute force here."""
+    from engine.spark import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+    def sets(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    e = sets(sim.brute_force_topk(emb, n_queries=8, k=5).collect())
+    a = sets(
+        sim.ivf_quantized_topk(
+            emb, dim=64, n_centroids=8, n_probe=2, n_queries=8, k=5,
+            shortlist=20,
+        ).collect()
+    )
+    recalls = [len(e[q] & a[q]) / len(e[q]) for q in e]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+    fp = sets(
+        sim.ivf_quantized_topk(
+            emb, dim=64, n_centroids=8, n_probe=8, n_queries=8, k=5,
+            shortlist=20,
+        ).collect()
+    )
+    assert fp == e
+
+
+def test_quantized_lists_memory_ratio(spark, tmp_path):
+    """The whole point of int8 lists: the corpus-wide structure the
+    probe scans must be materially smaller than the float corpus.
+    Written as real parquet (dictionary/RLE and all), the tinyint codes
+    + 2 doubles come in at ≤ 40% of the double-precision vectors."""
+    import os
+
+    from engine.spark import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = sim._centroids_lit(sim.ivf_centroids(emb, dim=64))
+    lists = sim.quantized_lists(emb, cents)
+    assert dict(lists.dtypes)["codes"] == "array<tinyint>"
+    full = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    p_full, p_q = str(tmp_path / "full"), str(tmp_path / "q")
+    full.coalesce(1).write.parquet(p_full)
+    lists.coalesce(1).write.parquet(p_q)
+
+    def nbytes(d):
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    ratio = nbytes(p_q) / nbytes(p_full)
+    assert ratio <= 0.40, ratio
