@@ -197,6 +197,8 @@ def run_with_resume(
     near_dup: bool = False,
     quarantine: bool = False,
     curate: bool = False,
+    curate_max_dup_bigram: float = 0.5,
+    curate_min_tokens: int = 5,
     detect_changes: bool = False,
     run_id: str | None = None,
 ) -> dict[str, int]:
@@ -414,6 +416,19 @@ def run_with_resume(
             # forever.  Empty-content convs keep a row with n_tokens=0
             # and NULL ratios.
             pii = etext.pii_scrub(docs_for).drop("clean_text")
+            # the quality gate (same semantics as the corpus_curation
+            # contract query: NULL metrics fail the gate).  Thresholds
+            # are evaluated at WRITE time and stored alongside the raw
+            # metrics, so a consumer can always re-derive `keep` with
+            # different cutoffs from the same table without re-scanning
+            # text; dedup keep-lists are the --dedup stage's job, not
+            # curation's.
+            kept = F.coalesce(
+                F.col("dup_bigram_ratio") <= curate_max_dup_bigram,
+                F.lit(False),
+            ) & F.coalesce(
+                F.col("n_tokens") >= curate_min_tokens, F.lit(False)
+            )
             cur = pii.join(rep, "doc_id", "left").select(
                 F.col("doc_id").alias("conv_id"),
                 F.coalesce("n_tokens", F.lit(0)).cast("long").alias(
@@ -428,6 +443,7 @@ def run_with_resume(
                 "n_emails",
                 "n_ips",
                 "n_phones",
+                kept.alias("keep"),
             )
             (
                 with_part_hash(cur, n_buckets)

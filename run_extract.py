@@ -57,7 +57,17 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--curate", action="store_true",
                     help="also write the per-conversation curation "
                          "metrics table (repetition/quality + PII "
-                         "counts over the assembled documents)")
+                         "counts over the assembled documents, plus a "
+                         "`keep` quality-gate column)")
+    ap.add_argument("--curate-max-dup-bigram", type=float, default=0.5,
+                    help="curate quality gate: max duplicated-bigram "
+                         "ratio for keep=true (default 0.5; NULL fails)")
+    ap.add_argument("--curate-min-tokens", type=int, default=5,
+                    help="curate quality gate: min token count for "
+                         "keep=true (default 5).  Gates are stamped at "
+                         "write time; the raw metrics stay in the table "
+                         "so keep can be re-derived with other cutoffs "
+                         "without re-scanning text")
     args = ap.parse_args(argv)
 
     from engine.spark import lineage
@@ -111,6 +121,8 @@ def main(argv: list[str] | None = None) -> int:
         near_dup=args.near_dup,
         quarantine=args.quarantine,
         curate=args.curate,
+        curate_max_dup_bigram=args.curate_max_dup_bigram,
+        curate_min_tokens=args.curate_min_tokens,
         detect_changes=args.detect_changes,
     )
     dt = time.time() - t0

@@ -719,6 +719,51 @@ def test_curate_keeps_empty_content_convs(spark, tmp_path):
     assert cur["img-only"]["n_tokens"] == 0
     assert cur["img-only"]["distinct_ratio"] is None
     assert cur["normal"]["n_tokens"] > 0
+    # NULL-metric convs fail the quality gate rather than passing it
+    assert cur["img-only"]["keep"] is False
+    assert cur["normal"]["keep"] is True
+
+
+def test_curate_threshold_flags_e2e(spark, tmp_path):
+    """VERDICT r4 ask #8: the curate quality gates are CLI args.  Same
+    input through run_extract.main twice — default gates keep the
+    normal doc and drop the repetitive one; non-default
+    --curate-min-tokens/--curate-max-dup-bigram flip the normal doc to
+    keep=false too, while the RAW metrics stay identical (keep is
+    re-derivable from the stored metrics with any cutoffs)."""
+    import run_extract
+
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [
+            ("normal", 0, "# Title\n\nplain body text with enough tokens here"),
+            ("spammy", 0, "spam spam spam spam spam spam spam spam"),
+        ],
+        "conv_id: string, turn_idx: int, text: string",
+    ).write.parquet(p)
+    out1, out2 = str(tmp_path / "out1"), str(tmp_path / "out2")
+    common = ["--input", p, "--snapshot-id", "s", "--buckets", "4",
+              "--curate"]
+    assert run_extract.main(common + ["--output", out1]) == 0
+    assert run_extract.main(
+        common
+        + ["--output", out2, "--curate-min-tokens", "1000",
+           "--curate-max-dup-bigram", "0.01"]
+    ) == 0
+    c1 = {
+        r["conv_id"]: r
+        for r in spark.read.parquet(os.path.join(out1, "curation")).collect()
+    }
+    c2 = {
+        r["conv_id"]: r
+        for r in spark.read.parquet(os.path.join(out2, "curation")).collect()
+    }
+    assert c1["normal"]["keep"] is True
+    assert c1["spammy"]["keep"] is False  # dup_bigram_ratio ≈ 1
+    assert c2["normal"]["keep"] is False and c2["spammy"]["keep"] is False
+    for cid in c1:
+        assert c1[cid]["n_tokens"] == c2[cid]["n_tokens"]
+        assert c1[cid]["dup_bigram_ratio"] == c2[cid]["dup_bigram_ratio"]
 
 
 def test_near_dup_stage(spark, transcripts_pdf, tmp_path):
