@@ -3338,6 +3338,80 @@ GROUP BY 1, 2
 """
 
 
+def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring (text.ngram_lm_scores, the CCNet-style
+    perplexity filter): train an add-1-smoothed bigram model on
+    documents 200-399, score documents < 60 plus one planted all-OOV
+    gibberish doc (exercises the unseen-word coalesce path, and must
+    come out with the worst avg_nll).  The DuckDB twin retrains the
+    same counts and reproduces the DECIMAL(20,6) log-prob accumulation
+    exactly."""
+    d = _t(spark, sf_dir, "documents")
+    ref = d.filter(
+        (F.col("doc_id") >= 200) & (F.col("doc_id") < 400)
+    ).select("doc_id", "text")
+    score = (
+        d.filter(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+        .unionByName(
+            spark.createDataFrame(
+                [(9300001, "zq zq xv xv qqj qqj zzk")],
+                "doc_id: long, text: string",
+            )
+        )
+    )
+    return etext.ngram_lm_scores(score, ref, alpha=1.0).orderBy("doc_id")
+
+
+SQL_NGRAM_LM_SCORE = r"""
+WITH refd AS (
+  SELECT list_filter(regexp_split_to_array(trim(lower(text)),
+                                           '[ \t\n\x0b\f\r]+'),
+                     t -> t <> '') AS t
+  FROM documents WHERE doc_id >= 200 AND doc_id < 400
+),
+uni AS (
+  SELECT w, count(*) AS c1
+  FROM (SELECT unnest(t) AS w FROM refd) GROUP BY w
+),
+v AS (SELECT (count(*) + 1)::DOUBLE AS vsz FROM uni),
+big AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS c2
+  FROM refd, UNNEST(range(1, len(t))) r(i)
+  WHERE len(t) >= 2
+  GROUP BY 1, 2
+),
+sd AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)),
+                                           '[ \t\n\x0b\f\r]+'),
+                     t -> t <> '') AS t
+  FROM (SELECT doc_id, text FROM documents WHERE doc_id < 60
+        UNION ALL
+        SELECT * FROM (VALUES (9300001, 'zq zq xv xv qqj qqj zzk'))
+               AS x(doc_id, text))
+),
+sp AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM sd, UNNEST(range(1, len(t))) r(i)
+  WHERE len(t) >= 2
+),
+sc AS (
+  SELECT sp.doc_id,
+         round(ln((coalesce(big.c2, 0) + 1.0)
+                  / (coalesce(uni.c1, 0) + 1.0 * v.vsz)),
+               6)::DECIMAL(20,6) AS lp
+  FROM sp
+  LEFT JOIN big ON sp.w1 = big.w1 AND sp.w2 = big.w2
+  LEFT JOIN uni ON sp.w1 = uni.w
+  CROSS JOIN v
+)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       round((-sum(lp))::DOUBLE / count(*), 6) AS avg_nll
+FROM sc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 _SUBSTR_FIXTURES = [
     (
         9200001,
@@ -3428,6 +3502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-5 additions (never driver-checked)
         "substring_dup": q_substring_dup,
         "ivf_quantized": q_ivf_quantized,
+        "ngram_lm_score": q_ngram_lm_score,
         # -- last driver row is round 3 (stale-first)
         "ocr_insert": q_ocr_insert,
         "fence_strip": q_fence_strip,
@@ -3529,6 +3604,7 @@ def oracle_sql() -> dict[str, str]:
         # -- round-5 additions (never driver-checked)
         "substring_dup": SQL_SUBSTRING_DUP,
         "ivf_quantized": SQL_IVF_QUANTIZED,
+        "ngram_lm_score": SQL_NGRAM_LM_SCORE,
         # -- last driver row is round 3 (stale-first)
         "ocr_insert": SQL_OCR_INSERT,
         "fence_strip": SQL_FENCE_STRIP,

@@ -531,3 +531,99 @@ def pack_sequences(
         .alias("bin_id"),
         "n_tokens",
     )
+
+
+# ---------------------------------------------------- n-gram LM scoring
+def ngram_lm_scores(
+    docs: DataFrame,
+    ref_docs: DataFrame,
+    alpha: float = 1.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram language-model document scoring — the CCNet-style quality
+    filter (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+    Datasets from Web Crawl Data"): train an add-α-smoothed bigram LM on
+    a reference corpus, score every document by its average per-bigram
+    negative log-likelihood (the perplexity proxy); high avg_nll =
+    out-of-distribution/gibberish, the standard pre-training drop gate.
+
+        logp(w2 | w1) = ln( (c(w1,w2) + α) / (c(w1) + α·V) )
+
+    with V = training vocabulary size + 1 (the OOV bucket); unseen
+    words/bigrams coalesce to count 0, so a fully-OOV document scores
+    -ln(V) per bigram.  Only documents with ≥ 2 tokens produce a row.
+
+    Scale shape: training is two hash aggregations with map-side
+    combine (unigram + bigram counts — hot function words never buffer);
+    V rides as a broadcast single-row aggregate (no driver action during
+    construction); scoring joins the exploded doc bigrams to the count
+    tables on token equi-keys (sort-merge at model scale, AQE skew-split
+    absorbs the "of the" hot keys) — never a cartesian, and the corpus
+    is scanned once per side.
+
+    Cross-engine determinism: per-row log-probs are rounded to 6 dp and
+    summed as DECIMAL(20,6) — an exact, order-independent accumulation
+    both engines agree on bit-for-bit (double partial-agg order would
+    drift in the last ulp) — then one double division at the end."""
+
+    def _tok(d: DataFrame, *extra: str) -> DataFrame:
+        return d.select(
+            *extra,
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), WS),
+                lambda t: t != "",
+            ).alias("_t"),
+        )
+
+    rt = _tok(ref_docs).where(F.size("_t") >= 1)
+    uni = (
+        rt.select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    vocab = uni.agg((F.count("*") + 1).cast("double").alias("_v"))
+    rp = rt.where(F.size("_t") >= 2)
+    pairs = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.size("_t") - 2),
+            lambda i: F.struct(
+                F.get("_t", i).alias("w1"), F.get("_t", i + 1).alias("w2")
+            ),
+        )
+    ).alias("p")
+    big = (
+        rp.select(pairs)
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+    )
+
+    sp = (
+        _tok(docs, "doc_id")
+        .where(F.size("_t") >= 2)
+        .select("doc_id", pairs)
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    j = (
+        sp.join(big, ["w1", "w2"], "left")
+        .join(uni.withColumnRenamed("w", "w1"), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+    )
+    logp = F.log(
+        (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(alpha))
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha) * F.col("_v"))
+    )
+    return (
+        j.select(
+            "doc_id", F.round(logp, 6).cast("decimal(20,6)").alias("lp")
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("lp").alias("_s"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                (-F.col("_s")).cast("double") / F.col("n_bigrams"), 6
+            ).alias("avg_nll"),
+        )
+    )

@@ -192,6 +192,39 @@ def test_contamination_screen_excludes_self(spark):
     assert dedup.contamination_screen(docs, bench, n=8).count() == 0
 
 
+# ---------------------------------------------------- n-gram LM scoring
+
+
+def test_ngram_lm_scores_hand_computed(spark):
+    """Laplace bigram LM on a 2-doc reference corpus, hand-computed:
+    uni a:3 b:3 c:1, big (a,b):3 (b,a):1 (b,c):1, V = 4 (3 vocab + OOV).
+    In-distribution 'a b' → ln(4/7); fully-OOV 'z z' → ln(1/4);
+    single-token docs produce no row."""
+    import math
+
+    ref = spark.createDataFrame(
+        [(100, "a b a b"), (101, "a b c")], "doc_id: long, text: string"
+    )
+    score = spark.createDataFrame(
+        [(1, "a b"), (2, "z z"), (3, "a"), (4, "b c a")],
+        "doc_id: long, text: string",
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_nll"])
+        for r in etext.ngram_lm_scores(score, ref, alpha=1.0).collect()
+    }
+    assert set(got) == {1, 2, 4}
+    assert got[1][0] == 1
+    assert got[1][1] == pytest.approx(-math.log(4 / 7), abs=1e-5)
+    assert got[2][1] == pytest.approx(-math.log(1 / 4), abs=1e-5)
+    # (b,c): ln(2/7), (c,a): c2=0, c1(c)=1 → ln(1/5)
+    want4 = -(math.log(2 / 7) + math.log(1 / 5)) / 2
+    assert got[4] == (2, pytest.approx(want4, abs=1e-5))
+    # the quality-gate property: OOV gibberish scores worse than
+    # in-distribution text
+    assert got[2][1] > got[1][1]
+
+
 # ------------------------------------------- substring-level dup spans
 
 

@@ -465,3 +465,27 @@ def test_substring_spans_shingle_join_shape(spark):
     assert "Exchange rangepartitioning" not in plan, plan
     # the count pass is column-pruned to the hash only
     assert "Project [sh#" in plan, plan
+
+
+def test_ngram_lm_scores_join_shape(spark):
+    """The LM-scoring DAG must be equi-joins on token keys + hash
+    aggregations with map-side partial combine — the only cross join is
+    the broadcast single-row vocabulary aggregate, never a real
+    cartesian over data rows."""
+    from engine.spark import text as etext
+
+    d = (
+        spark.read.parquet(SF_DIR + "/documents.parquet")
+        .select("doc_id", "text")
+    )
+    ref = d.filter(F.col("doc_id") >= 200)
+    plan = _plan(etext.ngram_lm_scores(d.filter(F.col("doc_id") < 60), ref))
+    assert "CartesianProduct" not in plan, plan
+    # the V single-row aggregate rides as a broadcast nested-loop join
+    # (1-row side) — that's the sanctioned pattern; count them to make
+    # sure no OTHER nested-loop join sneaks in
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "partial_count" in plan, plan
+    # final per-doc aggregation is hash-based with partial agg (exact
+    # decimal sum), no sort-based fallback
+    assert "partial_sum" in plan or "partial_finalmerge" in plan, plan
