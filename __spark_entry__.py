@@ -2791,102 +2791,18 @@ FROM e FULL OUTER JOIN o ON e.key = o.key
 
 def q_value_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE decile assignment per event_type — the bucketing primitive
-    behind per-segment score calibration — via DISTRIBUTED ranking, not
-    `ntile().over(partitionBy(event_type))`: event_type is
-    low-cardinality, so the naive window sorts an entire event type's
-    fact rows on ONE reducer (the VERDICT r4 scale-killer).
-
-    Scale shape (classic parallel ranking):
-      1. range-repartition on the full composite order (event_type,
-         value NULLS LAST, event_id) — the sort spreads over ALL
-         shuffle partitions, each holding ~n/P rows;
-      2. local row_number per range partition (window keyed by
-         spark_partition_id — every window group is one bounded range
-         partition, never a whole event type);
-      3. a per-(partition, type) count histogram — ≤ P×|types| rows,
-         metadata scale — yields, via tiny single-partition windows,
-         each range partition's global row offset and each type's
-         offset/size;
-      4. broadcast-join the offsets back and compute the exact NTILE
-         bucket from the in-type rank arithmetically (integer DIV, no
-         floats).
-    The histogram and rank branches MUST observe the same partition
-    boundaries, but range partitioning samples its boundaries with a
-    per-RDD seed — two independent evaluations of the same
-    repartitionByRange can split differently, silently corrupting the
-    offsets.  So the narrow 3-column range-partitioned projection is
-    persisted (memory-and-disk): one scan, one range shuffle, one
-    boundary sample, and every branch reads the materialized partitions.
-    (Any consistent split yields identical final ranks, so cross-RUN
-    boundary nondeterminism is harmless; only cross-BRANCH divergence
-    inside one query would be wrong.)  Deterministic ties (event_id
-    unique), NULLS LAST to match DuckDB's ASC default.  Plan shape
-    pinned in tests/test_plans.py::test_value_ntile_no_per_type_sort."""
-    from pyspark.sql import Window
-
+    behind per-segment score calibration — via the engine's DISTRIBUTED
+    ranking op (diagnose.distributed_ntile): range-repartitioned local
+    ranks + a metadata-scale offset histogram, never
+    `ntile().over(partitionBy(event_type))` whose window sorts an
+    entire event type's fact rows on ONE reducer (the VERDICT r4
+    scale-killer).  NULL-safe part keys and a one-entry-bounded persist
+    live in the engine op; plan shape pinned in
+    tests/test_plans.py::test_value_ntile_no_per_type_sort."""
     e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    order = [
-        F.col("event_type").asc(),
-        F.col("value").asc_nulls_last(),
-        F.col("event_id").asc(),
-    ]
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    keyed = (
-        e.repartitionByRange(nparts, *order)
-        .withColumn("pid", F.spark_partition_id())
-        .persist()
-    )
-    ranked = keyed.withColumn(
-        "lrank",
-        F.row_number().over(Window.partitionBy("pid").orderBy(*order)),
-    )
-    hist = keyed.groupBy("pid", "event_type").agg(F.count("*").alias("c"))
-    # offsets from the tiny histogram: single-partition windows over
-    # ≤ P×|types| aggregated rows (metadata), never over fact rows
-    w_pid = Window.orderBy("pid").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    pid_off = (
-        hist.groupBy("pid")
-        .agg(F.sum("c").alias("pc"))
-        .select(
-            "pid", (F.sum("pc").over(w_pid) - F.col("pc")).alias("pid_off")
-        )
-    )
-    w_typ = Window.orderBy("event_type").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    type_stats = (
-        hist.groupBy("event_type")
-        .agg(F.sum("c").alias("n"))
-        .select(
-            "event_type",
-            "n",
-            (F.sum("n").over(w_typ) - F.col("n")).alias("type_off"),
-        )
-    )
-    joined = ranked.join(F.broadcast(pid_off), "pid").join(
-        F.broadcast(type_stats), "event_type"
-    )
-    # exact NTILE arithmetic on the in-type rank r of n rows, B=10:
-    # the first m = n%10 buckets take q+1 = n DIV 10 + 1 rows, the rest
-    # take q; integer ceil spelled as (x + d - 1) DIV d.  greatest(q,1)
-    # keeps the (unreachable when r<=n) ELSE branch ANSI-safe at n<10.
-    decile = F.expr(
-        """CASE WHEN _r <= _m * (_q + 1) THEN (_r + _q) DIV (_q + 1)
-                ELSE _m + (_r - _m * (_q + 1) + greatest(_q, 1) - 1)
-                         DIV greatest(_q, 1) END"""
-    )
-    return (
-        joined.withColumn(
-            "_r", F.col("pid_off") + F.col("lrank") - F.col("type_off")
-        )
-        .withColumn("_q", F.expr("n DIV 10"))
-        .withColumn("_m", F.expr("n % 10"))
-        .select(
-            "event_id", "event_type", decile.cast("long").alias("decile")
-        )
-    )
+    return diagnose.distributed_ntile(
+        e, part_col="event_type", value_col="value", id_col="event_id"
+    ).select("event_id", "event_type", F.col("bucket").alias("decile"))
 
 
 SQL_VALUE_NTILE = """

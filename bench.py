@@ -449,9 +449,10 @@ def main(argv=None) -> int:
 
             qmap = entry_mod.queries()
             # queries that run jobs during DataFrame *construction* (the
-            # CC loop's localCheckpoint rounds) must be rebuilt inside
-            # the timed job or the timer misses the real work
-            construct_heavy = {"dup_clusters"}
+            # CC loop's localCheckpoint rounds; IVF centroid training's
+            # seed/mean collects) must be rebuilt inside the timed job
+            # or the timer misses the real work
+            construct_heavy = {"dup_clusters", "ivf_quantized"}
             for name in RELATIONAL:
                 if name in construct_heavy:
                     job = lambda: (

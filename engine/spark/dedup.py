@@ -561,7 +561,14 @@ def connected_components(
     later ``.checkpoint()`` elsewhere in the session can't silently
     inherit this job's directory."""
     sc = pairs.sparkSession.sparkContext
-    prev_ckpt_dir = sc.getCheckpointDir()
+    jsc = sc._jsc.sc()
+    # capture the RESOLVED prior state as the raw Option[String] var:
+    # re-passing getCheckpointDir()'s resolved path through the public
+    # setCheckpointDir would mkdir a fresh UUID BENEATH it (each call
+    # nesting one level deeper); assigning the var back restores the
+    # exact prior state, including unset.  checkpointDir is
+    # private[spark] — public in bytecode, stable across Spark 3.x/4.x.
+    prev_ckpt_opt = jsc.checkpointDir()
     if checkpoint_dir is not None:
         sc.setCheckpointDir(checkpoint_dir)
 
@@ -577,10 +584,9 @@ def connected_components(
         return _cc_rounds(pairs, a_col, b_col, max_rounds, _ckpt)
     finally:
         if checkpoint_dir is not None:
-            # restore the application-global checkpoint dir (py4j maps
-            # None back to null = unset); every .checkpoint() above is
-            # eager, so nothing still needs this job's directory
-            sc._jsc.setCheckpointDir(prev_ckpt_dir)
+            # every .checkpoint() above is eager, so nothing still
+            # needs this job's directory
+            getattr(jsc, "checkpointDir_$eq")(prev_ckpt_opt)
 
 
 def _cc_rounds(pairs, a_col, b_col, max_rounds, _ckpt) -> DataFrame:

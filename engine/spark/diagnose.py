@@ -99,10 +99,134 @@ def approx_quantiles(
     The exact twin (``value_quantiles``) stays registered as the
     cross-engine oracle pin at test scale; this one is what you run on
     the cluster."""
+    # column names keep full precision (p50, p99, p99_5, …): integer
+    # rounding collided 0.995 → "p100" and any two probs within 0.005
+    # of each other (code-review r5 finding)
+    names = [f"p{f'{p * 100:g}'.replace('.', '_')}" for p in probs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate quantile columns from {probs}")
     exprs = [
-        F.percentile_approx(value_col, p, accuracy).alias(
-            f"p{int(round(p * 100))}"
-        )
-        for p in probs
+        F.percentile_approx(value_col, p, accuracy).alias(name)
+        for p, name in zip(probs, names)
     ]
     return df.groupBy(by).agg(F.count("*").alias("n"), *exprs)
+
+
+# the previous distributed_ntile invocation's pinned range-partitioned
+# projection: persist must outlive the returned DataFrame's consumers,
+# so each call releases its PREDECESSOR's cache instead of its own —
+# bounding the session-lifetime leak to one entry (code-review r5)
+_NTILE_CACHE: list = []
+
+
+def distributed_ntile(
+    df: DataFrame,
+    part_col: str,
+    value_col: str,
+    id_col: str,
+    buckets: int = 10,
+) -> DataFrame:
+    """Exact NTILE(buckets) per ``part_col`` via DISTRIBUTED ranking —
+    never ``ntile().over(partitionBy(part_col))``, whose window sorts an
+    entire partition-key's fact rows on ONE reducer (the VERDICT r4
+    scale-killer for low-cardinality keys).
+
+    Scale shape (classic parallel ranking):
+      1. range-repartition on the full composite order (part, value
+         NULLS LAST, id) — the sort spreads over ALL shuffle
+         partitions, each holding ~n/P rows;
+      2. local row_number per range partition (window keyed by
+         spark_partition_id — every window group is one bounded range
+         partition, never a whole part);
+      3. a per-(partition, part) count histogram — ≤ P×|parts| rows,
+         metadata scale — yields, via tiny single-partition windows,
+         each range partition's global row offset and each part's
+         offset/size;
+      4. broadcast-join the offsets back (NULL-SAFE on part: a NULL
+         part key is a legitimate ntile partition and must not be
+         dropped by the equi-join) and compute the exact bucket from
+         the in-part rank arithmetically (integer DIV, no floats).
+
+    The histogram and rank branches MUST observe the same partition
+    boundaries, but range partitioning samples its boundaries with a
+    per-RDD seed — two independent evaluations of the same
+    repartitionByRange can split differently, silently corrupting the
+    offsets.  So the narrow projected range-partitioned frame is
+    persisted (memory-and-disk): one scan, one range shuffle, one
+    boundary sample, every branch reads the materialized partitions.
+    (Any consistent split yields identical final ranks, so cross-RUN
+    boundary nondeterminism is harmless; only cross-BRANCH divergence
+    inside one query would be wrong.)  Ties are deterministic iff
+    ``id_col`` is unique.  Output: (id, part, bucket)."""
+    order = [
+        F.col(part_col).asc(),
+        F.col(value_col).asc_nulls_last(),
+        F.col(id_col).asc(),
+    ]
+    spark = df.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    keyed = (
+        df.select(id_col, part_col, value_col)
+        .repartitionByRange(nparts, *order)
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    while _NTILE_CACHE:
+        _NTILE_CACHE.pop().unpersist()
+    _NTILE_CACHE.append(keyed)
+    ranked = keyed.withColumn(
+        "lrank",
+        F.row_number().over(Window.partitionBy("pid").orderBy(*order)),
+    )
+    hist = keyed.groupBy("pid", part_col).agg(F.count("*").alias("c"))
+    # offsets from the tiny histogram: single-partition windows over
+    # ≤ P×|parts| aggregated rows (metadata), never over fact rows
+    w_pid = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pid_off = (
+        hist.groupBy("pid")
+        .agg(F.sum("c").alias("pc"))
+        .select(
+            "pid", (F.sum("pc").over(w_pid) - F.col("pc")).alias("pid_off")
+        )
+    )
+    w_typ = Window.orderBy(F.col(part_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    type_stats = (
+        hist.groupBy(part_col)
+        .agg(F.sum("c").alias("n"))
+        .select(
+            F.col(part_col).alias("_part"),
+            "n",
+            (F.sum("n").over(w_typ) - F.col("n")).alias("type_off"),
+        )
+    )
+    joined = (
+        ranked.join(F.broadcast(pid_off), "pid")
+        .join(
+            F.broadcast(type_stats),
+            F.col(part_col).eqNullSafe(F.col("_part")),
+        )
+        .drop("_part")
+    )
+    # exact NTILE arithmetic on the in-part rank r of n rows, B buckets:
+    # the first m = n%B buckets take q+1 = n DIV B + 1 rows, the rest
+    # take q; integer ceil spelled as (x + d - 1) DIV d.  greatest(q,1)
+    # keeps the (unreachable when r<=n) ELSE branch ANSI-safe at n<B.
+    decile = F.expr(
+        """CASE WHEN _r <= _m * (_q + 1) THEN (_r + _q) DIV (_q + 1)
+                ELSE _m + (_r - _m * (_q + 1) + greatest(_q, 1) - 1)
+                         DIV greatest(_q, 1) END"""
+    )
+    return (
+        joined.withColumn(
+            "_r", F.col("pid_off") + F.col("lrank") - F.col("type_off")
+        )
+        .withColumn("_q", F.expr(f"n DIV {buckets}"))
+        .withColumn("_m", F.expr(f"n % {buckets}"))
+        .select(
+            id_col, part_col, decile.cast("long").alias("bucket")
+        )
+    )

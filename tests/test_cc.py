@@ -111,16 +111,24 @@ def test_cc_checkpoint_dir_restored_to_prior_value(spark, tmp_path):
     prior = str(tmp_path / "prior_ckpt")
     sc.setCheckpointDir(prior)
     try:
+        resolved = sc.getCheckpointDir()  # <prior>/<uuid>
         df = spark.createDataFrame([(1, 2)], "doc_a: long, doc_b: long")
         dedup.connected_components(
             df, checkpoint_dir=str(tmp_path / "cc_ckpt2")
         ).collect()
-        # Spark resolves setCheckpointDir to <dir>/<uuid>; restoring that
-        # resolved path keeps later checkpoints under the prior root
-        got = sc.getCheckpointDir()
-        assert got is not None and "prior_ckpt" in got
+        # EXACT restore (code-review r5 finding): re-setting the
+        # resolved path through setCheckpointDir would nest a fresh
+        # uuid per CC call; the var-level restore must give back the
+        # identical resolved path, stable across repeated calls
+        assert sc.getCheckpointDir() == resolved
+        dedup.connected_components(
+            df, checkpoint_dir=str(tmp_path / "cc_ckpt3")
+        ).collect()
+        assert sc.getCheckpointDir() == resolved
     finally:
-        sc._jsc.setCheckpointDir(None)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.empty()
+        )
 
 
 def test_dup_clusters_includes_singletons(spark):

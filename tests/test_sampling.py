@@ -131,3 +131,44 @@ def test_approx_quantiles_rank_error_bound(spark):
                 abs(lo - target), abs(hi - target)
             )
             assert err <= n / accuracy + 1, (etype, col, v, err, n)
+
+
+def test_distributed_ntile_matches_window_ntile_with_nulls(spark):
+    """diagnose.distributed_ntile must equal the single-reducer
+    `ntile().over(partitionBy(part))` reference on every row — including
+    a NULL part key (a legitimate ntile partition: the offset join is
+    null-safe, code-review r5 finding) and NULL values (ordered last,
+    deterministic id tie-break)."""
+    import random
+
+    from pyspark.sql import Window as W
+
+    from engine.spark import diagnose
+
+    rng = random.Random(77)
+    rows = [
+        (
+            i,
+            rng.choice(["a", "b", None]),
+            None if rng.random() < 0.1 else round(rng.uniform(0, 100), 3),
+        )
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id: long, part: string, value: double")
+    got = {
+        r["id"]: r["bucket"]
+        for r in diagnose.distributed_ntile(
+            df, "part", "value", "id", buckets=7
+        ).collect()
+    }
+    w = W.partitionBy("part").orderBy(
+        F.col("value").asc_nulls_last(), F.col("id").asc()
+    )
+    want = {
+        r["id"]: r["bucket"]
+        for r in df.select(
+            "id", F.ntile(7).over(w).cast("long").alias("bucket")
+        ).collect()
+    }
+    assert len(got) == 500  # NULL-part rows not dropped
+    assert got == want

@@ -22,7 +22,10 @@ BPE_FIXTURE = "x1\x0b,y"
 
 @pytest.fixture(scope="module")
 def spark():
-    s = get_spark(cores=2, shuffle_partitions=4, app="ws-parity")
+    # shared project session config: getOrCreate ignores divergent conf
+    # when a session already exists, and a divergent FIRST module would
+    # leak its conf into every later module (code-review r5)
+    s = get_spark(cores=4, shuffle_partitions=8, app="engine-tests")
     yield s
 
 
