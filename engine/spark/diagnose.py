@@ -165,14 +165,21 @@ def distributed_ntile(
     ]
     spark = df.sparkSession
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # drop any previous call's cached frame BEFORE persisting the new
+    # one: Spark's CacheManager dedupes persist() by logical-plan
+    # equality, so persist-new-then-unpersist-old on an identical plan
+    # (same source, same args — e.g. two runs of the same query in one
+    # session) would register onto the shared entry and then REMOVE it,
+    # leaving the new frame uncached and re-opening the cross-branch
+    # boundary-sample divergence the persist exists to prevent.
+    while _NTILE_CACHE:
+        _NTILE_CACHE.pop().unpersist()
     keyed = (
         df.select(id_col, part_col, value_col)
         .repartitionByRange(nparts, *order)
         .withColumn("pid", F.spark_partition_id())
         .persist()
     )
-    while _NTILE_CACHE:
-        _NTILE_CACHE.pop().unpersist()
     _NTILE_CACHE.append(keyed)
     ranked = keyed.withColumn(
         "lrank",
