@@ -1,0 +1,170 @@
+"""Training-mix assembly operators: deterministic corpus shuffling,
+temperature-based source mixing, transcript turn de-repetition, and
+bounded-shard JSONL export.
+
+These are the last mile of a training-data pipeline — after cleaning /
+dedup / curation, the corpus must be (a) collapsed of degenerate
+repeated turns (transcripts' analog of line dedup), (b) blended across
+sources with controlled proportions, (c) globally shuffled into
+training shards deterministically (re-runs and cluster-size changes
+must not change the order), and (d) exported as bounded-size JSONL
+shards.
+
+All hash-driven decisions use the portable md5-prefix hash
+(``engine.spark.dedup.portable_hash60``) so every assignment is
+byte-reproducible in the DuckDB oracle, and all arithmetic sticks to
+IEEE-exact operations (divide by powers of two, sqrt, compare) —
+never ``pow``/``exp``, whose last-ulp behaviour is libm-specific and
+would silently break cross-engine hash parity at decision boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from engine.spark.dedup import portable_hash60
+
+# portable_hash60 yields 60-bit non-negatives; dividing by 2^60 gives a
+# deterministic uniform in [0, 1) with exact float semantics in both
+# engines (binary-power division is IEEE-exact)
+_HASH_SPAN = float(1 << 60)
+
+
+def turn_dedup(turns: DataFrame) -> DataFrame:
+    """Collapse consecutive repeated turns within each conversation.
+
+    Agent transcripts degenerate in a characteristic way: a stuck agent
+    re-emits the same (role, text) turn dozens of times in a row
+    (retry loops, tool-error loops).  Run-length collapsing keeps the
+    first turn of each repeated run and counts how many copies it
+    absorbed — the transcript analog of the line-dedup pass web
+    pipelines run before training.
+
+    Shape: one window pass partitioned by ``conv_id`` (high-cardinality
+    — no hot reducer) computes change-points via lag, a running sum
+    turns them into run ids, and a groupBy on (conv_id, run_id)
+    finishes with map-side partial aggregation.  Two hash exchanges
+    total, both keyed by conversation; at 10^12 turns both scale
+    linearly with executors.
+
+    Returns one row per run: (conv_id, turn_idx of the first turn,
+    role, text, n_repeats = run length).
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    is_new = (
+        F.lag("role").over(w).isNull()
+        | (F.lag("role").over(w) != F.col("role"))
+        | (F.lag("text").over(w) != F.col("text"))
+    ).cast("int")
+    runs = turns.withColumn(
+        "run_id",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        runs.groupBy("conv_id", "run_id")
+        .agg(
+            F.min("turn_idx").alias("turn_idx"),
+            F.first("role").alias("role"),
+            F.first("text").alias("text"),
+            F.count("*").alias("n_repeats"),
+        )
+        .drop("run_id")
+    )
+
+
+def shard_shuffle(
+    docs: DataFrame,
+    n_shards: int = 64,
+    seed: str = "shuf",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle into training shards.
+
+    Training wants the corpus in pseudo-random order, but the order
+    must be REPRODUCIBLE — rerunning the job, or running it on a
+    different cluster size, must place every document in the same shard
+    at the same position (else a resumed training run sees a different
+    data order).  RNG-based ``orderBy(rand())`` fails both tests; a
+    hash order passes: key = portable_hash(seed:doc_id), shard =
+    key mod n_shards, position = rank of key within the shard.
+
+    Shape: one hash exchange on ``shard`` followed by a per-shard sort
+    (row_number window).  With production n_shards (thousands), each
+    shard is a bounded slice sorted independently — a plain distributed
+    sort, no global coordination, no skew (md5 is uniform).  Changing
+    ``seed`` draws an independent permutation.
+    """
+    key = portable_hash60(
+        F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
+    )
+    d = docs.withColumn("shuffle_key", key).withColumn(
+        "shard", F.pmod(F.col("shuffle_key"), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return d.withColumn("pos", F.row_number().over(w)).drop("shuffle_key")
+
+
+def mixture_sample(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Temperature-0.5 source mixing: downsample dominant sources so the
+    blended corpus follows n_s^0.5 proportions (the multilingual /
+    multi-source reweighting used for training mixes), deterministically.
+
+    A source with count n_s keeps each doc with probability
+    r_s = sqrt(min_count / n_s) — the unique per-source rate that makes
+    kept counts proportional to sqrt(n_s) while the smallest source
+    keeps everything.  The decision is u < r_s with u = hash/2^60;
+    sqrt and binary-power division are IEEE-exact, so the kept set is
+    byte-identical in Spark and the DuckDB oracle (alpha is fixed at
+    0.5 precisely because general pow() is NOT cross-libm exact).
+
+    Shape: one tiny groupBy for per-source counts (map-side partial
+    agg; |sources| rows), a single-row min aggregated alongside, then a
+    broadcast join back and a codegen'd filter — the corpus itself is
+    scanned once and never shuffled.
+    """
+    counts = docs.groupBy(source_col).agg(F.count("*").alias("n_src"))
+    min_n = counts.agg(F.min("n_src").alias("min_n"))
+    rates = F.broadcast(
+        counts.crossJoin(F.broadcast(min_n)).select(
+            source_col,
+            (F.sqrt(F.col("min_n") / F.col("n_src"))).alias("keep_rate"),
+        )
+    )
+    u = portable_hash60(
+        F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
+    ) / F.lit(_HASH_SPAN)
+    return (
+        docs.join(rates, source_col)
+        .where(u < F.col("keep_rate"))
+        .drop("keep_rate")
+    )
+
+
+def export_jsonl(
+    docs: DataFrame,
+    path: str,
+    max_records_per_file: int = 10000,
+    order_col: str | None = None,
+) -> None:
+    """Export the corpus as bounded-size JSONL shards — the interchange
+    format training loaders consume.  ``maxRecordsPerFile`` caps each
+    shard (the writer rolls files, so no single task produces an
+    unboundedly large shard even under skewed partitions); pass
+    ``order_col`` (e.g. shard_shuffle's ``shard``) to cluster output
+    files by training shard.  Overwrite mode keeps the export
+    idempotent under retries.
+    """
+    d = docs.repartition(order_col) if order_col else docs
+    (
+        d.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .json(path)
+    )
