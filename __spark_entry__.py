@@ -25,6 +25,7 @@ from engine.spark import (
     dedup,
     diagnose,
     joins,
+    mix,
     multimodal,
     pipeline,
     similarity,
@@ -3407,6 +3408,141 @@ ORDER BY doc_id, start_tok
 """
 
 
+def q_turn_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length collapsing of consecutive repeated transcript turns
+    (mix.turn_dedup) — the stuck-agent retry-loop cleanup.  Corpus:
+    five synthetic turns per document (user / assistant ×3 identical —
+    the planted run / tool), so every conversation exercises both a
+    collapse and role-change run boundaries."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        F.concat(F.lit("conv-"), F.col("doc_id").cast("string")).alias(
+            "conv_id"
+        ),
+        F.substring("text", 1, 120).alias("t0"),
+        F.substring("text", 121, 120).alias("t1"),
+        F.concat(F.lit("result: "), F.substring("text", 241, 60)).alias("t2"),
+    )
+
+    def turn(idx: int, role: str, col: str):
+        return F.struct(
+            F.lit(idx).alias("turn_idx"),
+            F.lit(role).alias("role"),
+            F.col(col).alias("text"),
+        )
+
+    turns = base.select(
+        "conv_id",
+        F.explode(
+            F.array(
+                turn(0, "user", "t0"),
+                turn(1, "assistant", "t1"),
+                turn(2, "assistant", "t1"),
+                turn(3, "assistant", "t1"),
+                turn(4, "tool", "t2"),
+            )
+        ).alias("s"),
+    ).select("conv_id", "s.turn_idx", "s.role", "s.text")
+    return mix.turn_dedup(turns).orderBy("conv_id", "turn_idx")
+
+
+SQL_TURN_DEDUP = r"""
+WITH turns AS (
+  SELECT 'conv-' || doc_id AS conv_id, 0 AS turn_idx, 'user' AS role,
+         substr(text, 1, 120) AS text FROM documents
+  UNION ALL SELECT 'conv-' || doc_id, 1, 'assistant',
+         substr(text, 121, 120) FROM documents
+  UNION ALL SELECT 'conv-' || doc_id, 2, 'assistant',
+         substr(text, 121, 120) FROM documents
+  UNION ALL SELECT 'conv-' || doc_id, 3, 'assistant',
+         substr(text, 121, 120) FROM documents
+  UNION ALL SELECT 'conv-' || doc_id, 4, 'tool',
+         'result: ' || substr(text, 241, 60) FROM documents
+), flagged AS (
+  SELECT *,
+         CASE WHEN lag(role) OVER w IS NULL
+                OR lag(role) OVER w <> role
+                OR lag(text) OVER w <> text
+              THEN 1 ELSE 0 END AS is_new
+  FROM turns WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+), runs AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                              ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM flagged
+)
+SELECT conv_id, min(turn_idx) AS turn_idx, min(role) AS role,
+       min(text) AS text, count(*) AS n_repeats
+FROM runs GROUP BY conv_id, run_id
+ORDER BY conv_id, turn_idx
+"""
+
+
+def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-ordered training-shard assignment
+    (mix.shard_shuffle): shard = portable_hash(seed:id) mod 16, pos =
+    rank of the hash within the shard — reproducible across reruns,
+    cluster sizes AND engines (the whole permutation is value-checked
+    against DuckDB)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return (
+        mix.shard_shuffle(d, n_shards=16)
+        .select("doc_id", "shard", F.col("pos").cast("long").alias("pos"))
+        .orderBy("shard", "pos")
+    )
+
+
+SQL_SHARD_SHUFFLE = f"""
+WITH k AS (
+  SELECT doc_id,
+         {_H60.format(x="'shuf:' || doc_id::VARCHAR")} AS key
+  FROM documents
+)
+SELECT doc_id, (key % 16)::INT AS shard,
+       row_number() OVER (PARTITION BY key % 16 ORDER BY key, doc_id)
+         AS pos
+FROM k ORDER BY shard, pos
+"""
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-0.5 source mixing (mix.mixture_sample): per-source
+    keep rate sqrt(min_count/n_s), decided by the portable hash — only
+    IEEE-exact arithmetic (sqrt, binary-power division), so the kept
+    set is byte-identical across engines.  The fixture sources are
+    perfectly balanced (rate = 1 everywhere — a vacuous check), so the
+    query derives a 70/20/10 skewed source tier: web keeps ~sqrt(1/7),
+    books ~sqrt(1/2), code everything."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 7, F.lit("web"))
+        .when(F.col("doc_id") % 10 < 9, F.lit("books"))
+        .otherwise(F.lit("code"))
+        .alias("source"),
+    )
+    return mix.mixture_sample(d).select("doc_id", "source").orderBy("doc_id")
+
+
+SQL_MIXTURE_SAMPLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 < 7 THEN 'web'
+              WHEN doc_id % 10 < 9 THEN 'books'
+              ELSE 'code' END AS source
+  FROM documents
+), c AS (
+  SELECT source, count(*) AS n_src FROM d GROUP BY source
+), m AS (SELECT min(n_src) AS min_n FROM c),
+r AS (
+  SELECT source, sqrt(min_n::DOUBLE / n_src) AS keep_rate FROM c, m
+)
+SELECT d.doc_id, d.source
+FROM d JOIN r USING (source)
+WHERE {_H60.format(x="'mix:' || d.doc_id::VARCHAR")}
+        / 1152921504606846976.0 < r.keep_rate
+ORDER BY d.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples the
     # first 50 keys, so entries are sorted by driver-coverage recency —
@@ -3416,6 +3552,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # recent CORRECTNESS row.
     return {
         # -- round-5 additions (never driver-checked)
+        "turn_dedup": q_turn_dedup,
+        "shard_shuffle": q_shard_shuffle,
+        "mixture_sample": q_mixture_sample,
         "substring_dup": q_substring_dup,
         "ivf_quantized": q_ivf_quantized,
         "ngram_lm_score": q_ngram_lm_score,
@@ -3518,6 +3657,9 @@ def oracle_sql() -> dict[str, str]:
     # twin is pinned by tests/test_sampling.py error bounds instead.)
     return {
         # -- round-5 additions (never driver-checked)
+        "turn_dedup": SQL_TURN_DEDUP,
+        "shard_shuffle": SQL_SHARD_SHUFFLE,
+        "mixture_sample": SQL_MIXTURE_SAMPLE,
         "substring_dup": SQL_SUBSTRING_DUP,
         "ivf_quantized": SQL_IVF_QUANTIZED,
         "ngram_lm_score": SQL_NGRAM_LM_SCORE,

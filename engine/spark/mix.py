@@ -44,9 +44,11 @@ def turn_dedup(turns: DataFrame) -> DataFrame:
     Shape: one window pass partitioned by ``conv_id`` (high-cardinality
     — no hot reducer) computes change-points via lag, a running sum
     turns them into run ids, and a groupBy on (conv_id, run_id)
-    finishes with map-side partial aggregation.  Two hash exchanges
-    total, both keyed by conversation; at 10^12 turns both scale
-    linearly with executors.
+    finishes the runs.  ONE hash exchange total: hash partitioning on
+    conv_id alone satisfies the (conv_id, run_id) clustering, so
+    Catalyst runs the final aggregation in place on the window's
+    partitioning (plan-asserted).  At 10^12 turns this scales linearly
+    with executors.
 
     Returns one row per run: (conv_id, turn_idx of the first turn,
     role, text, n_repeats = run length).
@@ -126,16 +128,19 @@ def mixture_sample(
     0.5 precisely because general pow() is NOT cross-libm exact).
 
     Shape: one tiny groupBy for per-source counts (map-side partial
-    agg; |sources| rows), a single-row min aggregated alongside, then a
-    broadcast join back and a codegen'd filter — the corpus itself is
-    scanned once and never shuffled.
+    agg; |sources| rows), the min taken by an unpartitioned window over
+    that already-aggregated frame (single-partition, but |sources| rows
+    — metadata scale; a separate ``counts.agg(min)`` branch would make
+    Catalyst duplicate the whole counts subtree and scan the corpus a
+    second time), then a broadcast join back and a codegen'd filter —
+    the corpus rows themselves are never shuffled.
     """
     counts = docs.groupBy(source_col).agg(F.count("*").alias("n_src"))
-    min_n = counts.agg(F.min("n_src").alias("min_n"))
+    min_n = F.min("n_src").over(Window.partitionBy())
     rates = F.broadcast(
-        counts.crossJoin(F.broadcast(min_n)).select(
+        counts.select(
             source_col,
-            (F.sqrt(F.col("min_n") / F.col("n_src"))).alias("keep_rate"),
+            F.sqrt(min_n / F.col("n_src")).alias("keep_rate"),
         )
     )
     u = portable_hash60(

@@ -489,3 +489,63 @@ def test_ngram_lm_scores_join_shape(spark):
     # final per-doc aggregation is hash-based with partial agg (exact
     # decimal sum), no sort-based fallback
     assert "partial_sum" in plan or "partial_finalmerge" in plan, plan
+
+
+def test_turn_dedup_conv_keyed_exchanges_only(spark):
+    """Turn run-length dedup (mix.turn_dedup) must key every exchange
+    and window by the high-cardinality conv_id — no low-cardinality or
+    global window anywhere — and finish the run aggregation with
+    map-side partial combine."""
+    from engine.spark import mix
+
+    t = spark.createDataFrame(
+        [("c1", 0, "user", "a"), ("c1", 1, "user", "a")],
+        "conv_id: string, turn_idx: int, role: string, text: string",
+    )
+    plan = _plan(mix.turn_dedup(t))
+    assert "windowspecdefinition(conv_id#" in plan, plan
+    # no unpartitioned window (the single-reducer shape)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "partial_count" in plan or "partial_min" in plan, plan
+    # exactly ONE conversation-keyed hash exchange: partitioning on
+    # conv_id satisfies the (conv_id, run_id) aggregation clustering,
+    # so the run groupBy reuses the window's exchange
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_shard_shuffle_single_exchange(spark):
+    """Deterministic shard shuffle must be ONE hash exchange on the
+    shard id followed by a per-shard sort — never a global
+    (range-partitioned or single-partition) sort."""
+    from engine.spark import mix
+
+    d = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    plan = _plan(mix.shard_shuffle(d, n_shards=8))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "windowspecdefinition(shard#" in plan, plan
+
+
+def test_mixture_sample_broadcasts_rates_no_corpus_shuffle(spark):
+    """Mixture sampling must scan the corpus once and never shuffle it:
+    the per-source keep rates (a tiny aggregate) broadcast back, so the
+    only hash exchange in the plan carries the |sources|-row count
+    aggregation, and the corpus-side join is a BroadcastHashJoin."""
+    from engine.spark import mix
+
+    d = (
+        spark.read.parquet(SF_DIR + "/documents.parquet")
+        .select("doc_id", "source")
+    )
+    plan = _plan(mix.mixture_sample(d))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # one exchange for the source counts (nothing over corpus rows) —
+    # a duplicated counts subtree (the min computed as a separate agg
+    # branch) would show up as a second one plus a third corpus scan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "hashpartitioning(source" in plan, plan
+    # the min-over-counts window moves only the |sources|-row aggregate
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert plan.count("FileScan parquet") == 2, plan
