@@ -412,6 +412,9 @@ RELATIONAL = [
     "substring_dup",
     "ivf_quantized",
     "ngram_lm_score",
+    "turn_dedup",
+    "shard_shuffle",
+    "mixture_sample",
 ]
 
 
@@ -536,7 +539,12 @@ def main(argv=None) -> int:
                 k: sc[k]
                 for k in sc
                 if k.startswith("eff_")
-                or k in ("corpus_turns", "per_leg_max_tps", "hw_ceiling")
+                or k in (
+                    "corpus_turns",
+                    "per_leg_max_tps",
+                    "hw_ceiling",
+                    "mem_ceiling",
+                )
             }
         compact = {
             "metric": out["metric"],
@@ -554,7 +562,7 @@ def main(argv=None) -> int:
         # belt: if the compact line still nears the consumer's 2000-char
         # tail window, shed detail (never the queries dict — those are
         # the frozen comparison keys)
-        for drop in ("per_leg_max_tps", "hw_ceiling", "corpus_turns"):
+        for drop in ("per_leg_max_tps", "hw_ceiling", "mem_ceiling", "corpus_turns"):
             if len(json.dumps(compact)) <= 1800:
                 break
             sc_compact.pop(drop, None)
