@@ -3408,11 +3408,9 @@ ORDER BY doc_id, start_tok
 """
 
 
-def q_turn_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Run-length collapsing of consecutive repeated transcript turns
-    (mix.turn_dedup) — the stuck-agent retry-loop cleanup.  Corpus:
-    five synthetic turns per document (user / assistant ×3 identical —
-    the planted run / tool), so every conversation exercises both a
+def _synthetic_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five synthetic turns per document (user / assistant ×3 identical
+    — the planted run / tool), so every conversation exercises both a
     collapse and role-change run boundaries."""
     d = _t(spark, sf_dir, "documents")
     base = d.select(
@@ -3431,7 +3429,7 @@ def q_turn_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(col).alias("text"),
         )
 
-    turns = base.select(
+    return base.select(
         "conv_id",
         F.explode(
             F.array(
@@ -3443,10 +3441,18 @@ def q_turn_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     ).select("conv_id", "s.turn_idx", "s.role", "s.text")
-    return mix.turn_dedup(turns).orderBy("conv_id", "turn_idx")
 
 
-SQL_TURN_DEDUP = r"""
+def q_turn_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length collapsing of consecutive repeated transcript turns
+    (mix.turn_dedup) — the stuck-agent retry-loop cleanup — over the
+    planted-run synthetic turn corpus."""
+    return mix.turn_dedup(_synthetic_turns(spark, sf_dir)).orderBy(
+        "conv_id", "turn_idx"
+    )
+
+
+_SQL_TURN_DEDUP_INNER = r"""
 WITH turns AS (
   SELECT 'conv-' || doc_id AS conv_id, 0 AS turn_idx, 'user' AS role,
          substr(text, 1, 120) AS text FROM documents
@@ -3473,8 +3479,38 @@ WITH turns AS (
 SELECT conv_id, min(turn_idx) AS turn_idx, min(role) AS role,
        min(text) AS text, count(*) AS n_repeats
 FROM runs GROUP BY conv_id, run_id
+"""
+
+SQL_TURN_DEDUP = _SQL_TURN_DEDUP_INNER + "ORDER BY conv_id, turn_idx"
+
+
+def q_stream_turn_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of turn_dedup (custom stateful operator —
+    applyInPandasWithState run-length collapse).  Emitted = runs closed
+    by a later differing turn; each conversation's trailing run stays
+    open in state, so the oracle is the batch result minus every
+    conversation's LAST run."""
+    import shutil
+
+    from engine.spark import streaming
+
+    src = tempfile.mkdtemp(prefix="turndedup_src_")
+    _synthetic_turns(spark, sf_dir).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    ckpt = tempfile.mkdtemp(prefix="turndedup_ckpt_")
+    sink = f"stream_turn_dedup_{uuid.uuid4().hex[:8]}"
+    out = streaming.stream_turn_dedup(spark, src, ckpt, sink_table=sink)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out.orderBy("conv_id", "turn_idx")
+
+
+SQL_STREAM_TURN_DEDUP = (
+    "SELECT * FROM (" + _SQL_TURN_DEDUP_INNER + """)
+QUALIFY turn_idx < max(turn_idx) OVER (PARTITION BY conv_id)
 ORDER BY conv_id, turn_idx
 """
+)
 
 
 def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3552,6 +3588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # recent CORRECTNESS row.
     return {
         # -- round-5 additions (never driver-checked)
+        "stream_turn_dedup": q_stream_turn_dedup,
         "turn_dedup": q_turn_dedup,
         "shard_shuffle": q_shard_shuffle,
         "mixture_sample": q_mixture_sample,
@@ -3658,6 +3695,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         # -- round-5 additions (never driver-checked)
         "turn_dedup": SQL_TURN_DEDUP,
+        "stream_turn_dedup": SQL_STREAM_TURN_DEDUP,
         "shard_shuffle": SQL_SHARD_SHUFFLE,
         "mixture_sample": SQL_MIXTURE_SAMPLE,
         "substring_dup": SQL_SUBSTRING_DUP,

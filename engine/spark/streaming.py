@@ -687,3 +687,110 @@ def stream_enrich(
         .start()
     )
     q.awaitTermination()
+
+
+# ------------------------------------------------- streaming turn dedup
+
+TURN_DEDUP_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("n_repeats", T.LongType()),
+    ]
+)
+
+TURN_DEDUP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("cnt", T.LongType()),
+    ]
+)
+
+
+def _turn_dedup_fn(key, pdfs, state):
+    """Per-conversation run-length collapse across micro-batches: the
+    trailing open run (its first turn_idx, role, text, count) is
+    carried in state; a batch's rows are sorted by turn_idx, runs that
+    get TERMINATED (by a differing turn) are emitted, the still-open
+    tail run goes back into state.  Assumes each conversation's turns
+    arrive in turn_idx order ACROSS micro-batches (file-stream feeds of
+    ordered shards satisfy this); within a batch order is restored by
+    the sort."""
+    import pandas as pd
+
+    rows = pd.concat(list(pdfs)).sort_values("turn_idx")
+    if state.exists:
+        s_idx, s_role, s_text, s_cnt = state.get
+    else:
+        s_idx = None
+        s_role = s_text = None
+        s_cnt = 0
+    out = []
+    for r in rows.itertuples(index=False):
+        if s_idx is not None and r.role == s_role and r.text == s_text:
+            s_cnt += 1
+        else:
+            if s_idx is not None:
+                out.append((key[0], s_idx, s_role, s_text, s_cnt))
+            s_idx, s_role, s_text, s_cnt = int(r.turn_idx), r.role, r.text, 1
+    state.update((s_idx, s_role, s_text, s_cnt))
+    if out:
+        yield pd.DataFrame(
+            out, columns=["conv_id", "turn_idx", "role", "text", "n_repeats"]
+        )
+
+
+def stream_turn_dedup(
+    spark: SparkSession,
+    turns_path: str,
+    checkpoint_dir: str,
+    sink_table: str = "stream_turn_dedup",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``mix.turn_dedup`` (custom stateful operator,
+    applyInPandasWithState): collapses consecutive repeated (role, text)
+    turns per conversation as transcripts arrive.  Emitted = runs
+    CLOSED by a later differing turn; each conversation's trailing run
+    stays open in state (the batch result minus every conversation's
+    last run — the oracle encodes exactly that).  State per key is one
+    4-field row, so memory is O(active conversations), independent of
+    turns seen — the shape that survives an unbounded stream.  A run
+    split across any number of micro-batches yields byte-identical
+    output (split-invariance pinned in tests)."""
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.load(turns_path)
+    runs = (
+        src.select("conv_id", "turn_idx", "role", "text")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _turn_dedup_fn,
+            outputStructType=TURN_DEDUP_OUTPUT_SCHEMA,
+            stateStructType=TURN_DEDUP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
+    q = (
+        runs.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)

@@ -190,3 +190,70 @@ def test_export_jsonl_bounded_shards(spark, tmp_path):
     assert total == 1000
     # round-trip
     assert spark.read.json(out).count() == 1000
+
+
+# --------------------------------------------------- stream_turn_dedup
+
+
+def test_stream_turn_dedup_split_invariance(spark, tmp_path):
+    """Run-length collapse over a stream must be byte-identical whether
+    a conversation's turns arrive in one micro-batch or split across
+    three, and must equal the batch operator minus each conversation's
+    trailing (still-open) run."""
+    import pandas as pd
+
+    from engine.spark import streaming
+
+    rows = []
+    for c in range(12):
+        conv = f"c{c:02d}"
+        rows += [
+            (conv, 0, "user", f"q{c}"),
+            (conv, 1, "assistant", f"a{c}"),
+            (conv, 2, "assistant", f"a{c}"),   # run continues
+            (conv, 3, "assistant", f"a{c}"),   # run continues
+            (conv, 4, "tool", f"t{c}"),
+            (conv, 5, "tool", f"t{c}"),        # trailing open run
+        ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+
+    # one file = one batch
+    one = str(tmp_path / "one")
+    os.makedirs(one, exist_ok=True)
+    pdf.to_parquet(os.path.join(one, "part-0.parquet"), index=False)
+    got_one = streaming.stream_turn_dedup(
+        spark, one, str(tmp_path / "ck1"), sink_table="stdd_one"
+    ).toPandas()
+
+    # three files split ACROSS runs (turns 0-1 / 2-3 / 4-5), fed one
+    # file per micro-batch — every run boundary crosses a batch edge
+    split = str(tmp_path / "split")
+    os.makedirs(split, exist_ok=True)
+    for i, (lo, hi) in enumerate([(0, 1), (2, 3), (4, 5)]):
+        part = pdf[(pdf.turn_idx >= lo) & (pdf.turn_idx <= hi)]
+        part.to_parquet(os.path.join(split, f"part-{i}.parquet"), index=False)
+    got_split = streaming.stream_turn_dedup(
+        spark, split, str(tmp_path / "ck2"), sink_table="stdd_split",
+        max_files_per_trigger=1,
+    ).toPandas()
+
+    key = ["conv_id", "turn_idx"]
+    a = got_one.sort_values(key).reset_index(drop=True)
+    b = got_split.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    # equals batch minus each conv's last run
+    from engine.spark import mix
+
+    batch = mix.turn_dedup(spark.createDataFrame(pdf)).toPandas()
+    last = batch.groupby("conv_id")["turn_idx"].transform("max")
+    expect = (
+        batch[batch.turn_idx < last].sort_values(key).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        a[expect.columns].astype(expect.dtypes.to_dict()), expect
+    )
+    # emitted runs carry the collapse counts
+    by = {(r.conv_id, r.turn_idx): r.n_repeats for r in a.itertuples()}
+    assert by[("c00", 1)] == 3 and by[("c00", 0)] == 1
