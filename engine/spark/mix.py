@@ -52,6 +52,13 @@ def turn_dedup(turns: DataFrame) -> DataFrame:
 
     Returns one row per run: (conv_id, turn_idx of the first turn,
     role, text, n_repeats = run length).
+
+    Expects non-null ``role``/``text`` (the transcript contract): the
+    lag comparisons use standard three-valued logic, so a NULL field
+    compares as "not a new run" and the row would merge into the
+    preceding run — identically in Spark and the DuckDB oracle (its
+    CASE falls through to 0), but not a meaningful grouping.  Scrub or
+    quarantine NULL turns upstream.
     """
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     is_new = (
