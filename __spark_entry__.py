@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from engine.core import spec
 from engine.spark import (
     assemble,
+    conversation,
     dedup,
     diagnose,
     joins,
@@ -3579,6 +3580,246 @@ ORDER BY d.doc_id
 """
 
 
+# ------------------------------------------------- conversation analytics
+# Shared synthetic multi-turn derivation with role/tool/ts — the full
+# input_hint shape (conv_id, turn_idx, role, text, tool, ts), rebuilt
+# identically by the DuckDB CTE below.  Epoch base 1767225600 =
+# 2026-01-01T00:00:00Z; ts = base + doc_id*97 + turn_idx*13 seconds.
+
+_CONV_EPOCH = 1_767_225_600
+
+
+def _synthetic_turns_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_synthetic_turns plus tool + ts columns: turn 4 is a tool turn
+    whose tool alternates browser/pdf_reader by doc parity; timestamps
+    are integer-second arithmetic so epoch maths is engine-exact."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.concat(F.lit("conv-"), F.col("doc_id").cast("string")).alias(
+            "conv_id"
+        ),
+        F.substring("text", 1, 120).alias("t0"),
+        F.substring("text", 121, 120).alias("t1"),
+        F.concat(F.lit("result: "), F.substring("text", 241, 60)).alias("t2"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("browser"))
+        .otherwise(F.lit("pdf_reader"))
+        .alias("tool4"),
+    )
+
+    def turn(idx: int, role: str, col: str, tool):
+        return F.struct(
+            F.lit(idx).alias("turn_idx"),
+            F.lit(role).alias("role"),
+            F.col(col).alias("text"),
+            (F.lit(tool) if isinstance(tool, str) else tool).alias("tool"),
+        )
+
+    ex = base.select(
+        "doc_id",
+        "conv_id",
+        F.explode(
+            F.array(
+                turn(0, "user", "t0", ""),
+                turn(1, "assistant", "t1", ""),
+                turn(2, "assistant", "t1", ""),
+                turn(3, "assistant", "t1", ""),
+                turn(4, "tool", "t2", F.col("tool4")),
+            )
+        ).alias("s"),
+    )
+    return ex.select(
+        "conv_id",
+        "s.turn_idx",
+        "s.role",
+        "s.text",
+        "s.tool",
+        F.timestamp_seconds(
+            F.lit(_CONV_EPOCH)
+            + F.col("doc_id") * 97
+            + F.col("s.turn_idx") * 13
+        ).alias("ts"),
+    )
+
+
+_SQL_TURNS_FULL = """
+WITH turns AS (
+  SELECT 'conv-' || doc_id AS conv_id, doc_id, 0 AS turn_idx,
+         'user' AS role, substr(text, 1, 120) AS text, '' AS tool
+  FROM documents
+  UNION ALL SELECT 'conv-' || doc_id, doc_id, 1, 'assistant',
+         substr(text, 121, 120), '' FROM documents
+  UNION ALL SELECT 'conv-' || doc_id, doc_id, 2, 'assistant',
+         substr(text, 121, 120), '' FROM documents
+  UNION ALL SELECT 'conv-' || doc_id, doc_id, 3, 'assistant',
+         substr(text, 121, 120), '' FROM documents
+  UNION ALL SELECT 'conv-' || doc_id, doc_id, 4, 'tool',
+         'result: ' || substr(text, 241, 60),
+         CASE WHEN doc_id % 2 = 0 THEN 'browser' ELSE 'pdf_reader' END
+  FROM documents
+), full_t AS (
+  SELECT conv_id, turn_idx, role, text, tool,
+         1767225600 + doc_id * 97 + turn_idx * 13 AS sec
+  FROM turns
+)
+"""
+
+_SQL_RENDERED = (
+    "'<|' || role || CASE WHEN tool <> '' THEN ':' || tool ELSE '' END"
+    " || '|>' || chr(10) || text || chr(10) || '<|end|>'"
+)
+
+
+def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation rollup (conversation.conv_stats) — one
+    partial-aggregating shuffle over the full transcript shape."""
+    return conversation.conv_stats(
+        _synthetic_turns_full(spark, sf_dir)
+    ).orderBy("conv_id")
+
+
+SQL_CONV_STATS = _SQL_TURNS_FULL + """
+SELECT conv_id,
+       count(*) AS n_turns,
+       sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT AS n_user,
+       sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT
+         AS n_assistant,
+       sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)::BIGINT AS n_tool,
+       sum(CASE WHEN tool <> '' THEN 1 ELSE 0 END)::BIGINT AS n_tool_calls,
+       count(DISTINCT CASE WHEN tool <> '' THEN tool END)::BIGINT AS n_tools,
+       sum(length(text))::BIGINT AS total_chars,
+       max(length(text))::BIGINT AS max_turn_chars,
+       (max(sec) - min(sec))::BIGINT AS duration_s
+FROM full_t GROUP BY conv_id ORDER BY conv_id
+"""
+
+
+def q_role_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alternation-contract validation (conversation.role_violations):
+    the synthetic corpus plants an assistant-assistant-assistant run,
+    so turns 2 and 3 of every conversation are violations."""
+    return conversation.role_violations(
+        _synthetic_turns_full(spark, sf_dir)
+    ).orderBy("conv_id", "turn_idx")
+
+
+SQL_ROLE_VIOLATIONS = _SQL_TURNS_FULL + """
+SELECT conv_id, turn_idx, role,
+       lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+         AS prev_role
+FROM full_t
+QUALIFY role = prev_role
+ORDER BY conv_id, turn_idx
+"""
+
+
+def q_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template rendering (conversation.chat_render): codegen
+    per-turn render + the two-phase chunked ordered concat of
+    assemble_docs — bounded reducer memory on skewed conversations."""
+    return conversation.chat_render(
+        _synthetic_turns_full(spark, sf_dir)
+    ).orderBy("conv_id")
+
+
+SQL_CHAT_RENDER = _SQL_TURNS_FULL + f"""
+SELECT conv_id,
+       string_agg({_SQL_RENDERED}, chr(10) ORDER BY turn_idx) AS chat
+FROM full_t GROUP BY conv_id ORDER BY conv_id
+"""
+
+
+def q_sft_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window SFT assembly (conversation.sft_examples, k=3):
+    prompt = previous ≤3 turns in the chat template, one example per
+    assistant turn — the ROWS-bounded-frame shape that holds at 10^12
+    turns."""
+    return conversation.sft_examples(
+        _synthetic_turns_full(spark, sf_dir), k=3
+    ).orderBy("conv_id", "turn_idx")
+
+
+SQL_SFT_EXAMPLES = _SQL_TURNS_FULL + f"""
+, r AS (
+  SELECT conv_id, turn_idx, role, text,
+         {_SQL_RENDERED} AS rendered
+  FROM full_t
+), wnd AS (
+  SELECT conv_id, turn_idx, role, text AS completion,
+         string_agg(rendered, chr(10)) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS prompt,
+         count(*) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS n_ctx
+  FROM r
+)
+SELECT conv_id, turn_idx, prompt, completion, n_ctx::INT AS n_ctx_turns
+FROM wnd WHERE role = 'assistant' AND n_ctx > 0
+ORDER BY conv_id, turn_idx
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization (conversation.sessionize, 30-min
+    gap) over the events stream — lag/cumsum window and session rollup
+    share ONE hash partitioning on user_id (plan-asserted)."""
+    e = _t(spark, sf_dir, "events")
+    return conversation.sessionize(
+        e, gap_s=1800, exact_value_sum=True
+    ).orderBy("user_id", "session_idx")
+
+
+SQL_SESSIONIZE = """
+WITH e2 AS (
+  -- floor(), not ::BIGINT: DuckDB's cast rounds sub-second epochs,
+  -- Spark's unix_timestamp floors them
+  SELECT user_id, event_id, value,
+         floor(epoch(ts))::BIGINT AS sec
+  FROM events
+), f AS (
+  SELECT user_id, event_id, value, sec,
+         CASE WHEN lag(sec) OVER w IS NULL
+                OR sec - lag(sec) OVER w > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM e2
+  WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+), s AS (
+  SELECT *, sum(is_new) OVER (
+    PARTITION BY user_id ORDER BY sec, event_id
+    ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM f
+)
+SELECT user_id, session_idx::BIGINT AS session_idx,
+       min(sec)::BIGINT AS session_start,
+       max(sec)::BIGINT AS session_end,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+         AS total_value,
+       (max(sec) - min(sec))::BIGINT AS duration_s
+FROM s GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
+
+
+def q_tool_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool invocation stats (conversation.tool_usage) — two-stage
+    distinct aggregate under a low-cardinality group key."""
+    return conversation.tool_usage(
+        _synthetic_turns_full(spark, sf_dir)
+    ).orderBy("tool")
+
+
+SQL_TOOL_USAGE = _SQL_TURNS_FULL + """
+SELECT tool, count(*) AS n_calls,
+       count(DISTINCT conv_id)::BIGINT AS n_convs,
+       sum(length(text))::BIGINT AS total_chars,
+       max(length(text))::BIGINT AS max_chars
+FROM full_t WHERE role = 'tool' AND tool <> ''
+GROUP BY tool ORDER BY tool
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples the
     # first 50 keys, so entries are sorted by driver-coverage recency —
@@ -3588,6 +3829,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # recent CORRECTNESS row.
     return {
         # -- round-5 additions (never driver-checked)
+        "conv_stats": q_conv_stats,
+        "role_violations": q_role_violations,
+        "chat_render": q_chat_render,
+        "sft_examples": q_sft_examples,
+        "sessionize": q_sessionize,
+        "tool_usage": q_tool_usage,
         "stream_turn_dedup": q_stream_turn_dedup,
         "turn_dedup": q_turn_dedup,
         "shard_shuffle": q_shard_shuffle,
@@ -3694,6 +3941,12 @@ def oracle_sql() -> dict[str, str]:
     # twin is pinned by tests/test_sampling.py error bounds instead.)
     return {
         # -- round-5 additions (never driver-checked)
+        "conv_stats": SQL_CONV_STATS,
+        "role_violations": SQL_ROLE_VIOLATIONS,
+        "chat_render": SQL_CHAT_RENDER,
+        "sft_examples": SQL_SFT_EXAMPLES,
+        "sessionize": SQL_SESSIONIZE,
+        "tool_usage": SQL_TOOL_USAGE,
         "turn_dedup": SQL_TURN_DEDUP,
         "stream_turn_dedup": SQL_STREAM_TURN_DEDUP,
         "shard_shuffle": SQL_SHARD_SHUFFLE,

@@ -1,0 +1,232 @@
+"""Conversation-level analytics over transcript tables.
+
+The north rule's payload is multi-turn conversation / agent transcripts
+(conv_id, turn_idx, role, text, tool, ts).  Beyond per-turn extraction
+(engine/spark/pipeline.py) a training-data pipeline needs
+conversation-shaped operators: per-conversation rollups, contract
+validation (role alternation), chat-template rendering for SFT export,
+context-window assembly (prompt = previous k turns), and gap-based
+sessionization of event streams.  Everything here is pure Catalyst
+column expressions — zero Python UDFs, whole-stage codegen throughout.
+
+Scale notes (100 TB / 10^12 turns):
+  * conv_stats / tool_usage — single partial-aggregating shuffle; a hot
+    conversation combines map-side.
+  * role_violations / sft_examples — one window exchange keyed on
+    conv_id (cardinality grows with data, no low-card reducer trap);
+    sft's frame is ROWS-bounded (k preceding), so reducer memory is
+    O(k · turn size), never O(conversation).
+  * chat_render — reuses the two-phase chunked ordered concat of
+    assemble.assemble_docs: a 10^6-turn conversation never serialises
+    onto one reducer in one piece.
+  * sessionize — window and session rollup share one hash partitioning
+    on user_id (HashPartitioning(user_id) satisfies the clustered
+    distribution of groupBy(user_id, session_idx)), so the whole
+    operator is ONE exchange; asserted in tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from engine.spark import assemble
+
+#: Chat-template grammar shared with the DuckDB oracles (kept trivially
+#: concatenative so both engines build it from the same string algebra):
+#: ``<|role|>`` or ``<|role:tool|>`` header, body, ``<|end|>`` footer,
+#: turns joined by a single newline.
+TURN_END = "<|end|>"
+
+
+def _render_turn(role: Column, tool: Column, text: Column) -> Column:
+    header = F.concat(
+        F.lit("<|"),
+        role,
+        F.when(tool != "", F.concat(F.lit(":"), tool)).otherwise(F.lit("")),
+        F.lit("|>"),
+    )
+    return F.concat(header, F.lit("\n"), text, F.lit("\n" + TURN_END))
+
+
+def conv_stats(turns: DataFrame) -> DataFrame:
+    """Per-conversation rollup in ONE partial-aggregating scan.
+
+    Columns: turn counts (total + per role), tool-call count, distinct
+    tools used, text-size stats, and wall-clock duration in seconds
+    (epoch arithmetic → BIGINT, identical in Spark and DuckDB).
+    """
+    chars = F.length("text")
+    return (
+        turns.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.when(F.col("role") == "user", 1).otherwise(0)).alias(
+                "n_user"
+            ),
+            F.sum(
+                F.when(F.col("role") == "assistant", 1).otherwise(0)
+            ).alias("n_assistant"),
+            F.sum(F.when(F.col("role") == "tool", 1).otherwise(0)).alias(
+                "n_tool"
+            ),
+            F.sum(F.when(F.col("tool") != "", 1).otherwise(0)).alias(
+                "n_tool_calls"
+            ),
+            F.size(F.array_remove(F.collect_set("tool"), ""))
+            .cast("long")
+            .alias("n_tools"),
+            F.sum(chars).alias("total_chars"),
+            F.max(chars).cast("long").alias("max_turn_chars"),
+            (
+                F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts"))
+            )
+            .cast("long")
+            .alias("duration_s"),
+        )
+    )
+
+
+def role_violations(turns: DataFrame) -> DataFrame:
+    """Turns that repeat the previous turn's role (alternation-contract
+    violations — stuck agents, duplicated messages).  One window keyed
+    on conv_id; per-conversation sort only."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev = F.lag("role").over(w)
+    return (
+        turns.select(
+            "conv_id", "turn_idx", "role", prev.alias("prev_role")
+        )
+        .where(F.col("role") == F.col("prev_role"))
+    )
+
+
+def chat_render(turns: DataFrame, chunk: int = 1024) -> DataFrame:
+    """Render each conversation to one chat-template string.
+
+    Per-turn rendering is a codegen projection; the ordered concat
+    reuses assemble_docs' two-phase chunked groupBy so reducer memory
+    stays bounded for skewed 10^5-turn conversations.
+    """
+    rendered = turns.select(
+        "conv_id",
+        "turn_idx",
+        _render_turn(F.col("role"), F.col("tool"), F.col("text")).alias(
+            "markdown"
+        ),
+    )
+    return assemble.assemble_docs(rendered, chunk=chunk, sep="\n").select(
+        "conv_id", F.col("markdown").alias("chat")
+    )
+
+
+def sft_examples(turns: DataFrame, k: int = 3) -> DataFrame:
+    """Context-window assembly: one training example per assistant turn
+    with ≥1 context turn — prompt = previous ≤k turns rendered in the
+    chat template, completion = the assistant text.
+
+    The frame is ROWS BETWEEN k PRECEDING AND 1 PRECEDING, so the
+    window buffer is O(k) rows regardless of conversation length —
+    the bounded-frame shape that survives 10^12 turns.
+    """
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(-k, -1)
+    )
+    ctx = F.collect_list(
+        F.struct(
+            "turn_idx",
+            _render_turn(F.col("role"), F.col("tool"), F.col("text")).alias(
+                "r"
+            ),
+        )
+    ).over(w)
+    out = turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.col("text").alias("completion"),
+        ctx.alias("ctx"),
+    )
+    return (
+        out.where((F.col("role") == "assistant") & (F.size("ctx") > 0))
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.array_join(
+                F.transform(F.array_sort("ctx"), lambda s: s["r"]), "\n"
+            ).alias("prompt"),
+            "completion",
+            F.size("ctx").cast("int").alias("n_ctx_turns"),
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame, gap_s: int = 1800, exact_value_sum: bool = False
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds ``gap_s``.  Returns one row per session
+    with start/end epoch seconds, event count, and summed value.
+
+    Both the lag/cumsum window and the session rollup hash-partition on
+    user_id, so Catalyst plans ONE exchange for the whole operator
+    (plan-asserted).  user_id cardinality scales with the data — no
+    low-cardinality reducer bottleneck.
+
+    ``exact_value_sum`` sums value through DECIMAL(18,4) and rounds to
+    2 places — order-independent across partitionings and engines (the
+    repo's cross-engine double-sum convention).
+    """
+    sec = F.unix_timestamp("ts").cast("long")
+    w = Window.partitionBy("user_id").orderBy(sec, "event_id")
+    gap = sec - F.lag(sec).over(w)
+    flagged = events.select(
+        "user_id",
+        "event_id",
+        "value",
+        sec.alias("sec"),
+        F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0).alias("is_new"),
+    )
+    run = F.sum("is_new").over(
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        flagged.withColumn("session_idx", run)
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.min("sec").alias("session_start"),
+            F.max("sec").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.round(
+                    F.sum(F.col("value").cast("decimal(18,4)")).cast(
+                        "double"
+                    ),
+                    2,
+                )
+                if exact_value_sum
+                else F.sum("value")
+            ).alias("total_value"),
+        )
+        .withColumn(
+            "duration_s", F.col("session_end") - F.col("session_start")
+        )
+    )
+
+
+def tool_usage(turns: DataFrame) -> DataFrame:
+    """Per-tool invocation stats over tool-role turns.  count(DISTINCT
+    conv_id) under a low-cardinality group key plans as Spark's
+    two-stage distinct aggregate — the partial stage keys on
+    (tool, conv_id), so no single-reducer distinct set."""
+    t = turns.where((F.col("role") == "tool") & (F.col("tool") != ""))
+    return t.groupBy("tool").agg(
+        F.count(F.lit(1)).alias("n_calls"),
+        F.countDistinct("conv_id").alias("n_convs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.max(F.length("text")).cast("long").alias("max_chars"),
+    )

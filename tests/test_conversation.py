@@ -1,0 +1,156 @@
+"""Unit tests for conversation-level analytics (engine.spark.conversation):
+per-conversation rollups, role-alternation validation, chat-template
+rendering, SFT context-window assembly, gap sessionization, and tool
+usage.  Hand-computed expectations — independent of both engines."""
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine.spark import conversation as conv
+from engine.spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(cores=4, shuffle_partitions=8, app="engine-tests-conv")
+    yield s
+    s.stop()
+
+
+def _ts(s):
+    return datetime(2026, 1, 1, tzinfo=timezone.utc).replace(second=0) \
+        .fromtimestamp(1767225600 + s, tz=timezone.utc)
+
+
+def _turns(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "conv_id: string, turn_idx: int, role: string, text: string, "
+        "tool: string, ts: timestamp",
+    )
+
+
+_BASE = [
+    ("c1", 0, "user", "hello", "", _ts(0)),
+    ("c1", 1, "assistant", "hi there", "", _ts(10)),
+    ("c1", 2, "assistant", "hi there", "", _ts(20)),  # violation
+    ("c1", 3, "tool", '{"ok": 1}', "browser", _ts(30)),
+    ("c1", 4, "tool", "done", "pdf_reader", _ts(45)),  # violation
+    ("c2", 0, "user", "solo", "", _ts(100)),
+]
+
+
+def test_conv_stats(spark):
+    out = {r["conv_id"]: r for r in
+           conv.conv_stats(_turns(spark, _BASE)).collect()}
+    c1 = out["c1"]
+    assert c1["n_turns"] == 5
+    assert (c1["n_user"], c1["n_assistant"], c1["n_tool"]) == (1, 2, 2)
+    assert c1["n_tool_calls"] == 2
+    assert c1["n_tools"] == 2
+    assert c1["total_chars"] == sum(
+        len(t[3]) for t in _BASE if t[0] == "c1")
+    assert c1["max_turn_chars"] == len('{"ok": 1}')
+    assert c1["duration_s"] == 45
+    c2 = out["c2"]
+    assert (c2["n_turns"], c2["n_tools"], c2["duration_s"]) == (1, 0, 0)
+
+
+def test_role_violations(spark):
+    out = conv.role_violations(_turns(spark, _BASE)).collect()
+    assert {(r["conv_id"], r["turn_idx"]) for r in out} == {
+        ("c1", 2), ("c1", 4)}
+    assert all(r["role"] == r["prev_role"] for r in out)
+
+
+def test_chat_render_template_and_order(spark):
+    out = {r["conv_id"]: r["chat"] for r in
+           conv.chat_render(_turns(spark, _BASE)).collect()}
+    assert out["c2"] == "<|user|>\nsolo\n<|end|>"
+    expected_c1 = "\n".join([
+        "<|user|>\nhello\n<|end|>",
+        "<|assistant|>\nhi there\n<|end|>",
+        "<|assistant|>\nhi there\n<|end|>",
+        '<|tool:browser|>\n{"ok": 1}\n<|end|>',
+        "<|tool:pdf_reader|>\ndone\n<|end|>",
+    ])
+    assert out["c1"] == expected_c1
+
+
+def test_chat_render_chunked_matches_unchunked(spark):
+    # 50-turn conversation; chunk=8 (two-phase) must equal chunk=1024.
+    rows = [("cc", i, "user" if i % 2 == 0 else "assistant",
+             f"turn {i}", "", _ts(i)) for i in range(50)]
+    t = _turns(spark, rows)
+    a = conv.chat_render(t, chunk=8).collect()[0]["chat"]
+    b = conv.chat_render(t, chunk=1024).collect()[0]["chat"]
+    assert a == b
+    assert a.count("<|end|>") == 50
+
+
+def test_sft_examples(spark):
+    out = {(r["conv_id"], r["turn_idx"]): r for r in
+           conv.sft_examples(_turns(spark, _BASE), k=2).collect()}
+    # assistant turns with >=1 ctx: c1 turns 1 and 2 only.
+    assert set(out) == {("c1", 1), ("c1", 2)}
+    e1 = out[("c1", 1)]
+    assert e1["prompt"] == "<|user|>\nhello\n<|end|>"
+    assert e1["completion"] == "hi there"
+    assert e1["n_ctx_turns"] == 1
+    e2 = out[("c1", 2)]
+    # k=2: turns 0 and 1 in order
+    assert e2["prompt"] == (
+        "<|user|>\nhello\n<|end|>\n<|assistant|>\nhi there\n<|end|>")
+    assert e2["n_ctx_turns"] == 2
+
+
+def test_sft_frame_is_bounded(spark):
+    rows = [("cb", i, "assistant", f"t{i}", "", _ts(i)) for i in range(10)]
+    out = conv.sft_examples(_turns(spark, rows), k=3).collect()
+    assert max(r["n_ctx_turns"] for r in out) == 3
+    # turn 9's prompt holds exactly turns 6,7,8
+    p9 = next(r for r in out if r["turn_idx"] == 9)["prompt"]
+    assert [l for l in p9.splitlines() if l.startswith("t")] == [
+        "t6", "t7", "t8"]
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id: long, user_id: long, value: double, ts: timestamp")
+
+
+def test_sessionize(spark):
+    rows = [
+        (1, 7, 1.0, _ts(0)),
+        (2, 7, 2.0, _ts(600)),     # gap 600 <= 1800 → same session
+        (3, 7, 3.0, _ts(3000)),    # gap 2400 > 1800 → new session
+        (4, 7, 4.0, _ts(3100)),
+        (5, 9, 5.0, _ts(50)),
+    ]
+    out = conv.sessionize(_events(spark, rows), gap_s=1800).collect()
+    by_key = {(r["user_id"], r["session_idx"]): r for r in out}
+    assert set(by_key) == {(7, 1), (7, 2), (9, 1)}
+    s1 = by_key[(7, 1)]
+    assert (s1["n_events"], s1["total_value"], s1["duration_s"]) == (
+        2, 3.0, 600)
+    s2 = by_key[(7, 2)]
+    assert (s2["n_events"], s2["duration_s"]) == (2, 100)
+    assert by_key[(9, 1)]["n_events"] == 1
+
+
+def test_sessionize_boundary_gap_exact(spark):
+    # gap exactly == gap_s stays in the same session (strict >)
+    rows = [(1, 1, 1.0, _ts(0)), (2, 1, 1.0, _ts(1800))]
+    out = conv.sessionize(_events(spark, rows), gap_s=1800).collect()
+    assert len(out) == 1 and out[0]["n_events"] == 2
+
+
+def test_tool_usage(spark):
+    out = {r["tool"]: r for r in
+           conv.tool_usage(_turns(spark, _BASE)).collect()}
+    assert set(out) == {"browser", "pdf_reader"}
+    assert out["browser"]["n_calls"] == 1
+    assert out["browser"]["n_convs"] == 1
+    assert out["browser"]["total_chars"] == len('{"ok": 1}')

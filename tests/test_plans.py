@@ -549,3 +549,62 @@ def test_mixture_sample_broadcasts_rates_no_corpus_shuffle(spark):
     # the min-over-counts window moves only the |sources|-row aggregate
     assert plan.count("Exchange SinglePartition") == 1, plan
     assert plan.count("FileScan parquet") == 2, plan
+
+
+def test_sessionize_single_user_keyed_exchange(spark):
+    """Gap sessionization: the lag window, the cumsum window, and the
+    session rollup must all ride ONE hash exchange on user_id —
+    HashPartitioning(user_id) satisfies the (user_id, session_idx)
+    aggregation clustering — with map-side partial combine and no
+    single-partition window anywhere."""
+    from engine.spark import conversation
+
+    e = spark.read.parquet(SF_DIR + "/events.parquet")
+    plan = _plan(conversation.sessionize(e))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "hashpartitioning(user_id" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "partial_min" in plan or "partial_count" in plan, plan
+
+
+def test_conv_stats_single_partial_agg_shuffle(spark, transcripts_path):
+    """Per-conversation rollup: one conv_id-keyed exchange, partial
+    (map-side) aggregation below it, no window or sort."""
+    from engine.spark import conversation
+
+    t = spark.read.parquet(transcripts_path)
+    plan = _plan(conversation.conv_stats(t))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "hashpartitioning(conv_id" in plan, plan
+    assert "partial_count" in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+
+
+def test_sft_examples_bounded_frame_single_exchange(spark,
+                                                    transcripts_path):
+    """Context-window assembly: ONE conv_id-keyed exchange feeding a
+    ROWS-bounded window frame (specifiedwindowframe RowFrame with a
+    finite lower bound, never unboundedpreceding$())."""
+    from engine.spark import conversation
+
+    t = spark.read.parquet(transcripts_path)
+    plan = _plan(conversation.sft_examples(t, k=3))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "hashpartitioning(conv_id" in plan, plan
+    assert "specifiedwindowframe(RowFrame, -3, -1)" in plan, plan
+    assert "unboundedpreceding$()" not in plan, plan
+
+
+def test_chat_render_two_phase_chunked(spark, transcripts_path):
+    """Chat-template render reuses the two-phase chunked concat: two
+    conv-keyed exchanges ((conv_id, chunk_id) then conv_id), never a
+    single-partition or range exchange, and the render expression stays
+    JVM-side (no Python eval)."""
+    from engine.spark import conversation
+
+    t = spark.read.parquet(transcripts_path)
+    plan = _plan(conversation.chat_render(t))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan, plan
