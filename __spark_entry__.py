@@ -3820,6 +3820,36 @@ GROUP BY tool ORDER BY tool
 """
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary coverage (text.vocab_coverage): top-500
+    corpus vocab with a deterministic (count DESC, token ASC) boundary,
+    broadcast back onto the token stream; per-language OOV stats."""
+    d = _t(spark, sf_dir, "documents")
+    return etext.vocab_coverage(d, vocab_size=500).orderBy("lang")
+
+
+SQL_VOCAB_COVERAGE = r"""
+WITH raw AS (
+  SELECT lang,
+         unnest(regexp_split_to_array(trim(lower(text)),
+                                      '[ \t\n\x0b\f\r]+')) AS tok
+  FROM documents
+), t2 AS (
+  SELECT lang, tok FROM raw WHERE tok <> ''
+), vocab AS (
+  SELECT tok FROM t2 GROUP BY tok
+  ORDER BY count(*) DESC, tok ASC LIMIT 500
+)
+SELECT t2.lang, count(*) AS total_tokens,
+       sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::BIGINT
+         AS oov_tokens,
+       round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::DOUBLE
+               / count(*), 6) AS oov_rate
+FROM t2 LEFT JOIN vocab v ON t2.tok = v.tok
+GROUP BY t2.lang ORDER BY t2.lang
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples the
     # first 50 keys, so entries are sorted by driver-coverage recency —
@@ -3829,6 +3859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # recent CORRECTNESS row.
     return {
         # -- round-5 additions (never driver-checked)
+        "vocab_coverage": q_vocab_coverage,
         "conv_stats": q_conv_stats,
         "role_violations": q_role_violations,
         "chat_render": q_chat_render,
@@ -3941,6 +3972,7 @@ def oracle_sql() -> dict[str, str]:
     # twin is pinned by tests/test_sampling.py error bounds instead.)
     return {
         # -- round-5 additions (never driver-checked)
+        "vocab_coverage": SQL_VOCAB_COVERAGE,
         "conv_stats": SQL_CONV_STATS,
         "role_violations": SQL_ROLE_VIOLATIONS,
         "chat_render": SQL_CHAT_RENDER,

@@ -415,6 +415,11 @@ RELATIONAL = [
     "turn_dedup",
     "shard_shuffle",
     "mixture_sample",
+    # round-5 conversation analytics
+    "conv_stats",
+    "sessionize",
+    "sft_examples",
+    "chat_render",
 ]
 
 

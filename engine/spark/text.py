@@ -627,3 +627,50 @@ def ngram_lm_scores(
             ).alias("avg_nll"),
         )
     )
+
+
+def vocab_coverage(
+    docs: DataFrame, vocab_size: int = 500, text_col: str = "text"
+) -> DataFrame:
+    """Tokenizer-prep vocabulary coverage: build the top-``vocab_size``
+    corpus vocabulary (count DESC, token ASC — a deterministic boundary
+    in both engines) and measure per-language out-of-vocabulary rates.
+
+    Scale shape: token counts aggregate with map-side combine on the
+    high-cardinality token key; the global top-V plans as
+    TakeOrderedAndProject (distributed top-k, never a full sort); the
+    V-row vocabulary broadcasts back onto the exploded token stream, so
+    corpus rows are never shuffled — the only corpus-wide exchange is
+    the final per-language partial aggregation.
+    """
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), WS)
+        ).alias("tok"),
+    ).where(F.col("tok") != "")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    joined = toks.join(F.broadcast(vocab), "tok", "left")
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count("*").alias("total_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("oov_tokens"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.round(
+                F.col("oov_tokens").cast("double")
+                / F.col("total_tokens"),
+                6,
+            ),
+        )
+    )

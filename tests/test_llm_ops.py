@@ -641,3 +641,29 @@ def test_quantized_lists_memory_ratio(spark, tmp_path):
 
     ratio = nbytes(p_q) / nbytes(p_full)
     assert ratio <= 0.40, ratio
+
+
+# ------------------------------------------------- vocab_coverage
+
+
+def test_vocab_coverage_hand_case(spark):
+    from engine.spark import text as etext
+
+    d = spark.createDataFrame(
+        [
+            (1, "en", "the cat sat on the mat"),
+            (2, "en", "the dog xylophone"),
+            (3, "de", "der hund"),
+        ],
+        "doc_id: long, lang: string, text: string",
+    )
+    out = {r["lang"]: r for r in
+           etext.vocab_coverage(d, vocab_size=3).collect()}
+    # token counts: the=3, cat/sat/on/mat/dog/xylophone/der/hund=1
+    # vocab (count desc, tok asc, top 3): the, cat, der
+    en = out["en"]
+    assert en["total_tokens"] == 9
+    assert en["oov_tokens"] == 5  # sat on mat dog xylophone
+    de = out["de"]
+    assert (de["total_tokens"], de["oov_tokens"]) == (2, 1)  # hund OOV
+    assert de["oov_rate"] == 0.5

@@ -608,3 +608,19 @@ def test_chat_render_two_phase_chunked(spark, transcripts_path):
     assert "Exchange SinglePartition" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
     assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_vocab_coverage_broadcast_topv_shape(spark):
+    """Vocabulary coverage: the top-V vocab must plan as TakeOrdered
+    (distributed top-k, no global sort exchange), broadcast back onto
+    the token stream (BroadcastHashJoin, never SortMergeJoin), leaving
+    only the vocab-count and per-lang aggregation hash exchanges."""
+    from engine.spark import text as etext
+
+    d = spark.read.parquet(SF_DIR + "/documents.parquet")
+    plan = _plan(etext.vocab_coverage(d, vocab_size=100))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
