@@ -3820,6 +3820,31 @@ GROUP BY tool ORDER BY tool
 """
 
 
+def q_stream_sft_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of sft_examples (custom stateful operator —
+    applyInPandasWithState bounded context window).  Emission happens AT
+    each assistant turn, so the complete stream equals the batch result
+    exactly and shares its oracle (SQL_SFT_EXAMPLES verbatim)."""
+    import shutil
+
+    from engine.spark import streaming
+
+    src = tempfile.mkdtemp(prefix="sft_src_")
+    _synthetic_turns_full(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text", "tool"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    ckpt = tempfile.mkdtemp(prefix="sft_ckpt_")
+    sink = f"stream_sft_{uuid.uuid4().hex[:8]}"
+    out = streaming.stream_sft_examples(spark, src, ckpt, sink_table=sink)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out.orderBy("conv_id", "turn_idx")
+
+
+# The stream emits at each assistant turn — full-stream output is the
+# batch result exactly, so the oracle is shared verbatim.
+SQL_STREAM_SFT_EXAMPLES = SQL_SFT_EXAMPLES
+
+
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-prep vocabulary coverage (text.vocab_coverage): top-500
     corpus vocab with a deterministic (count DESC, token ASC) boundary,
@@ -3860,6 +3885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-5 additions (never driver-checked)
         "vocab_coverage": q_vocab_coverage,
+        "stream_sft_examples": q_stream_sft_examples,
         "conv_stats": q_conv_stats,
         "role_violations": q_role_violations,
         "chat_render": q_chat_render,
@@ -3973,6 +3999,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         # -- round-5 additions (never driver-checked)
         "vocab_coverage": SQL_VOCAB_COVERAGE,
+        "stream_sft_examples": SQL_STREAM_SFT_EXAMPLES,
         "conv_stats": SQL_CONV_STATS,
         "role_violations": SQL_ROLE_VIOLATIONS,
         "chat_render": SQL_CHAT_RENDER,

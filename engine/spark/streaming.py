@@ -794,3 +794,130 @@ def stream_turn_dedup(
     )
     q.awaitTermination()
     return spark.table(sink_table)
+
+
+# ----------------------------------------------------- stream_sft_examples
+
+SFT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("prompt", T.StringType()),
+        T.StructField("completion", T.StringType()),
+        T.StructField("n_ctx_turns", T.IntegerType()),
+    ]
+)
+
+# Bounded context: the last ≤k turns as parallel arrays — state size is
+# O(k · turn size) per active conversation, independent of stream length.
+SFT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("roles", T.ArrayType(T.StringType())),
+        T.StructField("texts", T.ArrayType(T.StringType())),
+        T.StructField("tools", T.ArrayType(T.StringType())),
+    ]
+)
+
+_SFT_K = 3
+
+
+def _render_turn_py(role: str, tool: str, text: str) -> str:
+    """Python twin of conversation._render_turn — same chat-template
+    grammar byte-for-byte (pinned against the batch path in tests)."""
+    head = f"<|{role}:{tool}|>" if tool else f"<|{role}|>"
+    return f"{head}\n{text}\n<|end|>"
+
+
+def _sft_fn(key, pdfs, state):
+    """Per-conversation context-window assembly across micro-batches:
+    state carries the last ≤k turns; every assistant turn with ≥1
+    context turn emits one (prompt, completion) example at arrival, so
+    the complete stream's output equals the batch sft_examples result
+    exactly (split-invariant — no trailing-state subtraction).  Assumes
+    per-conversation turn_idx order across micro-batches, like
+    _turn_dedup_fn; within a batch the sort restores it."""
+    import pandas as pd
+
+    rows = pd.concat(list(pdfs)).sort_values("turn_idx")
+    if state.exists:
+        roles, texts, tools = state.get
+        ctx = list(zip(list(roles), list(texts), list(tools)))
+    else:
+        ctx = []
+    out = []
+    for r in rows.itertuples(index=False):
+        if r.role == "assistant" and ctx:
+            prompt = "\n".join(
+                _render_turn_py(cr, ct, cx) for cr, cx, ct in ctx
+            )
+            out.append(
+                (key[0], int(r.turn_idx), prompt, r.text, len(ctx))
+            )
+        ctx.append((r.role, r.text, r.tool))
+        ctx = ctx[-_SFT_K:]
+    state.update(
+        (
+            [c[0] for c in ctx],
+            [c[1] for c in ctx],
+            [c[2] for c in ctx],
+        )
+    )
+    if out:
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "conv_id", "turn_idx", "prompt", "completion",
+                "n_ctx_turns",
+            ],
+        )
+
+
+def stream_sft_examples(
+    spark: SparkSession,
+    turns_path: str,
+    checkpoint_dir: str,
+    sink_table: str = "stream_sft_examples",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``conversation.sft_examples`` (custom stateful
+    operator, applyInPandasWithState): emits one training example per
+    arriving assistant turn, prompt = the last ≤3 earlier turns rendered
+    in the chat template.  Unlike stream_turn_dedup there is no open
+    trailing run — emission happens at the assistant turn itself — so
+    the full stream reproduces the batch result EXACTLY and shares its
+    DuckDB oracle.  State per conversation is the bounded ≤3-turn
+    context window."""
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),
+        ]
+    )
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.load(turns_path)
+    examples = (
+        src.select("conv_id", "turn_idx", "role", "text", "tool")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _sft_fn,
+            outputStructType=SFT_OUTPUT_SCHEMA,
+            stateStructType=SFT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
+    q = (
+        examples.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)

@@ -154,3 +154,65 @@ def test_tool_usage(spark):
     assert out["browser"]["n_calls"] == 1
     assert out["browser"]["n_convs"] == 1
     assert out["browser"]["total_chars"] == len('{"ok": 1}')
+
+
+# ------------------------------------------------ stream_sft_examples
+
+
+def test_stream_sft_split_invariance_and_batch_parity(spark, tmp_path):
+    """The streaming SFT assembler must (a) be invariant to micro-batch
+    splits that cut through context windows and (b) reproduce the batch
+    sft_examples output byte-for-byte."""
+    import os
+
+    import pandas as pd
+
+    from engine.spark import streaming
+
+    rows = []
+    for c in range(4):
+        cid = f"s{c:02d}"
+        for i in range(6):
+            role = ["user", "assistant", "tool"][i % 3]
+            tool = "browser" if role == "tool" else ""
+            rows.append((cid, i, role, f"text {c}-{i}", tool))
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+
+    one = str(tmp_path / "one")
+    os.makedirs(one, exist_ok=True)
+    pdf.to_parquet(os.path.join(one, "all.parquet"), index=False)
+    got_one = streaming.stream_sft_examples(
+        spark, one, str(tmp_path / "ck1"), sink_table="ssft_one"
+    ).toPandas()
+
+    # split files cut every context window across a batch edge
+    split = str(tmp_path / "split")
+    os.makedirs(split, exist_ok=True)
+    for i, (lo, hi) in enumerate([(0, 1), (2, 3), (4, 5)]):
+        part = pdf[(pdf.turn_idx >= lo) & (pdf.turn_idx <= hi)]
+        part.to_parquet(os.path.join(split, f"part-{i}.parquet"),
+                        index=False)
+    got_split = streaming.stream_sft_examples(
+        spark, split, str(tmp_path / "ck2"), sink_table="ssft_split",
+        max_files_per_trigger=1,
+    ).toPandas()
+
+    key = ["conv_id", "turn_idx"]
+    a = got_one.sort_values(key).reset_index(drop=True)
+    b = got_split.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    # byte parity with the batch operator (k=3 matches _SFT_K)
+    sdf = spark.createDataFrame(pdf).withColumn(
+        "ts", F.current_timestamp())
+    batch = conv.sft_examples(sdf, k=3).toPandas()
+    c = batch.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[c.columns].astype(c.dtypes.to_dict()), c)
+    # spot-check one prompt's exact rendering
+    p = a[(a.conv_id == "s01") & (a.turn_idx == 4)]["prompt"].iloc[0]
+    assert p == ("<|assistant|>\ntext 1-1\n<|end|>\n"
+                 "<|tool:browser|>\ntext 1-2\n<|end|>\n"
+                 "<|user|>\ntext 1-3\n<|end|>")
