@@ -3820,6 +3820,34 @@ GROUP BY tool ORDER BY tool
 """
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation as a first-class op: per-query recall@5 of
+    the LSH ANN against brute-force ground truth
+    (similarity.ann_recall).  The oracle recomputes BOTH pipelines —
+    the recall numbers themselves are value-checked cross-engine."""
+    e = _t(spark, sf_dir, "embeddings")
+    truth = similarity.brute_force_topk(e, n_queries=8, k=5)
+    approx = similarity.lsh_ann_topk(
+        e, dim=64, n_queries=8, k=5, n_planes=4
+    )
+    return similarity.ann_recall(truth, approx).orderBy("query_id")
+
+
+# Composes the two ANN oracles verbatim: ground truth and approximate
+# result are both re-derived, then joined for per-query recall.
+SQL_ANN_RECALL = f"""
+WITH truth AS ({SQL_EMBEDDING_TOPK}), approx AS ({SQL_LSH_ANN})
+SELECT t.query_id, count(*) AS n_true,
+       sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_hit,
+       round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0
+                 END)::DOUBLE / count(*), 6) AS recall
+FROM truth t LEFT JOIN approx a
+  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+GROUP BY t.query_id ORDER BY t.query_id
+"""
+
+
 def q_stream_sft_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of sft_examples (custom stateful operator —
     applyInPandasWithState bounded context window).  Emission happens AT
@@ -3885,6 +3913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-5 additions (never driver-checked)
         "vocab_coverage": q_vocab_coverage,
+        "ann_recall": q_ann_recall,
         "stream_sft_examples": q_stream_sft_examples,
         "conv_stats": q_conv_stats,
         "role_violations": q_role_violations,
@@ -3999,6 +4028,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         # -- round-5 additions (never driver-checked)
         "vocab_coverage": SQL_VOCAB_COVERAGE,
+        "ann_recall": SQL_ANN_RECALL,
         "stream_sft_examples": SQL_STREAM_SFT_EXAMPLES,
         "conv_stats": SQL_CONV_STATS,
         "role_violations": SQL_ROLE_VIOLATIONS,

@@ -599,3 +599,35 @@ def ivf_quantized_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def ann_recall(truth: DataFrame, approx: DataFrame) -> DataFrame:
+    """Retrieval-evaluation harness: per-query recall of an approximate
+    top-k result against a ground-truth top-k.  Both inputs carry
+    (query_id, neighbor_id); output is (query_id, n_true, n_hit,
+    recall) with recall rounded to 6 places.
+
+    Scale shape: a plain equi-join on (query_id, neighbor_id) + one
+    partial agg — both sides are top-k tables (n_queries · k rows), so
+    at evaluation scale (10^4 queries) the join broadcasts; the heavy
+    work lives in the ANN operators being evaluated, not here.
+    """
+    hit = approx.select("query_id", "neighbor_id").withColumn(
+        "hit", F.lit(1)
+    )
+    j = truth.select("query_id", "neighbor_id").join(
+        hit, ["query_id", "neighbor_id"], "left"
+    )
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+        )
+        .withColumn(
+            "recall",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_true"), 6
+            ),
+        )
+    )

@@ -667,3 +667,26 @@ def test_vocab_coverage_hand_case(spark):
     de = out["de"]
     assert (de["total_tokens"], de["oov_tokens"]) == (2, 1)  # hund OOV
     assert de["oov_rate"] == 0.5
+
+
+# ------------------------------------------------------ ann_recall
+
+
+def test_ann_recall_hand_case(spark):
+    from engine.spark import similarity
+
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)],
+        "query_id: long, neighbor_id: long",
+    )
+    approx = spark.createDataFrame(
+        # q1 recovers both, q2 recovers one + a spurious neighbor
+        [(1, 10), (1, 11), (2, 20), (2, 99)],
+        "query_id: long, neighbor_id: long",
+    )
+    out = {r["query_id"]: r for r in
+           similarity.ann_recall(truth, approx).collect()}
+    assert (out[1]["n_true"], out[1]["n_hit"], out[1]["recall"]) == (
+        2, 2, 1.0)
+    assert (out[2]["n_true"], out[2]["n_hit"], out[2]["recall"]) == (
+        2, 1, 0.5)
