@@ -3820,6 +3820,78 @@ GROUP BY tool ORDER BY tool
 """
 
 
+def q_transcript_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite transcript-corpus curation
+    (conversation.transcript_curation): run-collapse repeat ratio +
+    alternation violations + SFT-usability gates in one conv-keyed
+    window + rollup.  Planted conversations fire every drop reason
+    (too_short / no_assistant / repetitive); the synthetic corpus
+    itself (repeat_ratio 0.4 from the planted assistant run) stays
+    under the 0.5 gate, so the bulk keeps."""
+    base = _synthetic_turns_full(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text"
+    )
+    planted = spark.createDataFrame(
+        [
+            ("planted-short", 0, "user", "hi"),
+            ("planted-noasst", 0, "user", "a"),
+            ("planted-noasst", 1, "tool", "b"),
+            ("planted-repeat", 0, "user", "q"),
+            *[("planted-repeat", i, "assistant", "same") for i in range(1, 6)],
+        ],
+        "conv_id: string, turn_idx: int, role: string, text: string",
+    )
+    return conversation.transcript_curation(
+        base.unionByName(planted), min_turns=2, max_repeat_ratio=0.5
+    ).orderBy("conv_id")
+
+
+SQL_TRANSCRIPT_CURATION = _SQL_TURNS_FULL + """
+, planted AS (
+  SELECT * FROM (VALUES
+    ('planted-short', 0, 'user', 'hi'),
+    ('planted-noasst', 0, 'user', 'a'),
+    ('planted-noasst', 1, 'tool', 'b'),
+    ('planted-repeat', 0, 'user', 'q'),
+    ('planted-repeat', 1, 'assistant', 'same'),
+    ('planted-repeat', 2, 'assistant', 'same'),
+    ('planted-repeat', 3, 'assistant', 'same'),
+    ('planted-repeat', 4, 'assistant', 'same'),
+    ('planted-repeat', 5, 'assistant', 'same')
+  ) v(conv_id, turn_idx, role, text)
+), allt AS (
+  SELECT conv_id, turn_idx, role, text FROM full_t
+  UNION ALL SELECT conv_id, turn_idx, role, text FROM planted
+), flagged AS (
+  SELECT conv_id, role,
+         CASE WHEN lag(role) OVER w IS NULL
+                OR lag(role) OVER w <> role
+                OR lag(text) OVER w <> text
+              THEN 1 ELSE 0 END AS is_new_run,
+         CASE WHEN role = lag(role) OVER w THEN 1 ELSE 0 END AS viol
+  FROM allt WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+), stats AS (
+  SELECT conv_id, count(*) AS n_turns,
+         sum(is_new_run)::BIGINT AS n_runs,
+         sum(viol)::BIGINT AS n_violations,
+         max(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS has_asst
+  FROM flagged GROUP BY conv_id
+), scored AS (
+  SELECT conv_id, n_turns, n_runs,
+         round(1.0 - n_runs::DOUBLE / n_turns, 6) AS repeat_ratio,
+         n_violations,
+         CASE WHEN n_turns < 2 THEN 'too_short'
+              WHEN has_asst = 0 THEN 'no_assistant'
+              WHEN round(1.0 - n_runs::DOUBLE / n_turns, 6) > 0.5
+                THEN 'repetitive' END AS drop_reason
+  FROM stats
+)
+SELECT conv_id, n_turns, n_runs, repeat_ratio, n_violations,
+       drop_reason IS NULL AS keep, drop_reason
+FROM scored ORDER BY conv_id
+"""
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval evaluation as a first-class op: per-query recall@5 of
     the LSH ANN against brute-force ground truth
@@ -3914,6 +3986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-5 additions (never driver-checked)
         "vocab_coverage": q_vocab_coverage,
         "ann_recall": q_ann_recall,
+        "transcript_curation": q_transcript_curation,
         "stream_sft_examples": q_stream_sft_examples,
         "conv_stats": q_conv_stats,
         "role_violations": q_role_violations,
@@ -4029,6 +4102,7 @@ def oracle_sql() -> dict[str, str]:
         # -- round-5 additions (never driver-checked)
         "vocab_coverage": SQL_VOCAB_COVERAGE,
         "ann_recall": SQL_ANN_RECALL,
+        "transcript_curation": SQL_TRANSCRIPT_CURATION,
         "stream_sft_examples": SQL_STREAM_SFT_EXAMPLES,
         "conv_stats": SQL_CONV_STATS,
         "role_violations": SQL_ROLE_VIOLATIONS,

@@ -230,3 +230,75 @@ def tool_usage(turns: DataFrame) -> DataFrame:
         F.sum(F.length("text")).alias("total_chars"),
         F.max(F.length("text")).cast("long").alias("max_chars"),
     )
+
+
+def transcript_curation(
+    turns: DataFrame,
+    min_turns: int = 2,
+    max_repeat_ratio: float = 0.5,
+) -> DataFrame:
+    """Composite transcript-corpus curation: per-conversation quality
+    metrics and a keep/drop decision — the conversation-level analog of
+    the document corpus_curation job.
+
+    Metrics (one conv-keyed window + one rollup, sharing a single
+    hash exchange on conv_id):
+      * n_turns
+      * n_runs — turns after run-length collapse of consecutive
+        repeated (role, text) turns (mix.turn_dedup's change-point
+        rule); repeat_ratio = 1 − n_runs/n_turns
+      * n_violations — consecutive same-role turns
+      * has_assistant — a conversation with no assistant turn is
+        unusable as SFT supervision
+
+    Drop precedence: too_short → no_assistant → repetitive.  keep=true
+    rows carry drop_reason NULL.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev_role = F.lag("role").over(w)
+    prev_text = F.lag("text").over(w)
+    flagged = turns.select(
+        "conv_id",
+        "role",
+        F.when(
+            prev_role.isNull()
+            | (prev_role != F.col("role"))
+            | (prev_text != F.col("text")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new_run"),
+        F.when(F.col("role") == prev_role, 1).otherwise(0).alias("viol"),
+    )
+    stats = flagged.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum("is_new_run").alias("n_runs"),
+        F.sum("viol").alias("n_violations"),
+        F.max(
+            F.when(F.col("role") == "assistant", 1).otherwise(0)
+        ).alias("_has_asst"),
+    )
+    repeat_ratio = F.round(
+        1.0 - F.col("n_runs").cast("double") / F.col("n_turns"), 6
+    )
+    reason = (
+        F.when(F.col("n_turns") < min_turns, F.lit("too_short"))
+        .when(F.col("_has_asst") == 0, F.lit("no_assistant"))
+        .when(
+            F.col("repeat_ratio") > max_repeat_ratio, F.lit("repetitive")
+        )
+    )
+    return (
+        stats.withColumn("repeat_ratio", repeat_ratio)
+        .withColumn("drop_reason", reason)
+        .withColumn("keep", F.col("drop_reason").isNull())
+        .select(
+            "conv_id",
+            "n_turns",
+            "n_runs",
+            "repeat_ratio",
+            "n_violations",
+            "keep",
+            "drop_reason",
+        )
+    )

@@ -216,3 +216,33 @@ def test_stream_sft_split_invariance_and_batch_parity(spark, tmp_path):
     assert p == ("<|assistant|>\ntext 1-1\n<|end|>\n"
                  "<|tool:browser|>\ntext 1-2\n<|end|>\n"
                  "<|user|>\ntext 1-3\n<|end|>")
+
+
+# ---------------------------------------------- transcript_curation
+
+
+def test_transcript_curation_reasons_and_precedence(spark):
+    rows = [
+        # healthy conversation
+        ("ok", 0, "user", "q", "", _ts(0)),
+        ("ok", 1, "assistant", "a", "", _ts(1)),
+        # 1 turn -> too_short (even though it also lacks an assistant)
+        ("short", 0, "user", "hi", "", _ts(0)),
+        # no assistant
+        ("noasst", 0, "user", "a", "", _ts(0)),
+        ("noasst", 1, "tool", "b", "browser", _ts(1)),
+        # 1 distinct run of 5 identical + 1 user = 2 runs / 6 turns
+        ("rep", 0, "user", "q", "", _ts(0)),
+        *[("rep", i, "assistant", "same", "", _ts(i)) for i in range(1, 6)],
+    ]
+    out = {r["conv_id"]: r for r in conv.transcript_curation(
+        _turns(spark, rows), min_turns=2, max_repeat_ratio=0.5
+    ).collect()}
+    assert out["ok"]["keep"] and out["ok"]["drop_reason"] is None
+    assert out["short"]["drop_reason"] == "too_short"
+    assert out["noasst"]["drop_reason"] == "no_assistant"
+    r = out["rep"]
+    assert r["drop_reason"] == "repetitive"
+    assert (r["n_turns"], r["n_runs"]) == (6, 2)
+    assert abs(r["repeat_ratio"] - (1 - 2 / 6)) < 1e-6
+    assert r["n_violations"] == 4

@@ -624,3 +624,17 @@ def test_vocab_coverage_broadcast_topv_shape(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_transcript_curation_single_conv_exchange(spark, transcripts_path):
+    """The curation window and rollup must share ONE conv_id-keyed hash
+    exchange (same partitioning-reuse as turn_dedup), with map-side
+    partial aggregation and no single-partition stage."""
+    from engine.spark import conversation
+
+    t = spark.read.parquet(transcripts_path)
+    plan = _plan(conversation.transcript_curation(t))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "hashpartitioning(conv_id" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "partial_count" in plan, plan
