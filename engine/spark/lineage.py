@@ -199,6 +199,9 @@ def run_with_resume(
     curate: bool = False,
     curate_max_dup_bigram: float = 0.5,
     curate_min_tokens: int = 5,
+    conv_curate: bool = False,
+    conv_min_turns: int = 2,
+    conv_max_repeat: float = 0.5,
     detect_changes: bool = False,
     run_id: str | None = None,
 ) -> dict[str, int]:
@@ -451,6 +454,35 @@ def run_with_resume(
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("part_hash")
                 .parquet(cur_out)
+            )
+
+    if conv_curate:
+        # Conversation-level curation (transcript_curation): run-collapse
+        # repeat ratio, alternation violations and the SFT-usability
+        # gate, per bucket under the shared backfill rule.  Computed
+        # from the ORIGINAL transcripts (role/text never reach the
+        # committed turns table — the parse stage prunes them), and
+        # conversations never split across buckets (part_hash is a
+        # function of conv_id), so the metrics are bucket-local.
+        from engine.spark import conversation
+
+        cc_out = os.path.join(output_dir, "conv_curation")
+        need = _stage_coverage(cc_out, turns_out, run_buckets)
+        if need:
+            all_src = with_part_hash(transcripts, n_buckets)
+            cc = conversation.transcript_curation(
+                all_src.filter(F.col("part_hash").isin(need)).select(
+                    "conv_id", "turn_idx", "role", "text"
+                ),
+                min_turns=conv_min_turns,
+                max_repeat_ratio=conv_max_repeat,
+            )
+            (
+                with_part_hash(cc, n_buckets)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("part_hash")
+                .parquet(cc_out)
             )
 
     if quarantine:

@@ -68,6 +68,17 @@ def main(argv: list[str] | None = None) -> int:
                          "write time; the raw metrics stay in the table "
                          "so keep can be re-derived with other cutoffs "
                          "without re-scanning text")
+    ap.add_argument("--conv-curate", action="store_true",
+                    help="also write the conversation-level curation "
+                         "table (run-collapse repeat ratio, role-"
+                         "alternation violations, SFT-usability gate) "
+                         "over the RAW transcripts")
+    ap.add_argument("--conv-min-turns", type=int, default=2,
+                    help="conv-curate gate: min turns per conversation "
+                         "for keep=true (default 2)")
+    ap.add_argument("--conv-max-repeat", type=float, default=0.5,
+                    help="conv-curate gate: max run-collapse repeat "
+                         "ratio for keep=true (default 0.5)")
     args = ap.parse_args(argv)
 
     from engine.spark import lineage
@@ -123,6 +134,9 @@ def main(argv: list[str] | None = None) -> int:
         curate=args.curate,
         curate_max_dup_bigram=args.curate_max_dup_bigram,
         curate_min_tokens=args.curate_min_tokens,
+        conv_curate=args.conv_curate,
+        conv_min_turns=args.conv_min_turns,
+        conv_max_repeat=args.conv_max_repeat,
         detect_changes=args.detect_changes,
     )
     dt = time.time() - t0

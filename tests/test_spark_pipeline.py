@@ -610,7 +610,7 @@ def test_all_stages_backfill_on_half_completed_resume(
     r2 = lineage.run_with_resume(
         spark, df, out, snapshot_id="s", n_buckets=8,
         spans=True, translate=True, dedup=True, near_dup=True,
-        quarantine=True, curate=True,
+        quarantine=True, curate=True, conv_curate=True,
     )
     assert 0 < r2["buckets_processed"] <= 4
 
@@ -625,7 +625,8 @@ def test_all_stages_backfill_on_half_completed_resume(
     # (quarantine is sparse — only buckets with diverted rows — so it is
     # asserted by content below instead)
     for stage in (
-        "spans", "docs_translated", "fingerprints", "signatures", "curation"
+        "spans", "docs_translated", "fingerprints", "signatures",
+        "curation", "conv_curation",
     ):
         t = spark.read.parquet(os.path.join(out, stage))
         got = {
@@ -667,6 +668,15 @@ def test_all_stages_backfill_on_half_completed_resume(
     assert spark.read.parquet(
         os.path.join(out, "quarantine")
     ).count() == n_blanks
+    ccur = spark.read.parquet(os.path.join(out, "conv_curation"))
+    assert ccur.count() == n_convs
+    assert ccur.where(
+        (F.col("repeat_ratio") < 0) | (F.col("repeat_ratio") >= 1)
+    ).count() == 0
+    # a dropped conversation always carries its reason, a kept one never
+    assert ccur.where(
+        F.col("keep") != F.col("drop_reason").isNull()
+    ).count() == 0
     # the global reductions exist and are consistent with their inputs
     assert os.path.exists(os.path.join(out, "dup_clusters"))
     assert os.path.exists(os.path.join(out, "near_dup_clusters"))
