@@ -264,3 +264,38 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str = "conv_id",
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Hash-bucketed managed-table write (``bucketBy`` + optional
+    ``sortBy``) — the co-located-join layout.
+
+    Why this matters at 100 TB: two fact tables bucketed on the same
+    key with the same bucket count join WITHOUT a shuffle — Catalyst
+    recognizes the bucketing as a pre-existing hash partitioning, so
+    the join (and any groupBy on the key) skips its Exchange entirely.
+    On a recurring pipeline that joins the same corpus tables every run
+    (turns ⋈ curation, corpus ⋈ signatures), paying one bucketed write
+    amortizes the per-run shuffle of BOTH sides to zero.  The
+    shuffle-free plan is asserted in tests/test_layout.py.
+
+    Bucketing requires a metastore table (saveAsTable) — plain
+    ``.parquet(path)`` writes don't record bucket metadata.  The
+    bucket-pruning twin for plain paths is write_clustered/zordered.
+    """
+    w = df.write.mode(mode).format("parquet")
+    if path is not None:  # external table — data at an explicit location
+        w = w.option("path", path)
+    if sort_col is not None:
+        w = w.bucketBy(n_buckets, bucket_col).sortBy(sort_col)
+    else:
+        w = w.bucketBy(n_buckets, bucket_col)
+    w.saveAsTable(table_name)

@@ -140,3 +140,49 @@ def test_write_zordered_prunes_both_dimensions(spark):
         assert tuple(a) == tuple(b)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_bucketed_join_and_agg_are_shuffle_free(spark, tmp_path):
+    """write_bucketed's contract: two tables bucketed on the same key
+    with the same bucket count join with NO shuffle on either side —
+    Catalyst treats the bucketing as a pre-existing hash partitioning —
+    and a groupBy on the bucket key also plans without an exchange."""
+    e = (
+        spark.read.parquet(SF_DIR + "/events.parquet")
+        .select("event_id", "user_id", "value")
+    )
+    spark.sql("DROP TABLE IF EXISTS bkt_a")
+    spark.sql("DROP TABLE IF EXISTS bkt_b")
+    pipeline.write_bucketed(
+        e, "bkt_a", "user_id", 8, sort_col="user_id",
+        path=str(tmp_path / "a"),
+    )
+    pipeline.write_bucketed(
+        e, "bkt_b", "user_id", 8, sort_col="user_id",
+        path=str(tmp_path / "b"),
+    )
+    ta, tb = spark.table("bkt_a"), spark.table("bkt_b")
+
+    j = ta.hint("merge").join(tb.withColumnRenamed("value", "v2"),
+                              "user_id")
+    jplan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in jplan, jplan
+    assert "Exchange hashpartitioning" not in jplan, jplan
+    assert "BroadcastExchange" not in jplan, jplan
+    assert j.count() > 0
+
+    g = ta.groupBy("user_id").agg(F.sum("value").alias("s"))
+    gplan = g._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in gplan, gplan
+    assert g.count() > 0
+
+    # contrast: the same join over plain (non-bucketed) parquet reads
+    # must shuffle both sides
+    p = ta.hint("merge").join(
+        e.withColumnRenamed("value", "v2"), "user_id"
+    )
+    pplan = p._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" in pplan, pplan
+
+    spark.sql("DROP TABLE IF EXISTS bkt_a")
+    spark.sql("DROP TABLE IF EXISTS bkt_b")
