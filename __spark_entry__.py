@@ -3820,6 +3820,35 @@ GROUP BY tool ORDER BY tool
 """
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate statistics (text.bpe_merge_stats): top-20
+    adjacent pre-token pairs with a fully deterministic order.  The
+    DuckDB twin re-derives pairs via a lead() window over token
+    ordinals — an independent pairing algorithm."""
+    d = _t(spark, sf_dir, "documents")
+    return etext.bpe_merge_stats(d, k=20)
+
+
+SQL_BPE_MERGES = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text,
+           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]')) AS tok,
+         generate_subscripts(regexp_extract_all(text,
+           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]'), 1) AS pos
+  FROM documents
+), pairs AS (
+  SELECT doc_id, tok AS left_tok,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS right_tok
+  FROM toks
+)
+SELECT left_tok, right_tok, count(*) AS cnt
+FROM pairs WHERE right_tok IS NOT NULL
+GROUP BY left_tok, right_tok
+ORDER BY cnt DESC, left_tok ASC, right_tok ASC LIMIT 20
+"""
+
+
 def q_transcript_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite transcript-corpus curation
     (conversation.transcript_curation): run-collapse repeat ratio +
@@ -3987,6 +4016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "ann_recall": q_ann_recall,
         "transcript_curation": q_transcript_curation,
+        "bpe_merges": q_bpe_merges,
         "stream_sft_examples": q_stream_sft_examples,
         "conv_stats": q_conv_stats,
         "role_violations": q_role_violations,
@@ -4103,6 +4133,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage": SQL_VOCAB_COVERAGE,
         "ann_recall": SQL_ANN_RECALL,
         "transcript_curation": SQL_TRANSCRIPT_CURATION,
+        "bpe_merges": SQL_BPE_MERGES,
         "stream_sft_examples": SQL_STREAM_SFT_EXAMPLES,
         "conv_stats": SQL_CONV_STATS,
         "role_violations": SQL_ROLE_VIOLATIONS,

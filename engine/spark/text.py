@@ -674,3 +674,43 @@ def vocab_coverage(
             ),
         )
     )
+
+
+def bpe_merge_stats(
+    docs: DataFrame, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Adjacent-pair frequency table over the BPE pre-tokenization —
+    the candidate statistic of one BPE-training merge iteration (the
+    full training loop is a driver-coordinated iteration of exactly
+    this job over a shrinking pair table).
+
+    Returns the top-``k`` (left_tok, right_tok, cnt) pairs with a fully
+    deterministic order (cnt DESC, left ASC, right ASC).
+
+    Scale shape: tokenize + pair-zip are zero-shuffle codegen (slice +
+    arrays_zip + posexplode-free explode); the only corpus-wide
+    exchange is the partial-aggregating pair count, and the top-k plans
+    as TakeOrderedAndProject — never a global sort.
+    """
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), 0)
+    n = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = docs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, n).alias("l"),
+                F.slice(toks, 2, n).alias("r"),
+            )
+        ).alias("p")
+    ).select(
+        F.col("p.l").alias("left_tok"), F.col("p.r").alias("right_tok")
+    )
+    return (
+        pairs.groupBy("left_tok", "right_tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(
+            F.col("cnt").desc(),
+            F.col("left_tok").asc(),
+            F.col("right_tok").asc(),
+        )
+        .limit(k)
+    )

@@ -690,3 +690,19 @@ def test_ann_recall_hand_case(spark):
         2, 2, 1.0)
     assert (out[2]["n_true"], out[2]["n_hit"], out[2]["recall"]) == (
         2, 1, 0.5)
+
+
+# --------------------------------------------------- bpe_merge_stats
+
+
+def test_bpe_merge_stats_hand_case(spark):
+    from engine.spark import text as etext
+
+    d = spark.createDataFrame(
+        [(1, "ab ab ab cd"), (2, "ab cd!"), (3, "")],
+        "doc_id: long, text: string",
+    )
+    out = [(r["left_tok"], r["right_tok"], r["cnt"]) for r in
+           etext.bpe_merge_stats(d, k=10).collect()]
+    # pairs doc1: (ab,ab)x2 (ab,cd); doc2: (ab,cd) (cd,!); doc3: none
+    assert out == [("ab", "ab", 2), ("ab", "cd", 2), ("cd", "!", 1)]

@@ -638,3 +638,16 @@ def test_transcript_curation_single_conv_exchange(spark, transcripts_path):
     assert "hashpartitioning(conv_id" in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_bpe_merge_stats_topk_shape(spark):
+    """BPE pair stats: zero-shuffle tokenize/zip, ONE partial-agg pair
+    exchange, top-k as TakeOrderedAndProject — never a global sort."""
+    from engine.spark import text as etext
+
+    d = spark.read.parquet(SF_DIR + "/documents.parquet")
+    plan = _plan(etext.bpe_merge_stats(d, k=20))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "partial_count" in plan, plan
