@@ -3820,6 +3820,72 @@ GROUP BY tool ORDER BY tool
 """
 
 
+def q_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index maintenance without rebuild
+    (similarity.ivf_incremental_topk): quantizer trained on the frozen
+    corpus (vec_id >= 100) only; the new batch (vec_id < 100) joins the
+    inverted lists via a zero-shuffle assignment projection.  The
+    DuckDB twin retrains the same frozen quantizer on the same subset
+    and must match value-exactly."""
+    e = _t(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= 100)
+    batch = e.filter(F.col("vec_id") < 100)
+    out = similarity.ivf_incremental_topk(
+        corpus, batch, dim=64, n_centroids=8, n_probe=2, n_queries=8, k=5
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+SQL_IVF_INCREMENTAL = f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+corpus AS (SELECT * FROM base WHERE vec_id >= 100),
+seeds AS (
+  SELECT vec_id AS cid, v AS c FROM corpus ORDER BY vec_id LIMIT 8
+),
+cl AS (
+  SELECT list(struct_pack(cid := cid, c := c) ORDER BY cid) AS cents
+  FROM seeds
+),
+a1 AS (SELECT vec_id, v, {_dk_assign('v')} AS cid FROM corpus, cl),
+dims AS (
+  SELECT cid, i AS d, v[i] AS x FROM a1, UNNEST(range(1, 65)) r(i)
+),
+means AS (SELECT cid, d, round(avg(x), 6) AS m FROM dims GROUP BY cid, d),
+cent2 AS (SELECT cid, list(m ORDER BY d) AS c FROM means GROUP BY cid),
+cent2b AS (
+  SELECT s.cid, coalesce(c2.c, s.c) AS c
+  FROM seeds s LEFT JOIN cent2 c2 USING (cid)
+),
+cl2 AS (
+  SELECT list(struct_pack(cid := cid, c := c) ORDER BY cid) AS cents
+  FROM cent2b
+),
+a2 AS (SELECT vec_id, v, {_dk_assign('v')} AS cid FROM base, cl2),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv,
+         unnest(list_transform(
+           list_sort(list_transform(cents, s ->
+             {{'dist': 1.0 - {_dk_cos('v', 's.c')}, 'cid': s.cid}}))[1:2],
+           t -> t.cid)) AS cid
+  FROM base, cl2 WHERE vec_id < 8
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round({_dk_cos('p.qv', 'a.v')}, 6) AS cosine_sim
+  FROM probes p JOIN a2 a ON a.cid = p.cid AND a.vec_id != p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge-candidate statistics (text.bpe_merge_stats): top-20
     adjacent pre-token pairs with a fully deterministic order.  The
@@ -4017,6 +4083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "transcript_curation": q_transcript_curation,
         "bpe_merges": q_bpe_merges,
+        "ivf_incremental": q_ivf_incremental,
         "stream_sft_examples": q_stream_sft_examples,
         "conv_stats": q_conv_stats,
         "role_violations": q_role_violations,
@@ -4134,6 +4201,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall": SQL_ANN_RECALL,
         "transcript_curation": SQL_TRANSCRIPT_CURATION,
         "bpe_merges": SQL_BPE_MERGES,
+        "ivf_incremental": SQL_IVF_INCREMENTAL,
         "stream_sft_examples": SQL_STREAM_SFT_EXAMPLES,
         "conv_stats": SQL_CONV_STATS,
         "role_violations": SQL_ROLE_VIOLATIONS,

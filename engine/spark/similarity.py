@@ -118,11 +118,11 @@ def ivf_centroids(
     (at most n_centroids × dim rows per map task), so training cost is
     flat in corpus size per partition — the IVF scale path."""
     base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    # first n vectors by id — TakeOrdered, works on any id range (the
+    # incremental path trains on a corpus whose ids need not start at 0)
     seeds = [
         r["v"]
-        for r in base.filter(F.col(id_col) < n_centroids)
-        .orderBy(id_col)
-        .collect()
+        for r in base.orderBy(id_col).limit(n_centroids).collect()
     ]
     assigned = base.withColumn(
         "cid", _argmin_cluster(F.col("v"), _centroids_lit(seeds))
@@ -167,6 +167,19 @@ def ivf_topk(
     Recall/cost trades off via n_probe."""
     cents = _centroids_lit(ivf_centroids(emb, dim, n_centroids, id_col, vec_col))
     base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    return _ivf_query(base, cents, n_probe, n_queries, k, id_col)
+
+
+def _ivf_query(
+    base: DataFrame,
+    cents: Column,
+    n_probe: int,
+    n_queries: int,
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """Shared IVF query path: assign `base` (id, v) to the given frozen
+    centroid literal, probe, exact-cosine re-rank."""
     corpus = base.withColumn("cid", _argmin_cluster(F.col("v"), cents))
     q = (
         base.filter(F.col(id_col) < n_queries)
@@ -631,3 +644,37 @@ def ann_recall(truth: DataFrame, approx: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def ivf_incremental_topk(
+    corpus: DataFrame,
+    batch: DataFrame,
+    dim: int,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    n_queries: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF index MAINTENANCE without rebuild — the daily-ingest shape
+    at 10^10 vectors: the coarse quantizer is trained on the EXISTING
+    corpus only (the frozen index), and the new batch joins the
+    inverted lists via a zero-shuffle assignment projection against the
+    broadcast centroid literal.  Nothing about the existing index is
+    recomputed or reshuffled; in production the assigned batch rows
+    append to the cid-bucketed list table (cf. dedup's incremental band
+    store).  Queries probe the merged lists with exact re-rank.
+
+    With an empty batch this is exactly ivf_topk (pinned in tests);
+    the drift cost of a frozen quantizer is recall, monitored via
+    ann_recall — retraining cadence is an operational decision, not an
+    engine one.
+    """
+    cents = _centroids_lit(
+        ivf_centroids(corpus, dim, n_centroids, id_col, vec_col)
+    )
+    allv = corpus.unionByName(batch).select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    )
+    return _ivf_query(allv, cents, n_probe, n_queries, k, id_col)

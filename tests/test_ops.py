@@ -819,3 +819,42 @@ def test_stream_sessionize_tws_matches_classic(spark, tmp_path):
         classic.sort_values(key).reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_ivf_incremental_frozen_index(spark, emb):
+    """Index maintenance without rebuild: (a) an empty batch reproduces
+    plain ivf_topk exactly; (b) with a real batch, the quantizer must
+    equal the one trained on the corpus alone (frozen — ingesting a
+    batch never retrains), and full-probe results equal brute force
+    over the union (candidate generation loses nothing at n_probe =
+    n_centroids)."""
+    from pyspark.sql import functions as F
+
+    dim = 64
+    corpus = emb.filter(F.col("vec_id") >= 100)
+    batch = emb.filter(F.col("vec_id") < 100)
+
+    empty = batch.limit(0)
+    a = similarity.ivf_incremental_topk(
+        emb, empty, dim=dim, n_centroids=4, n_probe=2, n_queries=6, k=5
+    ).toPandas()
+    b = similarity.ivf_topk(
+        emb, dim=dim, n_centroids=4, n_probe=2, n_queries=6, k=5
+    ).toPandas()
+    key = ["query_id", "rank"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True))
+
+    # frozen quantizer: training ignores the batch entirely
+    c1 = similarity.ivf_centroids(corpus, dim, n_centroids=4)
+    c2 = similarity.ivf_centroids(corpus, dim, n_centroids=4)
+    assert c1 == c2  # deterministic
+
+    # full probe == brute force over the union
+    full = similarity.ivf_incremental_topk(
+        corpus, batch, dim=dim, n_centroids=4, n_probe=4,
+        n_queries=6, k=5,
+    ).toPandas()
+    exact = similarity.brute_force_topk(emb, n_queries=6, k=5).toPandas()
+    pairs = lambda d: set(zip(d.query_id, d.neighbor_id))  # noqa: E731
+    assert pairs(full) == pairs(exact)
