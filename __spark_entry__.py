@@ -3820,6 +3820,65 @@ GROUP BY tool ORDER BY tool
 """
 
 
+def q_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown-table → relational-cell extraction (text.table_cells)
+    over a deterministically constructed table-bearing markdown column
+    (both engines build the identical input, then extract with
+    independent split/filter pipelines)."""
+    d = _t(spark, sf_dir, "documents")
+    nl = F.lit("\n")
+    md = F.concat(
+        F.lit("# T"), F.col("doc_id").cast("string"), nl,
+        F.lit("| name | value |"), nl,
+        F.lit("| --- | --- |"), nl,
+        F.lit("| "), F.substring("text", 1, 8), F.lit(" | "),
+        (F.col("doc_id") % 100).cast("string"), F.lit(" |"), nl,
+        F.lit("| "), F.substring("text", 9, 8), F.lit(" | "),
+        ((F.col("doc_id") * 7) % 100).cast("string"), F.lit(" |"), nl,
+        F.lit("tail prose"),
+    )
+    turns = d.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias(
+            "conv_id"
+        ),
+        F.lit(0).alias("turn_idx"),
+        md.alias("markdown"),
+    )
+    return etext.table_cells(turns).orderBy("conv_id", "line_no", "col_idx")
+
+
+SQL_TABLE_CELLS = """
+WITH md AS (
+  SELECT 'doc-' || doc_id AS conv_id, 0 AS turn_idx,
+         '# T' || doc_id || chr(10) ||
+         '| name | value |' || chr(10) ||
+         '| --- | --- |' || chr(10) ||
+         '| ' || substr(text, 1, 8) || ' | ' || (doc_id % 100) || ' |'
+           || chr(10) ||
+         '| ' || substr(text, 9, 8) || ' | ' || ((doc_id * 7) % 100)
+           || ' |' || chr(10) ||
+         'tail prose' AS markdown
+  FROM documents
+), lines AS (
+  SELECT conv_id, turn_idx,
+         unnest(str_split(markdown, chr(10))) AS line,
+         generate_subscripts(str_split(markdown, chr(10)), 1) AS line_no
+  FROM md
+), t AS (
+  SELECT * FROM lines
+  WHERE regexp_matches(line, '^\\|.*\\|$')
+    AND NOT regexp_matches(line, '^\\|[-| ]+\\|$')
+), cells AS (
+  SELECT conv_id, turn_idx, line_no,
+         unnest(str_split(line, '|')[2:-2]) AS c,
+         generate_subscripts(str_split(line, '|')[2:-2], 1) AS col_idx
+  FROM t
+)
+SELECT conv_id, turn_idx, line_no, col_idx, trim(c) AS cell
+FROM cells ORDER BY conv_id, line_no, col_idx
+"""
+
+
 def q_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index maintenance without rebuild
     (similarity.ivf_incremental_topk): quantizer trained on the frozen
@@ -4083,6 +4142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "transcript_curation": q_transcript_curation,
         "bpe_merges": q_bpe_merges,
+        "table_cells": q_table_cells,
         "ivf_incremental": q_ivf_incremental,
         "stream_sft_examples": q_stream_sft_examples,
         "conv_stats": q_conv_stats,
@@ -4201,6 +4261,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall": SQL_ANN_RECALL,
         "transcript_curation": SQL_TRANSCRIPT_CURATION,
         "bpe_merges": SQL_BPE_MERGES,
+        "table_cells": SQL_TABLE_CELLS,
         "ivf_incremental": SQL_IVF_INCREMENTAL,
         "stream_sft_examples": SQL_STREAM_SFT_EXAMPLES,
         "conv_stats": SQL_CONV_STATS,

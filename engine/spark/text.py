@@ -714,3 +714,40 @@ def bpe_merge_stats(
         )
         .limit(k)
     )
+
+
+def table_cells(
+    docs: DataFrame,
+    md_col: str = "markdown",
+    id_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """Markdown-table extraction into relational rows: one output row
+    per table cell, keyed by (ids…, line_no, col_idx), 1-based.
+
+    A table line is ``|``-delimited with leading and trailing pipes;
+    separator rows (``| --- | --- |``) are dropped.  Cells are the
+    inner splits, space-trimmed.  All codegen (split + posexplode +
+    rlike), zero shuffle — the relational bridge from extracted
+    markdown to SQL-queryable table data.
+    """
+    ids = [F.col(c) for c in id_cols]
+    lines = docs.select(
+        *ids,
+        F.posexplode(F.split(F.col(md_col), "\n")).alias("ln0", "line"),
+    )
+    is_table = F.col("line").rlike(r"^\|.*\|$") & ~F.col("line").rlike(
+        r"^\|[-| ]+\|$"
+    )
+    t = lines.where(is_table)
+    parts = F.split(F.col("line"), r"\|")
+    inner = F.slice(parts, 2, F.greatest(F.size(parts) - 2, F.lit(0)))
+    return t.select(
+        *ids,
+        (F.col("ln0") + 1).alias("line_no"),
+        F.posexplode(inner).alias("ci0", "c"),
+    ).select(
+        *ids,
+        "line_no",
+        (F.col("ci0") + 1).alias("col_idx"),
+        F.trim("c").alias("cell"),
+    )

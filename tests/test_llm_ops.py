@@ -706,3 +706,30 @@ def test_bpe_merge_stats_hand_case(spark):
            etext.bpe_merge_stats(d, k=10).collect()]
     # pairs doc1: (ab,ab)x2 (ab,cd); doc2: (ab,cd) (cd,!); doc3: none
     assert out == [("ab", "ab", 2), ("ab", "cd", 2), ("cd", "!", 1)]
+
+
+# ----------------------------------------------------- table_cells
+
+
+def test_table_cells_hand_case(spark):
+    from engine.spark import text as etext
+
+    md = (
+        "# Title\n"
+        "| a | b |\n"
+        "| --- | --- |\n"
+        "| x  | 1 |\n"
+        "prose | not a table\n"
+        "| y | 2 |\n"
+    )
+    d = spark.createDataFrame(
+        [("c1", 0, md)], "conv_id: string, turn_idx: int, markdown: string")
+    out = [(r["line_no"], r["col_idx"], r["cell"]) for r in
+           etext.table_cells(d).orderBy("line_no", "col_idx").collect()]
+    # header (line 2), data rows (lines 4 and 6); separator line 3 and
+    # the mid-line pipe without leading/trailing pipes are excluded
+    assert out == [
+        (2, 1, "a"), (2, 2, "b"),
+        (4, 1, "x"), (4, 2, "1"),
+        (6, 1, "y"), (6, 2, "2"),
+    ]
