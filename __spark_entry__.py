@@ -4132,10 +4132,10 @@ GROUP BY t2.lang ORDER BY t2.lang
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples the
     # first 50 keys, so entries are sorted by driver-coverage recency —
-    # round-5 additions first (never checked), then the 37 whose last
-    # green row is CORRECTNESS_r03, then the 50 re-verified in r04.
-    # Rotate stale entries forward each round so every query keeps a
-    # recent CORRECTNESS row.
+    # the 20 never-checked round-5 additions first, then the 37 whose
+    # last green row is CORRECTNESS_r03 (20 + 37 = 57 > 50, so the last
+    # 7 stale keys wait for the r6 sample — rotate them to the head
+    # next round), then the 50 re-verified in r04.
     return {
         # -- round-5 additions (never driver-checked)
         "vocab_coverage": q_vocab_coverage,
