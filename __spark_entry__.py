@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from engine.core import spec
 from engine.spark import (
+    analytics,
     assemble,
     conversation,
     dedup,
@@ -4129,15 +4130,191 @@ GROUP BY t2.lang ORDER BY t2.lang
 """
 
 
+# ------------------------------------------- behavioral / graph analytics
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase over the event log
+    (analytics.event_funnel): stage i requires an event strictly after
+    the user's earliest stage-(i-1) event — first-touch anchoring.
+    Every shuffle hashes on user_id and per-stage state is one row per
+    user; the DuckDB twin re-derives each stage as a min-ts join CTE."""
+    return analytics.event_funnel(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+SQL_EVENT_FUNNEL = r"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT 1::INT AS stage, 'view' AS event_type,
+       (SELECT count(*) FROM s1) AS users
+UNION ALL
+SELECT 2::INT, 'click', (SELECT count(*) FROM s2)
+UNION ALL
+SELECT 3::INT, 'purchase', (SELECT count(*) FROM s3)
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix (analytics.cohort_retention):
+    cohort = Monday-start week of first event; counts of cohort users
+    active per week offset.  Pure integer counts on aligned week
+    boundaries, so the twin cannot drift on date arithmetic."""
+    return analytics.cohort_retention(_t(spark, sf_dir, "events"))
+
+
+SQL_COHORT_RETENTION = r"""
+WITH first AS (
+  SELECT user_id, date_trunc('week', min(ts))::DATE AS cohort_week
+  FROM events GROUP BY user_id
+), act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS week
+  FROM events
+)
+SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+       (date_diff('day', f.cohort_week, a.week) / 7)::INT AS week_offset,
+       count(*) AS users
+FROM act a JOIN first f ON a.user_id = f.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration fixed-point PageRank (analytics.pagerank_fixedpoint)
+    over the supplier↔customer trade graph (lineitem ⋈ orders, both
+    directions so the graph has cycles; customer ids offset by 100000
+    into the shared node namespace).  All arithmetic is 64-bit integer
+    (scale 10^6, floor division), so ranks are BIT-IDENTICAL across
+    engines — no float-sum aggregation-order hazard — and the DuckDB
+    twin unrolls the three iterations as CTEs."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_suppkey").cast("long").alias("s"),
+        (F.col("o_custkey") + 100000).cast("long").alias("c"),
+    )
+    edges = j.select(F.col("s").alias("src"), F.col("c").alias("dst")).union(
+        j.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+    return analytics.pagerank_fixedpoint(edges, iters=3).orderBy("node")
+
+
+SQL_PAGERANK = r"""
+WITH j AS (
+  SELECT DISTINCT l_suppkey::BIGINT AS s, (o_custkey + 100000)::BIGINT AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), e AS (
+  SELECT s AS src, c AS dst FROM j
+  UNION
+  SELECT c AS src, s AS dst FROM j
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), outdeg AS (
+  SELECT src, count(*) AS outdeg FROM e GROUP BY src
+), r0 AS (
+  SELECT node, 1000000::BIGINT AS rank_fp FROM nodes
+), i1 AS (
+  SELECT e.dst AS node, sum(r0.rank_fp // o.outdeg)::BIGINT AS inflow
+  FROM e JOIN r0 ON e.src = r0.node JOIN outdeg o ON e.src = o.src
+  GROUP BY e.dst
+), r1 AS (
+  SELECT n.node,
+         (150000 + (85 * coalesce(i.inflow, 0)) // 100)::BIGINT AS rank_fp
+  FROM nodes n LEFT JOIN i1 i ON n.node = i.node
+), i2 AS (
+  SELECT e.dst AS node, sum(r1.rank_fp // o.outdeg)::BIGINT AS inflow
+  FROM e JOIN r1 ON e.src = r1.node JOIN outdeg o ON e.src = o.src
+  GROUP BY e.dst
+), r2 AS (
+  SELECT n.node,
+         (150000 + (85 * coalesce(i.inflow, 0)) // 100)::BIGINT AS rank_fp
+  FROM nodes n LEFT JOIN i2 i ON n.node = i.node
+), i3 AS (
+  SELECT e.dst AS node, sum(r2.rank_fp // o.outdeg)::BIGINT AS inflow
+  FROM e JOIN r2 ON e.src = r2.node JOIN outdeg o ON e.src = o.src
+  GROUP BY e.dst
+), r3 AS (
+  SELECT n.node,
+         (150000 + (85 * coalesce(i.inflow, 0)) // 100)::BIGINT AS rank_fp
+  FROM nodes n LEFT JOIN i3 i ON n.node = i.node
+)
+SELECT node, rank_fp FROM r3 ORDER BY node
+"""
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 retrieval for the query {join, vector, window}
+    over documents (text.bm25_topk) — the inverted-index scoring shape
+    with the exploded token stream filtered to query terms BEFORE any
+    shuffle.  Per-term scores round to 6 dp then accumulate as
+    DECIMAL(20,6) so the per-doc sum is aggregation-order-proof."""
+    return etext.bm25_topk(
+        _t(spark, sf_dir, "documents"), ["join", "vector", "window"], k=10
+    )
+
+
+SQL_BM25 = r"""
+WITH stats AS (
+  SELECT count(*) AS n_docs,
+         avg(CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(text),
+                                            '[ \t\n\x0b\f\r]+')) END)
+           AS avgdl
+  FROM documents
+), toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+           ELSE len(regexp_split_to_array(trim(text),
+                                          '[ \t\n\x0b\f\r]+')) END AS dl,
+         unnest(regexp_split_to_array(trim(lower(text)),
+                                      '[ \t\n\x0b\f\r]+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+  FROM toks WHERE term IN ('join', 'vector', 'window')
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         round(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)),
+               6)::DECIMAL(20,6) AS s_
+  FROM tf JOIN df USING (term) CROSS JOIN stats s
+), agg AS (
+  SELECT doc_id, sum(s_)::DECIMAL(20,6) AS score
+  FROM scored GROUP BY doc_id
+  ORDER BY score DESC, doc_id LIMIT 10
+)
+SELECT doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank
+FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples the
     # first 50 keys, so entries are sorted by driver-coverage recency —
-    # the 20 never-checked round-5 additions first, then the 37 whose
-    # last green row is CORRECTNESS_r03 (20 + 37 = 57 > 50, so the last
-    # 7 stale keys wait for the r6 sample — rotate them to the head
+    # the 24 never-checked round-5 additions first, then the 37 whose
+    # last green row is CORRECTNESS_r03 (24 + 37 = 61 > 50, so the last
+    # 11 stale keys wait for the r6 sample — rotate them to the head
     # next round), then the 50 re-verified in r04.
     return {
         # -- round-5 additions (never driver-checked)
+        "event_funnel": q_event_funnel,
+        "cohort_retention": q_cohort_retention,
+        "pagerank": q_pagerank,
+        "bm25_topk": q_bm25,
         "vocab_coverage": q_vocab_coverage,
         "ann_recall": q_ann_recall,
         "transcript_curation": q_transcript_curation,
@@ -4257,6 +4434,10 @@ def oracle_sql() -> dict[str, str]:
     # twin is pinned by tests/test_sampling.py error bounds instead.)
     return {
         # -- round-5 additions (never driver-checked)
+        "event_funnel": SQL_EVENT_FUNNEL,
+        "cohort_retention": SQL_COHORT_RETENTION,
+        "pagerank": SQL_PAGERANK,
+        "bm25_topk": SQL_BM25,
         "vocab_coverage": SQL_VOCAB_COVERAGE,
         "ann_recall": SQL_ANN_RECALL,
         "transcript_curation": SQL_TRANSCRIPT_CURATION,

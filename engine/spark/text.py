@@ -751,3 +751,96 @@ def table_cells(
         (F.col("ci0") + 1).alias("col_idx"),
         F.trim("c").alias("cell"),
     )
+
+
+# ------------------------------------------------------------- BM25
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: "Sequence[str]",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval over the corpus for ONE query (a
+    literal bag of terms): the inverted-index scoring shape —
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf(t) = ln(1 + (N−df+0.5)/(df+0.5)).
+
+    Returns (doc_id, score, rank) for the k best documents, ties broken
+    by doc_id so ranking is deterministic across engines.
+
+    Cross-engine exactness: per-term scores are rounded to 6 dp and
+    accumulated as DECIMAL(20,6), so the per-doc sum is associative and
+    the DuckDB twin cannot drift on float-sum order (the same device as
+    ``ngram_lm_scores``).
+
+    Scale notes: the exploded token stream is filtered to the query's
+    terms BEFORE any shuffle (an `isin` literal filter riding the scan
+    projection — at 10^12 turns this is the difference between
+    shuffling every token and shuffling only matching postings); tf is
+    one partial-agg groupBy on (doc, term); df reduces that tiny table
+    again; corpus size and avgdl ride as ONE broadcast single-row
+    aggregate, never a driver collect; the df table (≤ |query| rows)
+    broadcasts into the scoring join; final top-k is TakeOrdered —
+    never a global sort.  For a query WORKLOAD (many queries), the same
+    plan applies with a broadcast (query_id, term) table and the
+    groupBys keyed by (query_id, doc) — shape unchanged.
+    """
+    terms = sorted(set(query_terms))
+    stats = docs.agg(
+        F.count("*").alias("_n_docs"),
+        F.avg(ws_token_count(F.col(text_col))).alias("_avgdl"),
+    )
+    toks = docs.select(
+        "doc_id",
+        ws_token_count(F.col(text_col)).alias("dl"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), WS)).alias(
+            "term"
+        ),
+    ).where(F.col("term").isin(terms))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("_n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.col("_avgdl")
+                    )
+                ),
+                6,
+            )
+            .cast("decimal(20,6)")
+            .alias("_s"),
+        )
+    )
+    from pyspark.sql import Window
+
+    # the window runs over the k already-selected rows, not the corpus
+    rank_w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("_s").cast("decimal(20,6)").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select(
+            "doc_id",
+            "score",
+            F.row_number().over(rank_w).cast("long").alias("rank"),
+        )
+    )

@@ -1,0 +1,237 @@
+"""Behavioral/graph analytics — value tests against independent
+pure-Python brute-force implementations, plus the scale-shape plan
+assertions (no cartesian, key-local shuffles, bounded top-k)."""
+
+import math
+from datetime import datetime, timedelta
+
+import pytest
+
+from engine.spark import analytics
+from engine.spark import text as etext
+from engine.spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(cores=4, shuffle_partitions=8, app="engine-tests")
+    yield s
+    s.stop()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ------------------------------------------------------------- funnel
+T0 = datetime(2024, 3, 1, 12, 0, 0)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, T0 + timedelta(seconds=s), t) for u, s, t in rows],
+        "user_id: long, ts: timestamp, event_type: string",
+    )
+
+
+def test_funnel_ordering_and_strictness(spark):
+    rows = [
+        (1, 0, "view"), (1, 10, "click"), (1, 20, "purchase"),  # full
+        (2, 0, "view"), (2, 10, "click"),                       # stage 2
+        (3, 10, "click"), (3, 20, "view"),   # click BEFORE view: stage 1
+        (4, 0, "click"), (4, 1, "purchase"),  # never viewed: no stage
+        (5, 0, "view"), (5, 0, "click"),      # tie: strict > excludes
+        (6, 5, "view"), (6, 4, "purchase"), (6, 9, "click"),
+        (6, 11, "purchase"),                  # out-of-order but valid
+    ]
+    got = {
+        r["event_type"]: r["users"]
+        for r in analytics.event_funnel(
+            _ev(spark, rows), ["view", "click", "purchase"]
+        ).collect()
+    }
+    # brute force: users 1,2,3,5,6 viewed; clicks after first view:
+    # 1,2,6 (3 clicked before viewing, 5 tied); purchases after that
+    # click: 1,6
+    assert got == {"view": 5, "click": 3, "purchase": 2}
+
+
+def test_funnel_requires_two_stages(spark):
+    with pytest.raises(ValueError):
+        analytics.event_funnel(_ev(spark, []), ["view"])
+
+
+def test_funnel_user_keyed_exchanges_only(spark):
+    """Every hash exchange in the funnel must key on user_id — the
+    fixed-depth agg/join chain never shuffles on anything else, and the
+    only single-partition stages are the three one-row counts."""
+    ev = spark.read.parquet(SF_DIR + "/events.parquet")
+    plan = _plan(analytics.event_funnel(ev, ["view", "click", "purchase"]))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert n_hash == plan.count("hashpartitioning(user_id"), plan
+    assert plan.count("Exchange SinglePartition") == 3, plan
+
+
+# ------------------------------------------------------------- cohort
+def test_cohort_retention_bruteforce(spark):
+    # weeks: 2024-03-01 is a Friday; Monday of that week is 2024-02-26
+    rows = [
+        (1, 0, "view"),                  # Fri 03-01 → cohort Mon 02-26
+        (1, 7 * 86400, "view"),          # Fri 03-08 → week 03-04: off 1
+        (2, 3 * 86400, "view"),          # Mon 03-04 → cohort 03-04
+        (2, 14 * 86400 + 3600, "click"),  # Fri 03-15 → week 03-11: off 1
+        (3, 10 * 86400, "view"),         # Mon 03-11 → cohort 03-11
+        (3, 10 * 86400 + 60, "view"),    # same week, dedup
+    ]
+    got = sorted(
+        tuple(r) for r in analytics.cohort_retention(_ev(spark, rows)).collect()
+    )
+    assert got == [
+        ("2024-02-26", 0, 1),
+        ("2024-02-26", 1, 1),
+        ("2024-03-04", 0, 1),
+        ("2024-03-04", 1, 1),
+        ("2024-03-11", 0, 1),
+    ]
+
+
+def test_cohort_no_self_join_of_raw_log(spark):
+    """Shape: two user-keyed partial aggs + one join of AGGREGATED
+    sides — the raw event log is scanned, never fact×fact joined."""
+    ev = spark.read.parquet(SF_DIR + "/events.parquet")
+    plan = _plan(analytics.cohort_retention(ev))
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_min" in plan or "partial_count" in plan, plan
+    # the only range exchange is the tiny final presentation sort
+    assert plan.count("Exchange rangepartitioning") <= 1, plan
+
+
+# ----------------------------------------------------------- pagerank
+def _pr_bruteforce(edges, iters=3, scale=10**6, d=85):
+    edges = sorted(set(edges))
+    nodes = sorted({u for e in edges for u in e})
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    rank = {n: scale for n in nodes}
+    base = (100 - d) * scale // 100
+    for _ in range(iters):
+        inflow = {n: 0 for n in nodes}
+        for s, t in edges:
+            inflow[t] += rank[s] // out[s]
+        rank = {n: base + d * inflow[n] // 100 for n in nodes}
+    return rank
+
+
+def test_pagerank_matches_integer_bruteforce(spark):
+    edges = [
+        (1, 2), (2, 3), (3, 1),        # cycle
+        (1, 3), (4, 1),                # extra edge + feeder
+        (3, 5),                        # 5 is dangling (mass leaks)
+    ]
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in analytics.pagerank_fixedpoint(df, iters=3).collect()
+    }
+    assert got == _pr_bruteforce(edges, iters=3)
+
+
+def test_pagerank_duplicate_edges_collapse(spark):
+    df = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 1)], "src: long, dst: long"
+    )
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in analytics.pagerank_fixedpoint(df, iters=2).collect()
+    }
+    assert got == _pr_bruteforce([(1, 2), (2, 1)], iters=2)
+
+
+def test_pagerank_plan_no_cartesian(spark):
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.q_pagerank(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+# --------------------------------------------------------------- BM25
+def _bm25_bruteforce(texts, terms, k1=1.2, b=0.75):
+    toks = {i: t.lower().split() for i, t in texts.items()}
+    n = len(texts)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {
+        t: sum(1 for v in toks.values() if t in v)
+        for t in terms
+    }
+    out = {}
+    for i, v in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = v.count(t)
+            if tf == 0 or df[t] == 0:
+                continue
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += round(
+                idf * tf * (k1 + 1.0)
+                / (tf + k1 * (1.0 - b + b * len(v) / avgdl)),
+                6,
+            )
+        if s:
+            out[i] = round(s, 6)
+    return out
+
+
+def test_bm25_matches_bruteforce(spark):
+    texts = {
+        1: "join hash join vector",
+        2: "window scan filter",
+        3: "vector vector vector join window",
+        4: "merge sort batch",          # no query terms: unscored
+        5: "join",
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id: long, text: string"
+    )
+    got = {
+        r["doc_id"]: (float(r["score"]), r["rank"])
+        for r in etext.bm25_topk(
+            df, ["join", "vector", "window"], k=10
+        ).collect()
+    }
+    want = _bm25_bruteforce(texts, ["join", "vector", "window"])
+    assert set(got) == set(want)
+    for i, s in want.items():
+        assert got[i][0] == pytest.approx(s, abs=2e-6)
+    # ranking: by score desc, doc_id asc
+    order = sorted(got, key=lambda i: (-got[i][0], i))
+    assert [got[i][1] for i in order] == list(range(1, len(order) + 1))
+
+
+def test_bm25_absent_term_contributes_nothing(spark):
+    df = spark.createDataFrame(
+        [(1, "join scan"), (2, "scan filter")], "doc_id: long, text: string"
+    )
+    rows = etext.bm25_topk(df, ["join", "zzznotaword"], k=5).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+
+
+def test_bm25_plan_shape(spark):
+    """The inverted-index shape: query-term df table BROADCASTS into the
+    scoring join (never SMJ), corpus stats ride as one single-row
+    broadcast, final top-k is TakeOrdered — no global sort exchange."""
+    d = spark.read.parquet(SF_DIR + "/documents.parquet")
+    plan = _plan(etext.bm25_topk(d, ["join", "vector", "window"], k=10))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the literal term filter must sit below the tf aggregation: no
+    # exchange may carry unfiltered tokens
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
