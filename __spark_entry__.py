@@ -4251,6 +4251,53 @@ SELECT node, rank_fp FROM r3 ORDER BY node
 """
 
 
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the user co-occurrence graph
+    (edge = two users active in the same (event_type, hour) group;
+    hot groups > 64 members dropped BEFORE the pair self-join — the
+    df-cap discipline).  Spark enumerates by degree-ordered wedge join
+    (analytics.triangle_counts, O(m^1.5) bound); the DuckDB twin uses
+    plain id-ordered a<b<c enumeration — an independent algorithm that
+    must produce identical per-node counts."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "user_id",
+    )
+    edges = analytics.cooccurrence_edges(
+        ev, ["event_type", "hour"], "user_id", max_group=64
+    )
+    return analytics.triangle_counts(edges).orderBy("node")
+
+
+SQL_TRIANGLE_COUNTS = r"""
+WITH g AS (
+  SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id
+  FROM events
+), sz AS (
+  SELECT event_type, h FROM g
+  GROUP BY event_type, h HAVING count(*) <= 64
+), c AS (
+  SELECT g.* FROM g JOIN sz USING (event_type, h)
+), e AS (
+  SELECT DISTINCT a.user_id::BIGINT AS u, b.user_id::BIGINT AS v
+  FROM c a JOIN c b
+    ON a.event_type = b.event_type AND a.h = b.h
+   AND a.user_id < b.user_id
+), t AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c2
+  FROM e e1
+  JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v
+), n AS (
+  SELECT a AS node FROM t
+  UNION ALL SELECT b FROM t
+  UNION ALL SELECT c2 FROM t
+)
+SELECT node, count(*) AS triangles FROM n GROUP BY node ORDER BY node
+"""
+
+
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 retrieval for the query {join, vector, window}
     over documents (text.bm25_topk) — the inverted-index scoring shape
@@ -4305,9 +4352,9 @@ FROM agg
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples the
     # first 50 keys, so entries are sorted by driver-coverage recency —
-    # the 24 never-checked round-5 additions first, then the 37 whose
-    # last green row is CORRECTNESS_r03 (24 + 37 = 61 > 50, so the last
-    # 11 stale keys wait for the r6 sample — rotate them to the head
+    # the 25 never-checked round-5 additions first, then the 37 whose
+    # last green row is CORRECTNESS_r03 (25 + 37 = 62 > 50, so the last
+    # 12 stale keys wait for the r6 sample — rotate them to the head
     # next round), then the 50 re-verified in r04.
     return {
         # -- round-5 additions (never driver-checked)
@@ -4315,6 +4362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "pagerank": q_pagerank,
         "bm25_topk": q_bm25,
+        "triangle_counts": q_triangle_counts,
         "vocab_coverage": q_vocab_coverage,
         "ann_recall": q_ann_recall,
         "transcript_curation": q_transcript_curation,
@@ -4438,6 +4486,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": SQL_COHORT_RETENTION,
         "pagerank": SQL_PAGERANK,
         "bm25_topk": SQL_BM25,
+        "triangle_counts": SQL_TRIANGLE_COUNTS,
         "vocab_coverage": SQL_VOCAB_COVERAGE,
         "ann_recall": SQL_ANN_RECALL,
         "transcript_curation": SQL_TRANSCRIPT_CURATION,

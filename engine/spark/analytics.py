@@ -201,3 +201,110 @@ def pagerank_fixedpoint(
             )
         )
     return ranks
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    node_col: str,
+    max_group: int = 64,
+) -> DataFrame:
+    """Co-occurrence graph: an undirected edge (u < v) for every pair of
+    nodes appearing in the same group.  Returns (src, dst) with
+    src < dst, distinct.
+
+    Scale notes: co-occurrence pair generation is quadratic IN THE
+    GROUP, so the one thing that matters at 10^12 rows is the hot-group
+    cap — groups larger than ``max_group`` are dropped BEFORE the
+    self-join (the same df-cap discipline as
+    ``dedup.ngram_jaccard_pairs``; a single viral group would otherwise
+    emit billions of pairs).  The self-join is an equi-join on the
+    group key over the capped, deduplicated membership table — never a
+    cartesian."""
+    keys = list(group_cols)
+    g = df.select(*keys, node_col).distinct()
+    sz = (
+        g.groupBy(*keys)
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") <= max_group)
+        .drop("_n")
+    )
+    capped = g.join(sz, keys)
+    a, b = capped.alias("a"), capped.alias("b")
+    cond = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in keys] + [
+        F.col(f"a.{node_col}") < F.col(f"b.{node_col}")
+    ]
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{node_col}").cast("long").alias("src"),
+            F.col(f"b.{node_col}").cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts (the clustering-coefficient numerator)
+    by DEGREE-ORDERED wedge join: orient each undirected edge from the
+    (degree, id)-smaller endpoint to the larger, enumerate wedges from
+    each source, and close them against the oriented edge set.
+
+    Orientation bounds every node's out-degree by O(√m) on any graph
+    (a node keeps only edges toward higher-degree peers), so the wedge
+    join's fan-out is O(m^1.5) worst-case instead of Σ deg² — the
+    standard scalable triangle-enumeration shape (cf. Suri & Vassilvitskii
+    MapReduce triangle counting).  Three equi-joins + one partial-agg
+    groupBy; no cartesian, no per-node adjacency list in driver memory.
+
+    Input must be distinct undirected edges with src < dst.
+    Returns (node, triangles) for nodes in ≥1 triangle.
+    """
+    und = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = und.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed(
+        "src", "node"
+    )
+    # attach degrees to both endpoints of the undirected half
+    e = (
+        edges.join(deg.withColumnRenamed("node", "src"), "src")
+        .withColumnRenamed("deg", "dsrc")
+        .join(deg.withColumnRenamed("node", "dst"), "dst")
+        .withColumnRenamed("deg", "ddst")
+    )
+    fwd = F.col("dsrc") < F.col("ddst")
+    tie = (F.col("dsrc") == F.col("ddst")) & (F.col("src") < F.col("dst"))
+    oriented = e.select(
+        F.when(fwd | tie, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(fwd | tie, F.col("dst")).otherwise(F.col("src")).alias("v"),
+        F.when(fwd | tie, F.col("dsrc")).otherwise(F.col("ddst")).alias("du"),
+        F.when(fwd | tie, F.col("ddst")).otherwise(F.col("dsrc")).alias("dv"),
+    )
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    # wedges u→y, u→z with y ≺ z in the same (deg, id) order
+    wedges = w1.join(
+        w2,
+        (F.col("w1.u") == F.col("w2.u"))
+        & (
+            (F.col("w1.dv") < F.col("w2.dv"))
+            | (
+                (F.col("w1.dv") == F.col("w2.dv"))
+                & (F.col("w1.v") < F.col("w2.v"))
+            )
+        ),
+    ).select(
+        F.col("w1.u").alias("a"),
+        F.col("w1.v").alias("b"),
+        F.col("w2.v").alias("c"),
+    )
+    closer = oriented.select(
+        F.col("u").alias("b"), F.col("v").alias("c")
+    )
+    tri = wedges.join(closer, ["b", "c"])
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .union(tri.select(F.col("b").alias("node")))
+        .union(tri.select(F.col("c").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count("*").alias("triangles"))

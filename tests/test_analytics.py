@@ -235,3 +235,57 @@ def test_bm25_plan_shape(spark):
     # the literal term filter must sit below the tf aggregation: no
     # exchange may carry unfiltered tokens
     assert plan.count("Exchange hashpartitioning") <= 4, plan
+
+
+# ---------------------------------------------------------- triangles
+def _tri_bruteforce(edges):
+    edges = set(tuple(sorted(e)) for e in edges)
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    counts = {}
+    nodes = sorted(adj)
+    for a in nodes:
+        for b in adj[a]:
+            if b <= a:
+                continue
+            for c in adj[a] & adj[b]:
+                if c <= b:
+                    continue
+                for x in (a, b, c):
+                    counts[x] = counts.get(x, 0) + 1
+    return counts
+
+
+def test_triangle_counts_bruteforce(spark):
+    # K4 on 1-4 (each node in 3 triangles), pendant 5, isolated edge 6-7
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (4, 5), (6, 7),
+    ]
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {
+        r["node"]: r["triangles"]
+        for r in analytics.triangle_counts(df).collect()
+    }
+    assert got == _tri_bruteforce(edges)
+    assert 5 not in got and 6 not in got
+
+
+def test_cooccurrence_hot_group_cap(spark):
+    rows = [("g1", i) for i in range(5)] + [("g2", 10), ("g2", 11)]
+    df = spark.createDataFrame(rows, "grp: string, user_id: long")
+    # cap 4 drops the 5-member group entirely; only the g2 pair remains
+    got = analytics.cooccurrence_edges(
+        df, ["grp"], "user_id", max_group=4
+    ).collect()
+    assert [(r["src"], r["dst"]) for r in got] == [(10, 11)]
+
+
+def test_triangle_plan_no_cartesian(spark):
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.q_triangle_counts(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
