@@ -4164,6 +4164,44 @@ SELECT 3::INT, 'purchase', (SELECT count(*) FROM s3)
 """
 
 
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of event_funnel (custom stateful operator —
+    applyInPandasWithState greedy earliest-first advancement, two
+    scalars of state per user).  Reach events are final at emission
+    (nothing censored in state), so the streamed rows aggregated to
+    per-stage counts SHARE the batch oracle verbatim; the stage spine
+    left-join keeps zero-user stages present like the batch UNION."""
+    import shutil
+
+    from engine.spark import streaming
+
+    src = tempfile.mkdtemp(prefix="funnel_src_")
+    (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+        .orderBy("ts", "event_id")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    ckpt = tempfile.mkdtemp(prefix="funnel_ckpt_")
+    sink = f"stream_funnel_{uuid.uuid4().hex[:8]}"
+    reaches = streaming.stream_funnel(spark, src, ckpt, sink_table=sink)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    spine = spark.createDataFrame(
+        [(1, "view"), (2, "click"), (3, "purchase")],
+        "stage: int, event_type: string",
+    )
+    agg = reaches.groupBy("stage", "event_type").agg(
+        F.count("*").alias("_users")
+    )
+    return spine.join(agg, ["stage", "event_type"], "left").select(
+        "stage",
+        "event_type",
+        F.coalesce(F.col("_users"), F.lit(0)).cast("long").alias("users"),
+    )
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort-retention matrix (analytics.cohort_retention):
     cohort = Monday-start week of first event; counts of cohort users
@@ -4352,9 +4390,9 @@ FROM agg
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples the
     # first 50 keys, so entries are sorted by driver-coverage recency —
-    # the 25 never-checked round-5 additions first, then the 37 whose
-    # last green row is CORRECTNESS_r03 (25 + 37 = 62 > 50, so the last
-    # 12 stale keys wait for the r6 sample — rotate them to the head
+    # the 26 never-checked round-5 additions first, then the 37 whose
+    # last green row is CORRECTNESS_r03 (26 + 37 = 63 > 50, so the last
+    # 13 stale keys wait for the r6 sample — rotate them to the head
     # next round), then the 50 re-verified in r04.
     return {
         # -- round-5 additions (never driver-checked)
@@ -4363,6 +4401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "bm25_topk": q_bm25,
         "triangle_counts": q_triangle_counts,
+        "stream_funnel": q_stream_funnel,
         "vocab_coverage": q_vocab_coverage,
         "ann_recall": q_ann_recall,
         "transcript_curation": q_transcript_curation,
@@ -4487,6 +4526,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": SQL_PAGERANK,
         "bm25_topk": SQL_BM25,
         "triangle_counts": SQL_TRIANGLE_COUNTS,
+        "stream_funnel": SQL_EVENT_FUNNEL,  # shared: stream == batch exactly
         "vocab_coverage": SQL_VOCAB_COVERAGE,
         "ann_recall": SQL_ANN_RECALL,
         "transcript_curation": SQL_TRANSCRIPT_CURATION,

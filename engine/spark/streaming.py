@@ -921,3 +921,122 @@ def stream_sft_examples(
     )
     q.awaitTermination()
     return spark.table(sink_table)
+
+
+# --------------------------------------------------------- stream_funnel
+
+FUNNEL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("stage", T.IntegerType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("reached_ts", T.TimestampType()),
+    ]
+)
+
+# State per user: highest stage reached + its anchor timestamp (epoch
+# micros) — two scalars, O(active users) total, independent of events
+# seen.  The stage list rides as a state field so the function stays a
+# module-level picklable callable.
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("stage", T.IntegerType()),
+        T.StructField("anchor_us", T.LongType()),
+    ]
+)
+
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def _funnel_fn(key, pdfs, state):
+    """Greedy earliest-first funnel advancement per user: scanning
+    events in ts order, advance to stage i+1 at the FIRST event of the
+    needed type strictly after the current anchor.  Under an ordered
+    feed this is exactly the batch first-touch semantics (stage i's
+    anchor = min ts of qualifying events), so the streamed reach rows
+    aggregate to the batch funnel counts byte-for-byte.  Tie order
+    within an equal timestamp cannot change the outcome: a stage-(i+1)
+    event at ts == anchor never qualifies (strict >), and an event for
+    a not-yet-needed stage is skipped regardless of position."""
+    import pandas as pd
+
+    rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    if state.exists:
+        stage, anchor_us = state.get
+    else:
+        stage, anchor_us = 0, None
+    out = []
+    for r in rows.itertuples(index=False):
+        if stage >= len(_FUNNEL_STAGES):
+            break
+        if r.event_type != _FUNNEL_STAGES[stage]:
+            continue
+        ts_us = int(r.ts.value // 1000)  # pandas ns → µs
+        if stage > 0 and ts_us <= anchor_us:
+            continue
+        stage += 1
+        anchor_us = ts_us
+        out.append((int(key[0]), stage, r.event_type, r.ts))
+    state.update((stage, anchor_us))
+    if out:
+        yield pd.DataFrame(
+            out, columns=["user_id", "stage", "event_type", "reached_ts"]
+        )
+
+
+def stream_funnel(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    sink_table: str = "stream_funnel",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``analytics.event_funnel`` (custom stateful
+    operator, applyInPandasWithState): per-user funnel stage
+    advancement as events arrive.  Unlike the run-length collapse ops,
+    a reach event is FINAL the moment it happens — nothing stays
+    censored in state — so the streamed rows aggregated to per-stage
+    user counts equal the batch funnel exactly and the contract query
+    SHARES the batch oracle verbatim (split-invariance pinned in
+    tests/test_ops.py).  Assumes events arrive in ts order across
+    micro-batches (ordered shard feeds); within a batch order is
+    restored by the sort.
+
+    Scale notes: state is two scalars per ACTIVE user (stage index +
+    anchor), so memory is O(users mid-funnel), independent of stream
+    length; completed users break out of the scan immediately.  For
+    production add a state TTL via ``timeoutConf`` once a business
+    funnel-expiry rule exists."""
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.load(events_path)
+    reaches = (
+        src.select("event_id", "ts", "user_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_fn,
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
+    q = (
+        reaches.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)

@@ -289,3 +289,71 @@ def test_triangle_plan_no_cartesian(spark):
     plan = _plan(entry_mod.q_triangle_counts(spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+# ------------------------------------------------------ stream funnel
+def test_stream_funnel_split_invariance_and_batch_parity(spark, tmp_path):
+    """Per-user funnel advancement over a stream must be identical
+    whether events arrive in one micro-batch or one file per batch with
+    stage transitions crossing batch edges, and its aggregate must
+    equal the batch operator exactly."""
+    import os
+
+    import pandas as pd
+
+    from engine.spark import streaming
+
+    rows = []
+    eid = 0
+    for u in range(10):
+        for i, t in enumerate(["view", "click", "purchase", "view"]):
+            rows.append((eid, T0 + timedelta(seconds=10 * i + u), u, t))
+            eid += 1
+    # user 100 clicks before viewing: must stall at stage 1
+    rows += [
+        (eid, T0 + timedelta(seconds=1), 100, "click"),
+        (eid + 1, T0 + timedelta(seconds=2), 100, "view"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+    # parquet TIMESTAMP(MICROS): pandas defaults to ns, which the
+    # file-stream schema (TimestampType = µs) rejects
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+
+    one = str(tmp_path / "one")
+    os.makedirs(one, exist_ok=True)
+    pdf.to_parquet(os.path.join(one, "part-0.parquet"), index=False)
+    got_one = streaming.stream_funnel(
+        spark, one, str(tmp_path / "ck1"), sink_table="sfun_one"
+    ).toPandas()
+
+    split = str(tmp_path / "split")
+    os.makedirs(split, exist_ok=True)
+    third = len(pdf) // 3
+    for i, part in enumerate(
+        [pdf.iloc[:third], pdf.iloc[third : 2 * third], pdf.iloc[2 * third :]]
+    ):
+        part.to_parquet(os.path.join(split, f"part-{i}.parquet"), index=False)
+    got_split = streaming.stream_funnel(
+        spark, split, str(tmp_path / "ck2"), sink_table="sfun_split",
+        max_files_per_trigger=1,
+    ).toPandas()
+
+    key = ["user_id", "stage"]
+    pd.testing.assert_frame_equal(
+        got_one.sort_values(key).reset_index(drop=True),
+        got_split.sort_values(key).reset_index(drop=True),
+    )
+
+    batch = {
+        r["event_type"]: r["users"]
+        for r in analytics.event_funnel(
+            spark.createDataFrame(pdf), ["view", "click", "purchase"]
+        ).collect()
+    }
+    streamed = (
+        got_one.groupby(["stage", "event_type"]).size().reset_index(name="n")
+    )
+    got = dict(zip(streamed.event_type, streamed.n))
+    assert got == {k: v for k, v in batch.items() if v}
+    assert batch == {"view": 11, "click": 10, "purchase": 10}
