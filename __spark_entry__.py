@@ -4289,6 +4289,27 @@ SELECT node, rank_fp FROM r3 ORDER BY node
 """
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact φ-heavy hitters over events.user_id (φ=0.0075) by
+    bounded-memory Misra–Gries candidate generation (mapInPandas, O(1/φ)
+    counters per task — never a full-cardinality shuffle) + broadcast
+    exact verification (diagnose.heavy_hitters).  Output is exact, so
+    the DuckDB twin is a plain GROUP BY / HAVING."""
+    return diagnose.heavy_hitters(
+        _t(spark, sf_dir, "events"), "user_id", phi=0.0075
+    )
+
+
+SQL_HEAVY_HITTERS = r"""
+WITH tot AS (SELECT count(*) AS n_total FROM events),
+c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+SELECT c.user_id, c.n, round(c.n::DOUBLE / t.n_total, 6) AS share
+FROM c CROSS JOIN tot t
+WHERE c.n > 0.0075 * t.n_total
+ORDER BY c.n DESC, c.user_id
+"""
+
+
 def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts over the user co-occurrence graph
     (edge = two users active in the same (event_type, hour) group;
@@ -4390,9 +4411,9 @@ FROM agg
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples the
     # first 50 keys, so entries are sorted by driver-coverage recency —
-    # the 26 never-checked round-5 additions first, then the 37 whose
-    # last green row is CORRECTNESS_r03 (26 + 37 = 63 > 50, so the last
-    # 13 stale keys wait for the r6 sample — rotate them to the head
+    # the 27 never-checked round-5 additions first, then the 37 whose
+    # last green row is CORRECTNESS_r03 (27 + 37 = 64 > 50, so the last
+    # 14 stale keys wait for the r6 sample — rotate them to the head
     # next round), then the 50 re-verified in r04.
     return {
         # -- round-5 additions (never driver-checked)
@@ -4402,6 +4423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25,
         "triangle_counts": q_triangle_counts,
         "stream_funnel": q_stream_funnel,
+        "heavy_hitters": q_heavy_hitters,
         "vocab_coverage": q_vocab_coverage,
         "ann_recall": q_ann_recall,
         "transcript_curation": q_transcript_curation,
@@ -4527,6 +4549,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": SQL_BM25,
         "triangle_counts": SQL_TRIANGLE_COUNTS,
         "stream_funnel": SQL_EVENT_FUNNEL,  # shared: stream == batch exactly
+        "heavy_hitters": SQL_HEAVY_HITTERS,
         "vocab_coverage": SQL_VOCAB_COVERAGE,
         "ann_recall": SQL_ANN_RECALL,
         "transcript_curation": SQL_TRANSCRIPT_CURATION,

@@ -237,3 +237,79 @@ def distributed_ntile(
             id_col, part_col, decile.cast("long").alias("bucket")
         )
     )
+
+
+def heavy_hitters(
+    df: DataFrame, key_col: str, phi: float = 0.01, mg_k: int | None = None
+) -> DataFrame:
+    """Exact φ-heavy hitters (keys with count > φ·N) by the two-pass
+    candidate-then-verify pattern that survives a key space too large
+    to groupBy:
+
+    Pass 1 — per-partition Misra–Gries summaries via ``mapInPandas``:
+    each partition keeps at most ``mg_k`` (default ⌈1/φ⌉) counters in a
+    dict, decrementing all when full.  Guarantee (no false negatives):
+    if a key's GLOBAL count exceeds N/mg_k, then in at least one
+    partition its local count exceeds n_p/mg_k (averaging argument), so
+    it survives that partition's summary — the union of summaries is a
+    superset of every φ-heavy key when mg_k ≥ 1/φ.  Memory is O(mg_k)
+    per task regardless of the key cardinality — this is the pass that
+    replaces an impossible 10^11-distinct-key shuffle.
+
+    Pass 2 — exact verification: the tiny candidate set broadcasts
+    back as a semi-join filter, surviving rows take ONE partial-agg
+    groupBy (now bounded by |candidates|), and the exact counts are
+    thresholded against a broadcast single-row total.  Output is EXACT
+    (false positives from pass 1 are removed here), hence DuckDB can
+    value-check it with a plain GROUP BY/HAVING — the same
+    sketch-for-candidates + exact-verify discipline as
+    ``dedup.minhash_lsh_pairs``.
+
+    Returns (key_col, n, share) ordered by (n DESC, key ASC).
+    """
+    import math
+
+    if mg_k is None:
+        mg_k = max(2, math.ceil(1.0 / phi))
+
+    def _mg(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf[key_col]:
+                if v is None:
+                    continue
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < mg_k:
+                    counters[v] = 1
+                else:
+                    dead = []
+                    for kk in counters:
+                        counters[kk] -= 1
+                        if counters[kk] == 0:
+                            dead.append(kk)
+                    for kk in dead:
+                        del counters[kk]
+        yield pd.DataFrame({key_col: list(counters.keys())})
+
+    cand = (
+        df.select(key_col)
+        .mapInPandas(_mg, schema=df.select(key_col).schema)
+        .distinct()
+    )
+    total = df.agg(F.count("*").alias("_n"))
+    return (
+        df.join(F.broadcast(cand), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("n") > F.lit(phi) * F.col("_n"))
+        .select(
+            key_col,
+            "n",
+            F.round(F.col("n") / F.col("_n"), 6).alias("share"),
+        )
+        .orderBy(F.col("n").desc(), F.col(key_col).asc())
+    )

@@ -357,3 +357,40 @@ def test_stream_funnel_split_invariance_and_batch_parity(spark, tmp_path):
     got = dict(zip(streamed.event_type, streamed.n))
     assert got == {k: v for k, v in batch.items() if v}
     assert batch == {"view": 11, "click": 10, "purchase": 10}
+
+
+# ------------------------------------------------------- heavy hitters
+def test_heavy_hitters_exact_under_adversarial_partitioning(spark):
+    """The Misra-Gries candidate pass must never lose a true heavy
+    hitter regardless of how rows are partitioned; the verify pass must
+    remove every false positive.  Checked against brute force with a
+    tiny mg_k to force heavy counter churn."""
+    from engine.spark import diagnose
+
+    # 1000 rows: key 1 -> 300, key 2 -> 150, keys 3..13 -> 50 each
+    vals = [1] * 300 + [2] * 150 + [k for k in range(3, 14) for _ in range(50)]
+    df = spark.createDataFrame(
+        [(v,) for v in vals], "user_id: long"
+    ).repartition(7)
+    got = [
+        (r["user_id"], r["n"])
+        for r in diagnose.heavy_hitters(df, "user_id", phi=0.1).collect()
+    ]
+    assert got == [(1, 300), (2, 150)]  # >100 rows, ordered n desc
+    # phi low enough that every key qualifies: mg_k >= 1/phi keeps all
+    got_all = diagnose.heavy_hitters(df, "user_id", phi=0.04).collect()
+    assert len(got_all) == 2 + 11
+    assert sum(r["n"] for r in got_all) == 1000
+
+
+def test_heavy_hitters_plan_shape(spark):
+    """Candidates broadcast as a semi-join filter; the exact count is
+    ONE partial-agg groupBy on the key; no sort-merge join."""
+    from engine.spark import diagnose
+
+    ev = spark.read.parquet(SF_DIR + "/events.parquet")
+    plan = _plan(diagnose.heavy_hitters(ev, "user_id", phi=0.0075))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_count" in plan, plan
+    assert "CartesianProduct" not in plan, plan
