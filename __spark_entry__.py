@@ -4289,6 +4289,96 @@ SELECT node, rank_fp FROM r3 ORDER BY node
 """
 
 
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width 12-bin histogram of events.value
+    (diagnose.value_histogram): (min,max) as one broadcast single-row
+    aggregate, binning as a codegen projection, one partial-agg shuffle
+    on the bin id.  bin = floor((v−min)/width) is identical IEEE double
+    arithmetic in both engines."""
+    return diagnose.value_histogram(
+        _t(spark, sf_dir, "events"), "value", n_bins=12
+    )
+
+
+SQL_VALUE_HISTOGRAM = r"""
+WITH s AS (
+  SELECT min(value)::DOUBLE AS slo, max(value)::DOUBLE AS shi FROM events
+), b AS (
+  SELECT (CASE WHEN s.shi = s.slo THEN 0
+          ELSE least(floor((e.value - s.slo) / ((s.shi - s.slo) / 12.0)),
+                     11) END)::INT AS bin,
+         s.slo AS slo, (s.shi - s.slo) / 12.0 AS w
+  FROM events e CROSS JOIN s WHERE e.value IS NOT NULL
+)
+SELECT bin, round(slo + bin * w, 6) AS lo,
+       round(slo + (bin + 1) * w, 6) AS hi, count(*) AS n
+FROM b GROUP BY bin, slo, w ORDER BY bin
+"""
+
+
+def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — top-20 customers by revenue lost to returned
+    items in one quarter: date + returnflag filters PUSHED to the
+    scans, revenue kept as an exact DECIMAL sum end-to-end (rounding
+    through double hits half-cent ties), nation broadcast, deterministic
+    top-20 via (revenue DESC, c_custkey ASC) TakeOrdered — never a
+    global sort."""
+    dec = lambda c: c.cast("decimal(18,4)")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(
+            "l_orderkey",
+            dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "_rev"
+            ),
+        )
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        # exact DECIMAL output — rounding through double would hit the
+        # half-cent tie (sums of 4-dp prices often end in .xx50, where
+        # Spark's BigDecimal half-up and DuckDB's scaled-multiply round
+        # disagree by one cent)
+        .agg(F.sum("_rev").cast("decimal(20,6)").alias("revenue"))
+    )
+    return (
+        rev.join(c, rev.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+SQL_Q10_RETURNED_ITEMS = r"""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(18,4))) AS DECIMAL(20,6)) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1996-04-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey ASC LIMIT 20
+"""
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact φ-heavy hitters over events.user_id (φ=0.0075) by
     bounded-memory Misra–Gries candidate generation (mapInPandas, O(1/φ)
@@ -4411,9 +4501,9 @@ FROM agg
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples the
     # first 50 keys, so entries are sorted by driver-coverage recency —
-    # the 27 never-checked round-5 additions first, then the 37 whose
-    # last green row is CORRECTNESS_r03 (27 + 37 = 64 > 50, so the last
-    # 14 stale keys wait for the r6 sample — rotate them to the head
+    # the 29 never-checked round-5 additions first, then the 37 whose
+    # last green row is CORRECTNESS_r03 (29 + 37 = 66 > 50, so the last
+    # 16 stale keys wait for the r6 sample — rotate them to the head
     # next round), then the 50 re-verified in r04.
     return {
         # -- round-5 additions (never driver-checked)
@@ -4424,6 +4514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": q_triangle_counts,
         "stream_funnel": q_stream_funnel,
         "heavy_hitters": q_heavy_hitters,
+        "value_histogram": q_value_histogram,
+        "q10_returned_items": q_q10_returned_items,
         "vocab_coverage": q_vocab_coverage,
         "ann_recall": q_ann_recall,
         "transcript_curation": q_transcript_curation,
@@ -4550,6 +4642,8 @@ def oracle_sql() -> dict[str, str]:
         "triangle_counts": SQL_TRIANGLE_COUNTS,
         "stream_funnel": SQL_EVENT_FUNNEL,  # shared: stream == batch exactly
         "heavy_hitters": SQL_HEAVY_HITTERS,
+        "value_histogram": SQL_VALUE_HISTOGRAM,
+        "q10_returned_items": SQL_Q10_RETURNED_ITEMS,
         "vocab_coverage": SQL_VOCAB_COVERAGE,
         "ann_recall": SQL_ANN_RECALL,
         "transcript_curation": SQL_TRANSCRIPT_CURATION,

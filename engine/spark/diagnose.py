@@ -313,3 +313,52 @@ def heavy_hitters(
         )
         .orderBy(F.col("n").desc(), F.col(key_col).asc())
     )
+
+
+def value_histogram(
+    df: DataFrame, value_col: str, n_bins: int = 10
+) -> DataFrame:
+    """Fixed-width numeric histogram: (bin, lo, hi, n) for non-empty
+    bins, bin ∈ [0, n_bins).  The max value lands in the last bin.
+
+    Scale shape: the (min, max) range rides as ONE broadcast single-row
+    aggregate (scan-only branch, no driver action), binning is a pure
+    codegen projection, and the histogram itself is one partial-agg
+    groupBy on the bin id — two scans, one tiny shuffle, no sort.  A
+    degenerate column (min == max) degrades to a single bin 0 instead
+    of dividing by zero.
+
+    Cross-engine exactness: bin = floor((v − min)/width) is the same
+    IEEE double arithmetic in Spark and DuckDB given identical inputs,
+    and bin edges are rounded to 6 dp only for display."""
+    stats = df.agg(
+        F.min(value_col).cast("double").alias("_lo"),
+        F.max(value_col).cast("double").alias("_hi"),
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
+    bucket = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col(value_col) - F.col("_lo")) / width),
+            F.lit(n_bins - 1),
+        )
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .crossJoin(F.broadcast(stats))
+        .select(
+            bucket.cast("int").alias("bin"),
+            F.col("_lo").alias("_lo"),
+            width.alias("_w"),
+        )
+        .groupBy("bin", "_lo", "_w")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bin",
+            F.round(F.col("_lo") + F.col("bin") * F.col("_w"), 6).alias("lo"),
+            F.round(F.col("_lo") + (F.col("bin") + 1) * F.col("_w"), 6).alias(
+                "hi"
+            ),
+            "n",
+        )
+        .orderBy("bin")
+    )

@@ -394,3 +394,41 @@ def test_heavy_hitters_plan_shape(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "partial_count" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+# ---------------------------------------------------- histogram / Q10
+def test_value_histogram_bruteforce(spark):
+    from engine.spark import diagnose
+
+    vals = [0.0, 1.0, 2.5, 9.99, 10.0, 5.0, 5.0, None]
+    df = spark.createDataFrame([(v,) for v in vals], "value: double")
+    got = {r["bin"]: (r["lo"], r["hi"], r["n"]) for r in
+           diagnose.value_histogram(df, "value", n_bins=5).collect()}
+    # range [0,10], width 2: bins 0:[0,2)x2 1:[2,4)x1 2:[4,6)x2 4:[8,10]x2
+    assert got == {
+        0: (0.0, 2.0, 2), 1: (2.0, 4.0, 1), 2: (4.0, 6.0, 2),
+        4: (8.0, 10.0, 2),
+    }
+
+
+def test_value_histogram_degenerate_single_value(spark):
+    from engine.spark import diagnose
+
+    df = spark.createDataFrame([(3.0,)] * 4, "value: double")
+    got = diagnose.value_histogram(df, "value", n_bins=8).collect()
+    assert len(got) == 1 and got[0]["bin"] == 0 and got[0]["n"] == 4
+
+
+def test_q10_plan_pushes_filters_and_broadcasts_nation(spark):
+    """The returnflag and orderdate predicates must reach the parquet
+    scans as PushedFilters; nation must broadcast; the top-20 must plan
+    as TakeOrdered, never a global sort."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.q_q10_returned_items(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_returnflag" in ln and "EqualTo" in ln for ln in pushed), plan
+    assert any("o_orderdate" in ln for ln in pushed), plan
+    assert "BroadcastHashJoin" in plan, plan
