@@ -4289,6 +4289,55 @@ SELECT node, rank_fp FROM r3 ORDER BY node
 """
 
 
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (joins.asof_join direction='forward'): each
+    trade gets the EARLIEST same-user quote at-or-after its timestamp —
+    the symmetric next-quote lookup, sharing the backward query's
+    fixtures and de-tie rule.  The DuckDB oracle uses the native ASOF
+    JOIN with the inequality flipped (t.ts <= q.ts) — an independent
+    algorithm."""
+    e = _t(spark, sf_dir, "events")
+    wq = Window.partitionBy("user_id", "ts").orderBy("event_id")
+    quotes = (
+        e.filter(F.col("event_id") % 17 == 0)
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("quote_id"),
+            F.col("value").alias("quote_value"),
+        )
+    )
+    trades = e.filter(F.col("event_id") % 17 != 0).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = joins.asof_join(
+        trades, quotes, key="user_id", ts_col="ts", direction="forward"
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        "asof_ts", "asof_quote_id", "asof_quote_value",
+    )
+
+
+SQL_ASOF_JOIN_FORWARD = """
+WITH quotes AS (
+  SELECT user_id, ts, event_id AS quote_id, value AS quote_value
+  FROM events WHERE event_id % 17 = 0
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) = 1
+),
+trades AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_id % 17 != 0
+)
+SELECT t.event_id, t.user_id, t.ts, t.value,
+       q.ts AS asof_ts, q.quote_id AS asof_quote_id,
+       q.quote_value AS asof_quote_value
+FROM trades t
+ASOF LEFT JOIN quotes q ON t.user_id = q.user_id AND t.ts <= q.ts
+"""
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width 12-bin histogram of events.value
     (diagnose.value_histogram): (min,max) as one broadcast single-row
@@ -4501,9 +4550,9 @@ FROM agg
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples the
     # first 50 keys, so entries are sorted by driver-coverage recency —
-    # the 29 never-checked round-5 additions first, then the 37 whose
-    # last green row is CORRECTNESS_r03 (29 + 37 = 66 > 50, so the last
-    # 16 stale keys wait for the r6 sample — rotate them to the head
+    # the 30 never-checked round-5 additions first, then the 37 whose
+    # last green row is CORRECTNESS_r03 (30 + 37 = 67 > 50, so the last
+    # 17 stale keys wait for the r6 sample — rotate them to the head
     # next round), then the 50 re-verified in r04.
     return {
         # -- round-5 additions (never driver-checked)
@@ -4516,6 +4565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "value_histogram": q_value_histogram,
         "q10_returned_items": q_q10_returned_items,
+        "asof_join_forward": q_asof_join_forward,
         "vocab_coverage": q_vocab_coverage,
         "ann_recall": q_ann_recall,
         "transcript_curation": q_transcript_curation,
@@ -4644,6 +4694,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": SQL_HEAVY_HITTERS,
         "value_histogram": SQL_VALUE_HISTOGRAM,
         "q10_returned_items": SQL_Q10_RETURNED_ITEMS,
+        "asof_join_forward": SQL_ASOF_JOIN_FORWARD,
         "vocab_coverage": SQL_VOCAB_COVERAGE,
         "ann_recall": SQL_ANN_RECALL,
         "transcript_curation": SQL_TRANSCRIPT_CURATION,

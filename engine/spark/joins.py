@@ -34,18 +34,26 @@ def asof_join(
     ts_col: str = "ts",
     suffix: str = "asof_",
     bucket_seconds: int | None = 86400,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: each left row gets the most recent right row
-    with ``right.ts <= left.ts`` for the same key (NULLs when no right
-    row precedes it).
+    """As-of join.  ``direction="backward"`` (default): each left row
+    gets the most recent right row with ``right.ts <= left.ts`` for the
+    same key (NULLs when no right row precedes it).
+    ``direction="forward"``: the EARLIEST right row with ``right.ts >=
+    left.ts`` — the symmetric next-quote lookup; implemented by
+    flipping every ordering (desc time walk, min-payload bucket
+    boundaries, following-bucket carry), so both directions share one
+    code path and one shuffle count.  At equal timestamps the right row
+    matches in either direction; duplicate right rows on (key, ts)
+    de-tie by max payload (backward) / min payload (forward) —
+    deterministic across runs and cluster sizes.
 
     Implementation: tag the sides, union by name, and carry the last
-    non-null right payload forward with a window — the scalable
-    re-expression of an as-of join (an inequality join would plan as a
-    nested loop).  At equal timestamps the right row sorts first, so a
-    quote at exactly the trade's timestamp IS matched; duplicate right
-    rows on (key, ts) break ties by full payload struct order
-    (deterministic across runs and cluster sizes).
+    non-null right payload along the time walk with a window — the
+    scalable re-expression of an as-of join (an inequality join would
+    plan as a nested loop).  The right row sorts before the left at
+    equal timestamps, so a quote at exactly the trade's timestamp IS
+    matched in both directions.
 
     Skew (``bucket_seconds``, the default path): a window partitioned by
     key alone serializes a hot key (one user, 10^9 events) onto a single
@@ -57,6 +65,9 @@ def asof_join(
     back to fill bucket-initial gaps.  ``bucket_seconds=None`` selects
     the single-window path (fine for uniform keys; one less shuffle).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    back = direction == "backward"
     rcols = [c for c in right.columns if c not in (key, ts_col)]
     payload = F.struct(
         F.col(ts_col).alias("__rts"), *[F.col(c) for c in rcols]
@@ -70,10 +81,15 @@ def asof_join(
     )
     u = l.unionByName(r, allowMissingColumns=True)
 
+    # the walk direction: backward scans time ascending and keeps the
+    # last (max) right payload seen; forward scans descending and keeps
+    # the last seen = the EARLIEST right at-or-after the current row
     order = [
-        F.col(ts_col).asc(),
+        F.col(ts_col).asc() if back else F.col(ts_col).desc(),
         F.col("__side").asc(),
-        F.col("__r").asc_nulls_first(),
+        F.col("__r").asc_nulls_first()
+        if back
+        else F.col("__r").desc_nulls_first(),
     ]
     if bucket_seconds is None:
         w = (
@@ -89,13 +105,16 @@ def asof_join(
                 F.col(ts_col).cast("timestamp").cast("long") / bucket_seconds
             ),
         )
-        # boundary: last right payload per (key, bucket).  __r leads with
-        # __rts, so max(__r) IS the last right row in window order —
-        # one partial-aggregated shuffle on (key, bucket).
-        boundary = u.groupBy(key, "__b").agg(F.max("__r").alias("__bl"))
+        # boundary: the walk-last right payload per (key, bucket).  __r
+        # leads with __rts, so max(__r) (backward) / min(__r) (forward)
+        # IS the last right row in walk order — one partial-aggregated
+        # shuffle on (key, bucket).
+        boundary = u.groupBy(key, "__b").agg(
+            (F.max("__r") if back else F.min("__r")).alias("__bl")
+        )
         wb = (
             Window.partitionBy(key)
-            .orderBy("__b")
+            .orderBy(F.col("__b").asc() if back else F.col("__b").desc())
             .rowsBetween(Window.unboundedPreceding, -1)
         )
         carry = boundary.select(

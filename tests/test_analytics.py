@@ -432,3 +432,66 @@ def test_q10_plan_pushes_filters_and_broadcasts_nation(spark):
     assert any("l_returnflag" in ln and "EqualTo" in ln for ln in pushed), plan
     assert any("o_orderdate" in ln for ln in pushed), plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+# ----------------------------------------------------- forward as-of
+def test_asof_forward_vs_bruteforce(spark):
+    """Forward as-of: earliest right at-or-after each left ts; NULLs
+    when nothing follows; equal-ts matches; bucketed two-phase path ==
+    single-window path on a hot key crossing bucket boundaries."""
+    from engine.spark import joins
+
+    lrows = [(1, s) for s in (0, 5, 100, 86400 * 2 + 7)] + [(2, 50)]
+    rrows = [(1, 5), (1, 60), (1, 86400 * 3), (3, 1)]
+    mk = lambda rows, extra: spark.createDataFrame(
+        [(k, datetime(2024, 1, 1) + timedelta(seconds=s), s * 10)
+         for k, s in rows],
+        f"user_id: long, ts: timestamp, {extra}: long",
+    )
+    left, right = mk(lrows, "lv"), mk(rrows, "price")
+
+    def brute(l, r):
+        out = {}
+        for lk, ls in l:
+            cand = [rs for rk, rs in r if rk == lk and rs >= ls]
+            out[(lk, ls)] = min(cand) if cand else None
+        return out
+
+    want = brute(lrows, rrows)
+    for bucket in (86400, None):
+        got = {
+            (r["user_id"], int(r["lv"]) // 10): (
+                None
+                if r["asof_price"] is None
+                else int(r["asof_price"]) // 10
+            )
+            for r in joins.asof_join(
+                left, right, key="user_id", ts_col="ts",
+                direction="forward", bucket_seconds=bucket,
+            ).collect()
+        }
+        assert got == want, (bucket, got, want)
+
+
+def test_asof_forward_dup_tie_is_min_payload(spark):
+    from engine.spark import joins
+
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 0)], "user_id: long, ts: timestamp, lv: long"
+    )
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 0, 10), p) for p in (7, 3, 9)],
+        "user_id: long, ts: timestamp, price: long",
+    )
+    got = joins.asof_join(
+        left, right, key="user_id", ts_col="ts", direction="forward"
+    ).collect()
+    assert got[0]["asof_price"] == 3  # min payload de-tie
+
+
+def test_asof_bad_direction_raises(spark):
+    from engine.spark import joins
+
+    df = spark.range(1).selectExpr("id AS user_id", "current_timestamp() AS ts")
+    with pytest.raises(ValueError):
+        joins.asof_join(df, df, key="user_id", direction="sideways")
