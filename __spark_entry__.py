@@ -4289,6 +4289,58 @@ SELECT node, rank_fp FROM r3 ORDER BY node
 """
 
 
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram Shannon entropy per document (text.token_entropy) over
+    documents < 80 plus two planted degenerates: a single-repeated-token
+    doc (entropy exactly 0) and an empty doc (n_tokens 0, entropy 0 via
+    the left-join coalesce path).  Per-term contributions round to 6 dp
+    then accumulate as DECIMAL(20,6) — aggregation-order-proof."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 80)
+        .select("doc_id", "text")
+        .unionByName(
+            spark.createDataFrame(
+                [(9400001, "spam spam spam spam"), (9400002, "")],
+                "doc_id: long, text: string",
+            )
+        )
+    )
+    return etext.token_entropy(d).orderBy("doc_id")
+
+
+SQL_TOKEN_ENTROPY = r"""
+WITH score AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 80
+  UNION ALL SELECT 9400001, 'spam spam spam spam'
+  UNION ALL SELECT 9400002, ''
+), toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)),
+                                      '[ \t\n\x0b\f\r]+')) AS term
+  FROM score
+), tf AS (
+  SELECT doc_id, term, count(*) AS c
+  FROM toks WHERE term <> '' GROUP BY doc_id, term
+), tot AS (
+  SELECT doc_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS distinct_tokens
+  FROM tf GROUP BY doc_id
+), ent AS (
+  SELECT tf.doc_id,
+         sum(round(-((tf.c::DOUBLE / t.n) * ln(tf.c::DOUBLE / t.n)),
+                   6)::DECIMAL(20,6))::DECIMAL(20,6) AS entropy
+  FROM tf JOIN tot t ON tf.doc_id = t.doc_id GROUP BY tf.doc_id
+)
+SELECT s.doc_id, coalesce(t.n, 0) AS n_tokens,
+       coalesce(t.distinct_tokens, 0) AS distinct_tokens,
+       coalesce(e.entropy, 0::DECIMAL(20,6)) AS entropy
+FROM score s
+LEFT JOIN tot t ON s.doc_id = t.doc_id
+LEFT JOIN ent e ON s.doc_id = e.doc_id
+ORDER BY s.doc_id
+"""
+
+
 def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of join (joins.asof_join direction='forward'): each
     trade gets the EARLIEST same-user quote at-or-after its timestamp —
@@ -4550,9 +4602,9 @@ FROM agg
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples the
     # first 50 keys, so entries are sorted by driver-coverage recency —
-    # the 30 never-checked round-5 additions first, then the 37 whose
-    # last green row is CORRECTNESS_r03 (30 + 37 = 67 > 50, so the last
-    # 17 stale keys wait for the r6 sample — rotate them to the head
+    # the 31 never-checked round-5 additions first, then the 37 whose
+    # last green row is CORRECTNESS_r03 (31 + 37 = 68 > 50, so the last
+    # 18 stale keys wait for the r6 sample — rotate them to the head
     # next round), then the 50 re-verified in r04.
     return {
         # -- round-5 additions (never driver-checked)
@@ -4566,6 +4618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "q10_returned_items": q_q10_returned_items,
         "asof_join_forward": q_asof_join_forward,
+        "token_entropy": q_token_entropy,
         "vocab_coverage": q_vocab_coverage,
         "ann_recall": q_ann_recall,
         "transcript_curation": q_transcript_curation,
@@ -4695,6 +4748,7 @@ def oracle_sql() -> dict[str, str]:
         "value_histogram": SQL_VALUE_HISTOGRAM,
         "q10_returned_items": SQL_Q10_RETURNED_ITEMS,
         "asof_join_forward": SQL_ASOF_JOIN_FORWARD,
+        "token_entropy": SQL_TOKEN_ENTROPY,
         "vocab_coverage": SQL_VOCAB_COVERAGE,
         "ann_recall": SQL_ANN_RECALL,
         "transcript_curation": SQL_TRANSCRIPT_CURATION,

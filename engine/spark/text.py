@@ -844,3 +844,56 @@ def bm25_topk(
             F.row_number().over(rank_w).cast("long").alias("rank"),
         )
     )
+
+
+# ------------------------------------------------------ token entropy
+def token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Shannon entropy of each document's unigram distribution —
+    H(d) = −Σ_t (c_t/n)·ln(c_t/n) — the corpus-filtering signal that
+    separates natural prose (high entropy) from template/repetition
+    spam (low entropy); complements ``repetition_stats`` which looks at
+    adjacency, not distribution.
+
+    Returns (doc_id, n_tokens, distinct_tokens, entropy DECIMAL(20,6)).
+
+    Cross-engine exactness: each per-term contribution is rounded to
+    6 dp and accumulated as DECIMAL(20,6) (the ``ngram_lm_scores``
+    device), so the per-doc sum is aggregation-order-proof.
+
+    Scale notes: one explode + ONE partial-agg shuffle on (doc, term);
+    the per-doc token total comes from the same aggregate via a second
+    partial agg on doc_id — never a window over the token stream.
+    Empty docs emit entropy 0 with n_tokens 0."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), WS)).alias(
+            "term"
+        ),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    totals = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count("*").alias("distinct_tokens")
+    )
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    contrib = F.round(-(p * F.log(p)), 6).cast("decimal(20,6)")
+    ent = (
+        tf.join(totals, "doc_id")
+        .select("doc_id", contrib.alias("_h"))
+        .groupBy("doc_id")
+        .agg(F.sum("_h").cast("decimal(20,6)").alias("entropy"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(ent, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("distinct_tokens"), F.lit(0))
+            .cast("long")
+            .alias("distinct_tokens"),
+            F.coalesce(
+                F.col("entropy"), F.lit(0).cast("decimal(20,6)")
+            ).alias("entropy"),
+        )
+    )

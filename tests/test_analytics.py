@@ -495,3 +495,40 @@ def test_asof_bad_direction_raises(spark):
     df = spark.range(1).selectExpr("id AS user_id", "current_timestamp() AS ts")
     with pytest.raises(ValueError):
         joins.asof_join(df, df, key="user_id", direction="sideways")
+
+
+# ------------------------------------------------------ token entropy
+def test_token_entropy_bruteforce(spark):
+    texts = {
+        1: "a a a a",           # degenerate: entropy 0
+        2: "a b c d",           # uniform over 4: ln(4)
+        3: "a a b",             # 2/3, 1/3
+        4: "",                  # empty: zeros
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id: long, text: string")
+    got = {r["doc_id"]: (r["n_tokens"], r["distinct_tokens"], float(r["entropy"]))
+           for r in etext.token_entropy(df).collect()}
+
+    def brute(t):
+        toks = t.lower().split()
+        if not toks:
+            return (0, 0, 0.0)
+        from collections import Counter
+        cnt = Counter(toks)
+        n = len(toks)
+        h = sum(round(-(c / n) * math.log(c / n), 6) for c in cnt.values())
+        return (n, len(cnt), round(h, 6))
+
+    assert got == {i: brute(t) for i, t in texts.items()}
+    assert got[1][2] == 0.0 and got[4] == (0, 0, 0.0)
+    assert got[2][2] == pytest.approx(math.log(4), abs=3e-6)
+
+
+def test_token_entropy_one_token_shuffle(spark):
+    """One partial-agg exchange on (doc_id, term) feeds both the totals
+    and the entropy sum — no window over the token stream, no sort."""
+    d = spark.read.parquet(SF_DIR + "/documents.parquet")
+    plan = _plan(etext.token_entropy(d))
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "CartesianProduct" not in plan, plan
