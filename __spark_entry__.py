@@ -4289,6 +4289,68 @@ SELECT node, rank_fp FROM r3 ORDER BY node
 """
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — recency/frequency/monetary quintiles per user
+    — COMPOSING three distributed_ntile calls in one DAG (the scale-safe
+    ranking op; the bounded persist cache keeps all three range frames
+    materialized).  Monetary sums as DECIMAL so quintile order is
+    engine-exact; recency ranks on the last-event timestamp directly.  Oracle uses
+    plain NTILE windows with the same (value ASC, user_id ASC) tie
+    rule."""
+    agg = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("recency"),  # NTZ-safe: rank on the ts itself
+            F.count("*").alias("frequency"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(20,6)")
+            .alias("monetary"),
+        )
+        .withColumn("seg", F.lit("all"))
+    )
+    scores = []
+    for metric, name in (
+        ("recency", "r_score"),
+        ("frequency", "f_score"),
+        ("monetary", "m_score"),
+    ):
+        scores.append(
+            diagnose.distributed_ntile(
+                agg, "seg", metric, "user_id", buckets=5
+            ).select("user_id", F.col("bucket").cast("long").alias(name))
+        )
+    out = scores[0].join(scores[1], "user_id").join(scores[2], "user_id")
+    return out.select(
+        "user_id",
+        "r_score",
+        "f_score",
+        "m_score",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).alias("rfm"),
+    ).orderBy("user_id")
+
+
+SQL_RFM_SEGMENTS = r"""
+WITH a AS (
+  SELECT user_id, max(ts) AS recency, count(*) AS frequency,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(20,6))
+           AS monetary
+  FROM events GROUP BY user_id
+), s AS (
+  SELECT user_id,
+    ntile(5) OVER (ORDER BY recency ASC, user_id ASC)::BIGINT AS r_score,
+    ntile(5) OVER (ORDER BY frequency ASC, user_id ASC)::BIGINT AS f_score,
+    ntile(5) OVER (ORDER BY monetary ASC, user_id ASC)::BIGINT AS m_score
+  FROM a
+)
+SELECT user_id, r_score, f_score, m_score,
+       r_score * 100 + f_score * 10 + m_score AS rfm
+FROM s ORDER BY user_id
+"""
+
+
 def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram Shannon entropy per document (text.token_entropy) over
     documents < 80 plus two planted degenerates: a single-repeated-token
@@ -4602,9 +4664,9 @@ FROM agg
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples the
     # first 50 keys, so entries are sorted by driver-coverage recency —
-    # the 31 never-checked round-5 additions first, then the 37 whose
-    # last green row is CORRECTNESS_r03 (31 + 37 = 68 > 50, so the last
-    # 18 stale keys wait for the r6 sample — rotate them to the head
+    # the 32 never-checked round-5 additions first, then the 37 whose
+    # last green row is CORRECTNESS_r03 (32 + 37 = 69 > 50, so the last
+    # 19 stale keys wait for the r6 sample — rotate them to the head
     # next round), then the 50 re-verified in r04.
     return {
         # -- round-5 additions (never driver-checked)
@@ -4619,6 +4681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q_q10_returned_items,
         "asof_join_forward": q_asof_join_forward,
         "token_entropy": q_token_entropy,
+        "rfm_segments": q_rfm_segments,
         "vocab_coverage": q_vocab_coverage,
         "ann_recall": q_ann_recall,
         "transcript_curation": q_transcript_curation,
@@ -4749,6 +4812,7 @@ def oracle_sql() -> dict[str, str]:
         "q10_returned_items": SQL_Q10_RETURNED_ITEMS,
         "asof_join_forward": SQL_ASOF_JOIN_FORWARD,
         "token_entropy": SQL_TOKEN_ENTROPY,
+        "rfm_segments": SQL_RFM_SEGMENTS,
         "vocab_coverage": SQL_VOCAB_COVERAGE,
         "ann_recall": SQL_ANN_RECALL,
         "transcript_curation": SQL_TRANSCRIPT_CURATION,

@@ -112,11 +112,16 @@ def approx_quantiles(
     return df.groupBy(by).agg(F.count("*").alias("n"), *exprs)
 
 
-# the previous distributed_ntile invocation's pinned range-partitioned
-# projection: persist must outlive the returned DataFrame's consumers,
-# so each call releases its PREDECESSOR's cache instead of its own —
-# bounding the session-lifetime leak to one entry (code-review r5)
+# recent distributed_ntile invocations' pinned range-partitioned
+# projections: a persist must outlive the returned DataFrame's
+# consumers, so a call never releases its OWN frame — it evicts the
+# oldest beyond a small bound.  The bound is > 1 so one query may
+# COMPOSE several ntile calls (e.g. the R/F/M quintiles of
+# rfm_segments) and still have every frame materialized at execution;
+# the session-lifetime leak stays capped at _NTILE_MAX_CACHE entries
+# (code-review r5).
 _NTILE_CACHE: list = []
+_NTILE_MAX_CACHE = 4
 
 
 def distributed_ntile(
@@ -165,21 +170,27 @@ def distributed_ntile(
     ]
     spark = df.sparkSession
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # drop any previous call's cached frame BEFORE persisting the new
-    # one: Spark's CacheManager dedupes persist() by logical-plan
-    # equality, so persist-new-then-unpersist-old on an identical plan
-    # (same source, same args — e.g. two runs of the same query in one
-    # session) would register onto the shared entry and then REMOVE it,
-    # leaving the new frame uncached and re-opening the cross-branch
-    # boundary-sample divergence the persist exists to prevent.
-    while _NTILE_CACHE:
-        _NTILE_CACHE.pop().unpersist()
     keyed = (
         df.select(id_col, part_col, value_col)
         .repartitionByRange(nparts, *order)
         .withColumn("pid", F.spark_partition_id())
-        .persist()
     )
+    # drop any SAME-PLAN cached frame BEFORE persisting the new one:
+    # Spark's CacheManager dedupes persist() by logical-plan equality,
+    # so persist-new-then-unpersist-old on an identical plan (same
+    # source, same args — e.g. two runs of the same query in one
+    # session) would register onto the shared entry and then REMOVE it,
+    # leaving the new frame uncached and re-opening the cross-branch
+    # boundary-sample divergence the persist exists to prevent.  Other
+    # (distinct-plan) frames are kept up to the bound so one query can
+    # compose several ntile calls with every frame still materialized.
+    for old in list(_NTILE_CACHE):
+        if old.sameSemantics(keyed):
+            old.unpersist()
+            _NTILE_CACHE.remove(old)
+    while len(_NTILE_CACHE) >= _NTILE_MAX_CACHE:
+        _NTILE_CACHE.pop(0).unpersist()
+    keyed = keyed.persist()
     _NTILE_CACHE.append(keyed)
     ranked = keyed.withColumn(
         "lrank",

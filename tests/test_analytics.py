@@ -6,6 +6,7 @@ import math
 from datetime import datetime, timedelta
 
 import pytest
+from pyspark.sql import functions as F
 
 from engine.spark import analytics
 from engine.spark import text as etext
@@ -532,3 +533,53 @@ def test_token_entropy_one_token_shuffle(spark):
     assert "Exchange rangepartitioning" not in plan, plan
     assert "partial_count" in plan or "partial_sum" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+# --------------------------------------------------------------- RFM
+def test_rfm_multi_ntile_composition_matches_window_ntile(spark):
+    """Three distributed_ntile calls composed in ONE DAG (the bounded
+    persist cache must keep every range frame materialized) must match
+    plain window NTILE with the same tie rule."""
+    from pyspark.sql import Window as W
+
+    from engine.spark import diagnose
+
+    rows = [(i, float(i % 7), float((i * 3) % 11), float(i)) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "user_id: long, a: double, b: double, c: double"
+    ).withColumn("seg", F.lit("all"))
+    outs = {}
+    for m in ("a", "b", "c"):
+        outs[m] = {
+            r["user_id"]: r["bucket"]
+            for r in diagnose.distributed_ntile(
+                df, "seg", m, "user_id", buckets=4
+            ).collect()
+        }
+    for m in ("a", "b", "c"):
+        w = W.orderBy(F.col(m).asc(), F.col("user_id").asc())
+        want = {
+            r["user_id"]: r["nt"]
+            for r in df.select(
+                "user_id", F.ntile(4).over(w).alias("nt")
+            ).collect()
+        }
+        assert outs[m] == want, m
+
+
+def test_ntile_same_plan_repeat_still_materialized(spark):
+    """Two identical distributed_ntile invocations (same source, same
+    args) in one session: CacheManager dedupes the persist by plan
+    equality, so the same-plan eviction must fire BEFORE re-persisting
+    or the second call would run uncached (the r5 eviction-order fix,
+    preserved under the bounded cache)."""
+    from engine.spark import diagnose
+
+    e = spark.read.parquet(SF_DIR + "/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    a = diagnose.distributed_ntile(e, "event_type", "value", "event_id")
+    first = {r["event_id"]: r["bucket"] for r in a.collect()}
+    b = diagnose.distributed_ntile(e, "event_type", "value", "event_id")
+    second = {r["event_id"]: r["bucket"] for r in b.collect()}
+    assert first == second
