@@ -4289,6 +4289,81 @@ SELECT node, rank_fp FROM r3 ORDER BY node
 """
 
 
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join (joins.interval_overlap_join):
+    2h view-windows against 90min click-windows per user, half-open
+    ranges on epoch seconds.  Bucketed equi-join + responsibility-cell
+    dedup — never an inequality nested loop; the DuckDB twin IS the
+    plain inequality join (independent algorithm)."""
+    e = _t(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        sec.alias("start"),
+        (sec + 7200).alias("end"),
+        F.col("event_id").alias("view_id"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        sec.alias("start"),
+        (sec + 5400).alias("end"),
+        F.col("event_id").alias("click_id"),
+    )
+    out = joins.interval_overlap_join(
+        views, clicks, key="user_id", bucket=7200
+    )
+    return out.orderBy("user_id", "view_id_a", "click_id_b")
+
+
+SQL_INTERVAL_OVERLAP = r"""
+WITH v AS (
+  SELECT user_id, floor(epoch(ts))::BIGINT AS s,
+         floor(epoch(ts))::BIGINT + 7200 AS e, event_id AS view_id
+  FROM events WHERE event_type = 'view'
+), c AS (
+  SELECT user_id, floor(epoch(ts))::BIGINT AS s,
+         floor(epoch(ts))::BIGINT + 5400 AS e, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+)
+SELECT v.user_id, v.s AS start_a, v.e AS end_a,
+       c.s AS start_b, c.e AS end_b,
+       v.view_id AS view_id_a, c.click_id AS click_id_b
+FROM v JOIN c ON v.user_id = c.user_id AND v.s < c.e AND c.s < v.e
+ORDER BY v.user_id, view_id_a, click_id_b
+"""
+
+
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 validity intervals from the event log: each user's
+    events ordered by (ts, event_id) become rows valid from their ts
+    until the next event's ts (NULL for the open current row) — the
+    warehouse dimension-history build.  One window per user_id (high-
+    cardinality key — the safe window shape), lead() for the closing
+    edge; the DuckDB twin is the same lead over the same order, so this
+    pins identical frame semantics across engines."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        (F.lead("ts").over(w).isNull()).alias("is_current"),
+    ).orderBy("user_id", "valid_from", "event_id")
+
+
+SQL_SCD2_INTERVALS = r"""
+SELECT user_id, event_id, event_type,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, valid_from, event_id
+"""
+
+
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation — recency/frequency/monetary quintiles per user
     — COMPOSING three distributed_ntile calls in one DAG (the scale-safe
@@ -4664,9 +4739,9 @@ FROM agg
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples the
     # first 50 keys, so entries are sorted by driver-coverage recency —
-    # the 32 never-checked round-5 additions first, then the 37 whose
-    # last green row is CORRECTNESS_r03 (32 + 37 = 69 > 50, so the last
-    # 19 stale keys wait for the r6 sample — rotate them to the head
+    # the 34 never-checked round-5 additions first, then the 37 whose
+    # last green row is CORRECTNESS_r03 (34 + 37 = 71 > 50, so the last
+    # 21 stale keys wait for the r6 sample — rotate them to the head
     # next round), then the 50 re-verified in r04.
     return {
         # -- round-5 additions (never driver-checked)
@@ -4682,6 +4757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_forward": q_asof_join_forward,
         "token_entropy": q_token_entropy,
         "rfm_segments": q_rfm_segments,
+        "scd2_intervals": q_scd2_intervals,
+        "interval_overlap": q_interval_overlap,
         "vocab_coverage": q_vocab_coverage,
         "ann_recall": q_ann_recall,
         "transcript_curation": q_transcript_curation,
@@ -4813,6 +4890,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_forward": SQL_ASOF_JOIN_FORWARD,
         "token_entropy": SQL_TOKEN_ENTROPY,
         "rfm_segments": SQL_RFM_SEGMENTS,
+        "scd2_intervals": SQL_SCD2_INTERVALS,
+        "interval_overlap": SQL_INTERVAL_OVERLAP,
         "vocab_coverage": SQL_VOCAB_COVERAGE,
         "ann_recall": SQL_ANN_RECALL,
         "transcript_curation": SQL_TRANSCRIPT_CURATION,

@@ -194,3 +194,82 @@ def range_join_bucketed(
     # result has no duplicate column names (a bare .select(key) on the
     # output would otherwise throw AMBIGUOUS_REFERENCE)
     return refined.drop(F.col(f"i.{key}")).drop("__bucket")
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    key: str,
+    bucket: int,
+    start_col: str = "start",
+    end_col: str = "end",
+    suffixes: tuple = ("_a", "_b"),
+) -> DataFrame:
+    """Interval×interval OVERLAP join (half-open [start, end) ranges,
+    same key): emits each (a, b) pair with ``a.start < b.end AND
+    b.start < a.end`` exactly once.
+
+    Scale shape — the same bucket-explode discipline as
+    ``range_join_bucketed``, extended to two interval sides: each
+    interval explodes to the ``bucket``-sized cells it covers, the join
+    is EQUI on (key, cell) — never an inequality join, which Spark
+    plans as a nested loop — a residual filter refines to true
+    overlaps, and the pair is kept only in its RESPONSIBILITY cell
+    (the cell containing max(a.start, b.start), which both intervals
+    cover whenever they overlap) so multi-cell co-occurrence never
+    duplicates output.  Blowup is bounded by interval_length/bucket per
+    row; pick ``bucket`` near the typical interval length.
+
+    ``start_col``/``end_col`` must be integral (e.g. epoch seconds)
+    with start < end: the standard overlap predicate treats an EMPTY
+    interval [x, x) as overlapping anything that covers x (both this
+    operator and any inequality-join twin share that convention), so
+    filter empty intervals out first if they can occur.
+    """
+    def cells(df, tag):
+        return df.select(
+            F.col(key),
+            F.col(start_col).alias(f"__s{tag}"),
+            F.col(end_col).alias(f"__e{tag}"),
+            *[
+                F.col(c).alias(f"{c}{tag}")
+                for c in df.columns
+                if c not in (key, start_col, end_col)
+            ],
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(start_col) / bucket),
+                    F.floor((F.col(end_col) - 1) / bucket),
+                )
+            ).alias("__cell"),
+        )
+
+    ta, tb = suffixes
+    ca, cb = cells(a, ta), cells(b, tb)
+    joined = ca.join(cb, [key, "__cell"]).where(
+        (F.col(f"__s{ta}") < F.col(f"__e{tb}"))
+        & (F.col(f"__s{tb}") < F.col(f"__e{ta}"))
+        & (
+            F.col("__cell")
+            == F.floor(
+                F.greatest(F.col(f"__s{ta}"), F.col(f"__s{tb}")) / bucket
+            )
+        )
+    )
+    return joined.select(
+        key,
+        F.col(f"__s{ta}").alias(f"{start_col}{ta}"),
+        F.col(f"__e{ta}").alias(f"{end_col}{ta}"),
+        F.col(f"__s{tb}").alias(f"{start_col}{tb}"),
+        F.col(f"__e{tb}").alias(f"{end_col}{tb}"),
+        *[
+            F.col(f"{c}{ta}")
+            for c in a.columns
+            if c not in (key, start_col, end_col)
+        ],
+        *[
+            F.col(f"{c}{tb}")
+            for c in b.columns
+            if c not in (key, start_col, end_col)
+        ],
+    )

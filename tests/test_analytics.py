@@ -583,3 +583,56 @@ def test_ntile_same_plan_repeat_still_materialized(spark):
     b = diagnose.distributed_ntile(e, "event_type", "value", "event_id")
     second = {r["event_id"]: r["bucket"] for r in b.collect()}
     assert first == second
+
+
+# --------------------------------------------- interval overlap / SCD2
+def test_interval_overlap_vs_bruteforce(spark):
+    """Bucketed overlap join == brute-force O(n²) on a fixture with
+    touching (non-overlapping half-open), nested, multi-cell-spanning
+    and cross-key intervals — each pair exactly once."""
+    from engine.spark import joins
+
+    A = [  # (key, start, end, id)
+        (1, 0, 10, 1), (1, 10, 20, 2), (1, 5, 100, 3), (2, 0, 50, 4),
+    ]
+    B = [
+        (1, 9, 11, 10), (1, 10, 10, 11), (1, 95, 200, 12), (2, 49, 60, 13),
+        (3, 0, 100, 14),
+    ]
+    a = spark.createDataFrame(A, "k: long, start: long, end: long, aid: long")
+    b = spark.createDataFrame(B, "k: long, start: long, end: long, bid: long")
+    got = sorted(
+        (r["aid_a"], r["bid_b"])
+        for r in joins.interval_overlap_join(a, b, key="k", bucket=7).collect()
+    )
+    want = sorted(
+        (aid, bid)
+        for (ka, sa, ea, aid) in A
+        for (kb, sb, eb, bid) in B
+        if ka == kb and sa < eb and sb < ea
+    )
+    assert got == want
+    assert (2, 10) in got    # [10,20) vs [9,11) overlap exactly at 10
+    assert (1, 10) in got    # touching via containment [0,10) vs [9,11)
+    assert (2, 12) not in want  # [10,20) vs [95,200): disjoint
+
+
+def test_interval_overlap_plan_equi_join_only(spark):
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.q_interval_overlap(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_scd2_intervals_shape(spark):
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.q_scd2_intervals(spark, SF_DIR).limit(500).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for u, rs in by_user.items():
+        for prev, nxt in zip(rs, rs[1:]):
+            assert prev["valid_to"] == nxt["valid_from"]  # contiguous
+            assert not prev["is_current"]
