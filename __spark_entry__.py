@@ -4736,6 +4736,280 @@ FROM agg
 """
 
 
+def q_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — customer order-count distribution: LEFT OUTER
+    join customer←orders (urgent orders excluded, the "special
+    requests" analog) so zero-order customers survive with count 0,
+    then a second aggregation over the counts.  Two shuffles total
+    (custkey join+agg share one exchange under AQE, then the tiny
+    c_count agg); pure integer counts so the twin cannot drift."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+SQL_Q13_CUSTDIST = r"""
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — promo revenue share for one month: date filter
+    pushed to the lineitem scan, conditional aggregation (CASE inside
+    SUM) over the part join so both numerator and denominator come from
+    ONE scan + ONE join + ONE partial agg.  Revenue sums stay exact
+    DECIMAL; only the final share is a rounded double.  part is joined
+    on partkey (at 100 TB part is a fact-sized table — no broadcast
+    assumption; AQE picks the strategy at small SF)."""
+    dec = lambda c: c.cast("decimal(18,4)")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-03-01"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01"))
+        )
+        .select(
+            "l_partkey",
+            dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "_rev"
+            ),
+        )
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    agg = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", F.col("_rev")).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                )
+            )
+            .cast("decimal(20,6)")
+            .alias("promo_revenue"),
+            F.sum("_rev").cast("decimal(20,6)").alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            F.lit(100.0)
+            * F.col("promo_revenue").cast("double")
+            / F.col("total_revenue").cast("double"),
+            6,
+        ).alias("promo_pct"),
+    )
+
+
+SQL_Q14_PROMO_EFFECT = r"""
+WITH agg AS (
+  SELECT
+    CAST(sum(CASE WHEN p.p_type = 'PROMO'
+             THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(20,6))
+      AS promo_revenue,
+    CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+         AS DECIMAL(20,6)) AS total_revenue
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= '1997-03-01' AND l.l_shipdate < '1997-04-01'
+)
+SELECT promo_revenue, total_revenue,
+       round(100.0 * promo_revenue::DOUBLE / total_revenue::DOUBLE, 6)
+         AS promo_pct
+FROM agg
+"""
+
+
+def q_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — revenue from small-quantity orders of one
+    brand: the correlated scalar subquery (qty < 0.2 * per-part avg)
+    decorrelated into a per-part partial agg joined back to the fact.
+    The avg compare is division-free — ``5*qty*cnt < sum_qty`` in
+    DECIMAL — so both engines decide each row identically (DECIMAL
+    division scale rules differ between Spark and DuckDB; multiplication
+    does not).  The aggregated side is per-part (small after the partial
+    agg) but NOT broadcast-forced: at 10^9 parts it exceeds broadcast
+    range and a shuffle join on partkey is the honest shape."""
+    dq = lambda c: c.cast("decimal(18,4)")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        dq(F.col("l_quantity")).alias("_qty"),
+        dq(F.col("l_extendedprice")).alias("_price"),
+    )
+    branded = li.join(p, li.l_partkey == p.p_partkey).select(
+        "l_partkey", "_qty", "_price"
+    )
+    per_part = branded.groupBy("l_partkey").agg(
+        F.sum("_qty").cast("decimal(20,4)").alias("_sum_qty"),
+        F.count("*").alias("_cnt"),
+    )
+    small = branded.join(per_part, "l_partkey").filter(
+        F.lit(5).cast("decimal(10,0)")
+        * F.col("_qty")
+        * F.col("_cnt").cast("decimal(10,0)")
+        < F.col("_sum_qty")
+    )
+    return small.agg(
+        F.round(
+            F.sum("_price").cast("decimal(20,6)").cast("double") / F.lit(7.0),
+            6,
+        ).alias("avg_yearly")
+    )
+
+
+SQL_Q17_SMALL_QTY = r"""
+WITH branded AS (
+  SELECT l.l_partkey,
+         CAST(l.l_quantity AS DECIMAL(18,4)) AS _qty,
+         CAST(l.l_extendedprice AS DECIMAL(18,4)) AS _price
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = 'Brand#13'
+),
+per_part AS (
+  SELECT l_partkey, CAST(sum(_qty) AS DECIMAL(20,4)) AS _sum_qty,
+         count(*) AS _cnt
+  FROM branded GROUP BY l_partkey
+)
+SELECT round(CAST(sum(b._price) AS DECIMAL(20,6))::DOUBLE / 7.0, 6)
+         AS avg_yearly
+FROM branded b JOIN per_part pp ON b.l_partkey = pp.l_partkey
+WHERE CAST(5 AS DECIMAL(10,0)) * b._qty * CAST(pp._cnt AS DECIMAL(10,0))
+      < pp._sum_qty
+"""
+
+
+def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — large-volume orders: GROUP BY l_orderkey
+    HAVING sum(qty) > threshold, then the qualifying key set joins back
+    to orders+customer for the report.  The HAVING side is a partial
+    agg (map-side combine) so the join input is only qualifying keys;
+    top-100 via deterministic (o_totalprice DESC, o_orderkey)
+    TakeOrdered, never a global sort.  Quantity sums in DECIMAL."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("decimal(18,4)").alias("_qty")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("_qty").cast("decimal(20,6)").alias("sum_qty"))
+        .filter(F.col("sum_qty") > F.lit(150))
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+SQL_Q18_LARGE_ORDERS = r"""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(20,6))
+           AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum_qty > 150
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice, b.sum_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC LIMIT 100
+"""
+
+
+def q_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — wealthy customers with no orders, by nation:
+    the scalar subquery (global avg positive acctbal) rides as a
+    broadcast single-row agg; the avg compare is division-free —
+    ``acctbal * cnt > sum`` in DECIMAL — so each row's verdict is
+    engine-exact; "no orders" is a LEFT ANTI join against the orders
+    key set.  Output integer counts + DECIMAL balances only."""
+    dec = lambda c: c.cast("decimal(18,4)")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", dec(F.col("c_acctbal")).alias("_bal")
+    )
+    thresh = (
+        c.filter(F.col("_bal") > 0)
+        .agg(
+            F.sum("_bal").cast("decimal(20,4)").alias("_sum_bal"),
+            F.count("*").alias("_cnt"),
+        )
+    )
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    rich = c.crossJoin(F.broadcast(thresh)).filter(
+        F.col("_bal") * F.col("_cnt").cast("decimal(10,0)")
+        > F.col("_sum_bal")
+    )
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (
+        idle.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum("_bal").cast("decimal(20,4)").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+SQL_Q22_IDLE_CUSTOMERS = r"""
+WITH c AS (
+  SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(18,4)) AS _bal
+  FROM customer
+),
+thresh AS (
+  SELECT CAST(sum(_bal) AS DECIMAL(20,4)) AS _sum_bal, count(*) AS _cnt
+  FROM c WHERE _bal > 0
+)
+SELECT c.c_nationkey, count(*) AS numcust,
+       CAST(sum(c._bal) AS DECIMAL(20,4)) AS totacctbal
+FROM c CROSS JOIN thresh t
+WHERE c._bal * CAST(t._cnt AS DECIMAL(10,0)) > t._sum_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples the
     # first 50 keys, so entries are sorted by driver-coverage recency —
@@ -4745,6 +5019,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # next round), then the 50 re-verified in r04.
     return {
         # -- round-5 additions (never driver-checked)
+        "q13_custdist": q_q13_custdist,
+        "q14_promo_effect": q_q14_promo_effect,
+        "q17_small_qty_revenue": q_q17_small_qty_revenue,
+        "q18_large_orders": q_q18_large_orders,
+        "q22_idle_customers": q_q22_idle_customers,
         "event_funnel": q_event_funnel,
         "cohort_retention": q_cohort_retention,
         "pagerank": q_pagerank,
@@ -4878,6 +5157,11 @@ def oracle_sql() -> dict[str, str]:
     # twin is pinned by tests/test_sampling.py error bounds instead.)
     return {
         # -- round-5 additions (never driver-checked)
+        "q13_custdist": SQL_Q13_CUSTDIST,
+        "q14_promo_effect": SQL_Q14_PROMO_EFFECT,
+        "q17_small_qty_revenue": SQL_Q17_SMALL_QTY,
+        "q18_large_orders": SQL_Q18_LARGE_ORDERS,
+        "q22_idle_customers": SQL_Q22_IDLE_CUSTOMERS,
         "event_funnel": SQL_EVENT_FUNNEL,
         "cohort_retention": SQL_COHORT_RETENTION,
         "pagerank": SQL_PAGERANK,
