@@ -1702,6 +1702,73 @@ SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= 0.95
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (similarity.semantic_dedup): IVF-cluster the corpus,
+    drop any vector whose cluster holds a lower-id vector with cosine
+    ≥ 0.95 — cluster-partitioned pairwise, never corpus².  Planted +0.01
+    twins of vec_id < 16 (cosine ≈ 0.997, same convention as
+    embedding_dupes) give the organic-pair-free driver table real dups
+    to drop.  The DuckDB twin retrains the identical quantizer and
+    applies the identical greedy keep-first rule."""
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    planted = base.filter(F.col("vec_id") < 16).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.01)).alias(
+            "embedding"
+        ),
+    )
+    corpus = base.unionAll(planted)
+    return similarity.semantic_dedup(
+        corpus, dim=64, n_centroids=8, threshold=0.95
+    )
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH raw AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+),
+base AS (
+  SELECT id, v FROM raw
+  UNION ALL
+  SELECT id + 100000, list_transform(v, x -> x + 0.01) FROM raw
+  WHERE id < 16
+),
+seeds AS (SELECT id AS cid, v AS c FROM base WHERE id < 8),
+cl AS (
+  SELECT list(struct_pack(cid := cid, c := c) ORDER BY cid) AS cents
+  FROM seeds
+),
+a1 AS (SELECT id, v, {_dk_assign('v')} AS cid FROM base, cl),
+dims AS (
+  SELECT cid, i AS d, v[i] AS x FROM a1, UNNEST(range(1, 65)) r(i)
+),
+means AS (SELECT cid, d, round(avg(x), 6) AS m FROM dims GROUP BY cid, d),
+cent2 AS (SELECT cid, list(m ORDER BY d) AS c FROM means GROUP BY cid),
+cent2b AS (
+  SELECT s.cid, coalesce(c2.c, s.c) AS c
+  FROM seeds s LEFT JOIN cent2 c2 USING (cid)
+),
+cl2 AS (
+  SELECT list(struct_pack(cid := cid, c := c) ORDER BY cid) AS cents
+  FROM cent2b
+),
+a2 AS (SELECT id, v, {_dk_assign('v')} AS cid FROM base, cl2),
+dropped AS (
+  SELECT DISTINCT b.id
+  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.id < b.id
+  WHERE round({_dk_cos('a.v', 'b.v')}, 6) >= 0.95
+)
+SELECT a2.id, a2.cid, (dropped.id IS NULL) AS keep
+FROM a2 LEFT JOIN dropped ON a2.id = dropped.id
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     feats = multimodal.extract_features(multimodal.media_from_documents(d))
@@ -5024,6 +5091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_qty_revenue": q_q17_small_qty_revenue,
         "q18_large_orders": q_q18_large_orders,
         "q22_idle_customers": q_q22_idle_customers,
+        "semantic_dedup": q_semantic_dedup,
         "event_funnel": q_event_funnel,
         "cohort_retention": q_cohort_retention,
         "pagerank": q_pagerank,
@@ -5162,6 +5230,7 @@ def oracle_sql() -> dict[str, str]:
         "q17_small_qty_revenue": SQL_Q17_SMALL_QTY,
         "q18_large_orders": SQL_Q18_LARGE_ORDERS,
         "q22_idle_customers": SQL_Q22_IDLE_CUSTOMERS,
+        "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "event_funnel": SQL_EVENT_FUNNEL,
         "cohort_retention": SQL_COHORT_RETENTION,
         "pagerank": SQL_PAGERANK,

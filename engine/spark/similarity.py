@@ -678,3 +678,63 @@ def ivf_incremental_topk(
         F.col(id_col), _as_double(F.col(vec_col)).alias("v")
     )
     return _ivf_query(allv, cents, n_probe, n_queries, k, id_col)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    dim: int,
+    n_centroids: int = 8,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding corpus with the
+    deterministic IVF coarse quantizer, then mark near-identical pairs
+    WITHIN each cluster only — the cluster partition turns the O(n²)
+    all-pairs problem into Σ sᵢ² bounded by the cluster granularity
+    (at 10^9 vectors you raise n_centroids so E[s] stays ~10^4; the
+    within-cluster join is an equi-join on cid, never a cross product,
+    and cid is the natural bucketing key for the pair stage).
+
+    Keep rule (deterministic, engine-portable): a vector is DROPPED iff
+    some lower-id vector in the same cluster has cosine ≥ threshold
+    with it — the greedy keep-first-seen discipline; cosine is rounded
+    to 6 dp BEFORE the compare so both engines make identical
+    threshold decisions.  Output: (id, cid, keep) for every corpus
+    vector — the keep-list joins back to the document corpus by id.
+
+    Cross-cluster near-dups are invisible by design (the published
+    SemDeDup trade: quantization error bounds the miss rate); the
+    embedding_dupes LSH path is the recall-oriented alternative.
+    """
+    cents = _centroids_lit(
+        ivf_centroids(emb, dim, n_centroids, id_col, vec_col)
+    )
+    base = emb.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    assigned = base.withColumn("cid", _argmin_cluster(F.col("v"), cents))
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+            >= F.lit(float(threshold))
+        )
+        .select(F.col("b.id").alias("id"))
+        .dropDuplicates(["id"])
+    )
+    return (
+        assigned.join(dropped.withColumn("_drop", F.lit(1)), "id", "left")
+        .select(
+            "id",
+            "cid",
+            F.col("_drop").isNull().alias("keep"),
+        )
+    )

@@ -636,3 +636,30 @@ def test_scd2_intervals_shape(spark):
         for prev, nxt in zip(rs, rs[1:]):
             assert prev["valid_to"] == nxt["valid_from"]  # contiguous
             assert not prev["is_current"]
+
+
+def test_semantic_dedup_greedy_keep_rule(spark):
+    """Planted twin clusters: three vectors at cosine ~1 of each other
+    must keep ONLY the lowest id; an isolated vector is kept."""
+    import pandas as pd
+    from engine.spark import similarity
+
+    def vec(seed, eps):
+        base = [float((seed * 31 + d * 7) % 13 - 6) for d in range(8)]
+        return [x + eps for x in base]
+
+    rows = [
+        (0, vec(1, 0.0)), (1, vec(1, 0.01)), (2, vec(1, 0.02)),  # triple
+        (10, vec(2, 0.0)), (11, vec(2, 0.01)),                    # pair
+        (20, vec(3, 0.0)),                                        # isolate
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    out = similarity.semantic_dedup(
+        df, dim=8, n_centroids=2, threshold=0.99
+    ).toPandas().set_index("id")
+    kept = sorted(out[out["keep"]].index)
+    dropped = sorted(out[~out["keep"]].index)
+    assert 0 in kept and 10 in kept and 20 in kept
+    assert 1 in dropped and 2 in dropped and 11 in dropped

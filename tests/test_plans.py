@@ -651,3 +651,19 @@ def test_bpe_merge_stats_topk_shape(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Exchange rangepartitioning" not in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_semantic_dedup_cluster_equi_join_no_cartesian(spark):
+    """SemDeDup's within-cluster pair stage must plan as an equi-join
+    on cid (the cluster partition IS the scale bound) — never a
+    cartesian/broadcast-nested-loop over the corpus — and the
+    assignment must stay a shuffle-free projection (centroids ride as
+    one folded literal)."""
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = similarity.semantic_dedup(e, dim=64, n_centroids=4, threshold=0.95)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the pair stage keys its join on cid (hashpartitioning or broadcast
+    # equi-join both print the key list with cid)
+    assert "cid" in plan
