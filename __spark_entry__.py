@@ -1769,6 +1769,57 @@ FROM a2 LEFT JOIN dropped ON a2.id = dropped.id
 """
 
 
+def q_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS value trend (diagnose.grouped_regression): slope +
+    intercept of value over days-since-1995 from one partial-agg
+    shuffle of exact-DECIMAL sufficient statistics — the metric-drift
+    detector; never a per-key sort or window.  The DuckDB twin sums
+    the same DECIMAL statistics and evaluates the identical
+    fixed-order IEEE double formula."""
+    ev = _t(spark, sf_dir, "events")
+    return diagnose.grouped_regression(
+        ev,
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1995-01-01").cast("date")),
+        F.col("value"),
+    ).orderBy("user_id")
+
+
+SQL_VALUE_TREND = r"""
+WITH base AS (
+  SELECT user_id AS key,
+         CAST(datediff('day', DATE '1995-01-01', ts::DATE)
+              AS DECIMAL(18,6)) AS x,
+         CAST(value AS DECIMAL(18,6)) AS y
+  FROM events WHERE value IS NOT NULL
+),
+agg AS (
+  SELECT key, count(*) AS n,
+         CAST(sum(x) AS DECIMAL(38,6)) AS sx,
+         CAST(sum(y) AS DECIMAL(38,6)) AS sy,
+         -- widen one operand past 18 digits: DuckDB multiplies two
+         -- int64-backed decimals in int64 and overflows; hugeint path
+         -- is exact (Spark's (37,12) product is already exact)
+         CAST(sum(CAST(x AS DECIMAL(19,6)) * y) AS DECIMAL(38,6)) AS sxy,
+         CAST(sum(CAST(x AS DECIMAL(19,6)) * x) AS DECIMAL(38,6)) AS sxx
+  FROM base GROUP BY key
+),
+d AS (
+  SELECT key, n,
+         n::DOUBLE AS nd, sx::DOUBLE AS sxd, sy::DOUBLE AS syd,
+         sxy::DOUBLE AS sxyd, sxx::DOUBLE AS sxxd
+  FROM agg WHERE n >= 2
+)
+SELECT key AS user_id, n,
+       round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6) AS slope,
+       round((syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd))
+              * sxd) / nd, 6) AS intercept
+FROM d
+WHERE (nd * sxxd - sxd * sxd) <> 0.0
+ORDER BY user_id
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     feats = multimodal.extract_features(multimodal.media_from_documents(d))
@@ -5092,6 +5143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": q_q18_large_orders,
         "q22_idle_customers": q_q22_idle_customers,
         "semantic_dedup": q_semantic_dedup,
+        "value_trend": q_value_trend,
         "event_funnel": q_event_funnel,
         "cohort_retention": q_cohort_retention,
         "pagerank": q_pagerank,
@@ -5231,6 +5283,7 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_orders": SQL_Q18_LARGE_ORDERS,
         "q22_idle_customers": SQL_Q22_IDLE_CUSTOMERS,
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
+        "value_trend": SQL_VALUE_TREND,
         "event_funnel": SQL_EVENT_FUNNEL,
         "cohort_retention": SQL_COHORT_RETENTION,
         "pagerank": SQL_PAGERANK,

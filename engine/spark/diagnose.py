@@ -373,3 +373,59 @@ def value_histogram(
         )
         .orderBy("bin")
     )
+
+
+def grouped_regression(
+    df: DataFrame,
+    key_col: str,
+    x_col,
+    y_col,
+    min_points: int = 2,
+) -> DataFrame:
+    """Per-key ordinary-least-squares trend line (slope + intercept) —
+    the metric-drift detector (is each user's / each shard's value
+    rising?) as ONE partial-aggregating shuffle on the key.
+
+    The sufficient statistics n, Σx, Σy, Σxy, Σx² are summed as exact
+    DECIMALs (callers keep |x| small — e.g. days-since-epoch, not
+    epoch seconds — so the Σx² products stay inside DECIMAL(38,6));
+    slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) and the intercept are then
+    evaluated in IEEE double with a FIXED operation order, so two
+    engines computing from the same exact sums agree bit-for-bit.
+    Keys whose x has no variance (den == 0) are dropped — no trend is
+    defined there.
+
+    Never a per-key sort, never a window: the shape survives 10^12
+    rows because only the 5 aggregates cross the wire per key.
+    """
+    d6 = lambda c: c.cast("decimal(18,6)")
+    base = df.select(
+        F.col(key_col).alias("key"),
+        d6(x_col).alias("x"),
+        d6(y_col).alias("y"),
+    ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    agg = base.groupBy("key").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("decimal(38,6)").alias("sx"),
+        F.sum("y").cast("decimal(38,6)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,6)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,6)").alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    slope = num / den
+    return (
+        agg.filter(F.col("n") >= min_points)
+        .filter(den != 0.0)
+        .select(
+            F.col("key").alias(key_col),
+            "n",
+            F.round(slope, 6).alias("slope"),
+            F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        )
+    )

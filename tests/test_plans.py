@@ -667,3 +667,21 @@ def test_semantic_dedup_cluster_equi_join_no_cartesian(spark):
     # the pair stage keys its join on cid (hashpartitioning or broadcast
     # equi-join both print the key list with cid)
     assert "cid" in plan
+
+
+def test_grouped_regression_single_partial_agg_no_window(spark):
+    """The trend fit must be ONE partial-aggregating exchange on the
+    key — sufficient statistics, never a per-key sort/window."""
+    from engine.spark import diagnose
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = diagnose.grouped_regression(
+        ev, "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1995-01-01").cast("date")),
+        F.col("value"),
+    )
+    plan = _plan(out)
+    assert plan.count("Exchange") == 1, plan
+    assert "partial" in plan.lower(), plan
+    assert "Window" not in plan, plan
+    assert "Sort" not in plan.replace("SortAggregate", ""), plan

@@ -172,3 +172,28 @@ def test_distributed_ntile_matches_window_ntile_with_nulls(spark):
     }
     assert len(got) == 500  # NULL-part rows not dropped
     assert got == want
+
+
+def test_grouped_regression_matches_numpy(spark):
+    """Slope/intercept agree with numpy lstsq on a planted line."""
+    import numpy as np
+    import pandas as pd
+    from engine.spark import diagnose
+    from pyspark.sql import functions as F
+
+    rows = []
+    for key, (m, b) in {1: (2.5, 10.0), 2: (-0.75, 3.25)}.items():
+        for x in range(12):
+            rows.append((key, float(x), m * x + b + (0.25 if x % 3 == 0 else -0.125)))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "x", "y"]))
+    got = (
+        diagnose.grouped_regression(df, "k", F.col("x"), F.col("y"))
+        .toPandas()
+        .set_index("k")
+    )
+    for key in (1, 2):
+        sub = [(x, y) for kk, x, y in rows if kk == key]
+        xs = np.array([x for x, _ in sub]); ys = np.array([y for _, y in sub])
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert abs(got.loc[key, "slope"] - slope) < 1e-6
+        assert abs(got.loc[key, "intercept"] - intercept) < 1e-6
