@@ -1820,6 +1820,72 @@ ORDER BY user_id
 """
 
 
+def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities (analytics.label_propagation, 3
+    synchronous rounds, smallest-label ties) over the same capped user
+    co-occurrence graph as triangle_counts.  Spark computes the
+    per-node mode as a struct-max partial agg (no per-node window
+    sort); the DuckDB twin uses a row_number window — an independent
+    algorithm that must land identical labels."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "user_id",
+    )
+    edges = analytics.cooccurrence_edges(
+        ev, ["event_type", "hour"], "user_id", max_group=64
+    )
+    return analytics.label_propagation(edges, iters=3).orderBy("node")
+
+
+def _lp_round(prev: str, cur: str) -> str:
+    return f"""{cur} AS (
+  SELECT l.node, coalesce(m.new_label, l.label) AS label
+  FROM {prev} l LEFT JOIN (
+    SELECT v AS node, label AS new_label FROM (
+      SELECT d.v, l2.label, count(*) AS cnt,
+             row_number() OVER (PARTITION BY d.v
+                                ORDER BY count(*) DESC, l2.label ASC) AS rn
+      FROM directed d JOIN {prev} l2 ON d.u = l2.node
+      GROUP BY d.v, l2.label
+    ) WHERE rn = 1
+  ) m ON l.node = m.node
+)"""
+
+
+SQL_COMMUNITIES = f"""
+WITH membership AS (
+  SELECT DISTINCT event_type, date_trunc('hour', ts) AS hour, user_id
+  FROM events
+),
+keep AS (
+  SELECT event_type, hour FROM membership
+  GROUP BY event_type, hour HAVING count(*) <= 64
+),
+edges AS (
+  SELECT DISTINCT a.user_id::BIGINT AS src, b.user_id::BIGINT AS dst
+  FROM membership a
+  JOIN keep k ON a.event_type = k.event_type AND a.hour = k.hour
+  JOIN membership b
+    ON a.event_type = b.event_type AND a.hour = b.hour
+   AND a.user_id < b.user_id
+),
+bidir AS (
+  SELECT src AS u, dst AS v FROM edges
+  UNION ALL SELECT dst, src FROM edges
+),
+directed AS (
+  SELECT u, v FROM bidir
+  UNION ALL SELECT DISTINCT u, u FROM bidir
+),
+r0 AS (SELECT DISTINCT u AS node, u AS label FROM bidir),
+{_lp_round('r0', 'r1')},
+{_lp_round('r1', 'r2')},
+{_lp_round('r2', 'r3')}
+SELECT node, label FROM r3 ORDER BY node
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     feats = multimodal.extract_features(multimodal.media_from_documents(d))
@@ -5144,6 +5210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_customers": q_q22_idle_customers,
         "semantic_dedup": q_semantic_dedup,
         "value_trend": q_value_trend,
+        "communities": q_communities,
         "event_funnel": q_event_funnel,
         "cohort_retention": q_cohort_retention,
         "pagerank": q_pagerank,
@@ -5284,6 +5351,7 @@ def oracle_sql() -> dict[str, str]:
         "q22_idle_customers": SQL_Q22_IDLE_CUSTOMERS,
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "value_trend": SQL_VALUE_TREND,
+        "communities": SQL_COMMUNITIES,
         "event_funnel": SQL_EVENT_FUNNEL,
         "cohort_retention": SQL_COHORT_RETENTION,
         "pagerank": SQL_PAGERANK,

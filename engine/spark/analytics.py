@@ -308,3 +308,70 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .union(tri.select(F.col("c").alias("node")))
     )
     return nodes.groupBy("node").agg(F.count("*").alias("triangles"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007), fixed ``iters`` rounds so the result is deterministic
+    and oracle-checkable: every node starts labelled with its own id;
+    each round a node adopts the most frequent label among its
+    neighbours AND itself (the self-vote variant — without it,
+    synchronous LPA oscillates forever on bipartite components, e.g.
+    any two-node community), ties broken by the SMALLEST label;
+    isolated nodes keep their current label.
+
+    Per round: one equi-join of the (≤2m)-row directed edge list
+    against the label table on src + one partial-aggregating groupBy
+    (dst, label) + one struct-max partial agg per dst — the mode is a
+    ``max(struct(cnt, -label))``, NEVER a per-node window sort, so a
+    celebrity node with 10^8 neighbours costs a mergeable aggregate,
+    not a single-reducer sort.  Rounds are unrolled dataflow (the
+    Pregel-as-dataflow shape shared with pagerank_fixedpoint); lineage
+    depth is 2·iters joins, fine for small fixed iters — checkpoint
+    like connected_components if you raise it.
+
+    Returns (node, label) — nodes sharing a label form a community.
+    """
+    und = edges.select(
+        F.col(src_col).cast("long").alias("u"),
+        F.col(dst_col).cast("long").alias("v"),
+    )
+    both = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    nodes = both.select(F.col("u").alias("node")).distinct()
+    # self-loops carry the self-vote through the same join+agg path
+    directed = both.unionByName(
+        nodes.select(F.col("node").alias("u"), F.col("node").alias("v"))
+    )
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(iters):
+        neigh = (
+            directed.join(
+                labels.withColumnRenamed("node", "u"), "u"
+            )
+            .groupBy(F.col("v").alias("node"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        mode = (
+            neigh.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.nl")).alias("new_label"))
+        )
+        labels = (
+            labels.join(mode, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+        )
+    return labels

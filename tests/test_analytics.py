@@ -663,3 +663,25 @@ def test_semantic_dedup_greedy_keep_rule(spark):
     dropped = sorted(out[~out["keep"]].index)
     assert 0 in kept and 10 in kept and 20 in kept
     assert 1 in dropped and 2 in dropped and 11 in dropped
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two disjoint triangles converge to their min-id labels; a
+    bridge-less pair keeps its own two-node community."""
+    import pandas as pd
+    from engine.spark import analytics
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (20, 21)],
+            columns=["src", "dst"],
+        )
+    )
+    out = (
+        analytics.label_propagation(edges, iters=3)
+        .toPandas()
+        .set_index("node")["label"]
+    )
+    assert set(out.loc[[1, 2, 3]]) == {1}
+    assert set(out.loc[[10, 11, 12]]) == {10}
+    assert set(out.loc[[20, 21]]) == {20}

@@ -685,3 +685,18 @@ def test_grouped_regression_single_partial_agg_no_window(spark):
     assert "partial" in plan.lower(), plan
     assert "Window" not in plan, plan
     assert "Sort" not in plan.replace("SortAggregate", ""), plan
+
+
+def test_label_propagation_no_window_no_cartesian(spark):
+    """The per-node mode must be a struct-max partial agg — never a
+    per-node window sort — and every round's join is an equi-join."""
+    from engine.spark import analytics
+    import pandas as pd
+
+    edges = spark.createDataFrame(
+        pd.DataFrame([(1, 2), (2, 3)], columns=["src", "dst"])
+    )
+    plan = _plan(analytics.label_propagation(edges, iters=2))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
