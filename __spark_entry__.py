@@ -4314,6 +4314,39 @@ GROUP BY t2.lang ORDER BY t2.lang
 """
 
 
+def q_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction (text.posting_lists): df for every
+    term as a partial agg; sorted posting lists ONLY for terms with
+    df ≤ 64 (the df-cap semi-join rides BEFORE the collect so a
+    stopword never lands on one reducer).  Postings serialize as
+    comma-joined id strings for cross-engine hashing."""
+    return etext.posting_lists(
+        _t(spark, sf_dir, "documents"), max_df=64
+    ).orderBy("term")
+
+
+SQL_POSTING_LISTS = r"""
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)),
+                                      '[ \t\n\x0b\f\r]+')) AS term
+  FROM documents
+),
+t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+df_tab AS (SELECT term, count(*) AS df FROM t2 GROUP BY term),
+postings AS (
+  SELECT term, string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+           AS postings
+  FROM t2
+  WHERE term IN (SELECT term FROM df_tab WHERE df <= 64)
+  GROUP BY term
+)
+SELECT d.term, d.df, p.postings
+FROM df_tab d LEFT JOIN postings p ON d.term = p.term
+ORDER BY d.term
+"""
+
+
 # ------------------------------------------- behavioral / graph analytics
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view → click → purchase over the event log
@@ -5211,6 +5244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "value_trend": q_value_trend,
         "communities": q_communities,
+        "posting_lists": q_posting_lists,
         "event_funnel": q_event_funnel,
         "cohort_retention": q_cohort_retention,
         "pagerank": q_pagerank,
@@ -5352,6 +5386,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "value_trend": SQL_VALUE_TREND,
         "communities": SQL_COMMUNITIES,
+        "posting_lists": SQL_POSTING_LISTS,
         "event_funnel": SQL_EVENT_FUNNEL,
         "cohort_retention": SQL_COHORT_RETENTION,
         "pagerank": SQL_PAGERANK,

@@ -897,3 +897,55 @@ def token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("entropy"),
         )
     )
+
+
+def posting_lists(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 64,
+) -> DataFrame:
+    """Inverted-index posting-list construction — the retrieval-serving
+    sink that BM25 scoring reads: one row per distinct term with its
+    document frequency and (for non-stopword terms) the sorted posting
+    list, serialized as a comma-joined id string so the row is
+    engine-hashable.
+
+    Scale discipline: ``collect_list`` on an uncapped term is the
+    classic single-reducer OOM — a stopword's postings at 10^10 docs is
+    the corpus itself.  So df is computed first as a mergeable partial
+    agg for EVERY term, and the posting array is materialized only for
+    terms with df ≤ ``max_df`` (a broadcast-able key set semi-joined
+    into the token stream BEFORE the collect) — the df-cap discipline
+    shared with ngram_jaccard_pairs/tfidf.  Capped terms keep df with a
+    NULL posting string; production shards those by (term, bucket) if
+    it needs them at all.
+    """
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), WS)
+            ).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    df_tab = toks.groupBy("term").agg(F.count("*").alias("df"))
+    small = df_tab.filter(F.col("df") <= max_df).select("term")
+    postings = (
+        toks.join(small, "term")
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.col("doc_id"))),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
+    )
+    return df_tab.join(postings, "term", "left").select(
+        "term", "df", "postings"
+    )

@@ -700,3 +700,17 @@ def test_label_propagation_no_window_no_cartesian(spark):
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_posting_lists_df_cap_before_collect(spark):
+    """The collect_list must sit above the df-cap semi-join — never
+    over the raw token stream — and df itself must partial-agg."""
+    from engine.spark import text as etext
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(etext.posting_lists(docs, max_df=8))
+    assert "CartesianProduct" not in plan, plan
+    # the collect side's input is the join with the capped term set:
+    # the plan contains a join whose build side filters on df <= 8
+    assert "<= 8" in plan, plan
+    assert "collect_list" in plan, plan
