@@ -2050,6 +2050,43 @@ HAVING window_start + INTERVAL 1 HOUR <= (SELECT w FROM wm)
 """
 
 
+def q_stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trending topics (streaming.stream_trending): bounded-
+    state windowed counts in append mode; top-3 per closed window
+    ranked on the sink read (rank is final exactly when the watermark
+    closes the window).  Oracle = batch counts restricted to closed
+    windows + the same deterministic rank."""
+    import shutil
+
+    from engine.spark import streaming
+
+    src = tempfile.mkdtemp(prefix="stream_tr_src_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/part-0.parquet")
+    ckpt = tempfile.mkdtemp(prefix="stream_tr_ckpt_")
+    outp = tempfile.mkdtemp(prefix="stream_tr_out_")
+    shutil.rmtree(outp)
+    return streaming.stream_trending(spark, src, ckpt, outp, k=3)
+
+
+SQL_STREAM_TRENDING = """
+WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events),
+counts AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+  HAVING window_start + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+),
+ranked AS (
+  SELECT window_start, event_type, n_events,
+         row_number() OVER (PARTITION BY window_start
+                            ORDER BY n_events DESC, event_type ASC) AS rank
+  FROM counts
+)
+SELECT window_start, event_type, n_events, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup (dropDuplicatesWithinWatermark, bounded
     state): emits the distinct (user_id, event_type) key set — the
@@ -5245,6 +5282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_trend": q_value_trend,
         "communities": q_communities,
         "posting_lists": q_posting_lists,
+        "stream_trending": q_stream_trending,
         "event_funnel": q_event_funnel,
         "cohort_retention": q_cohort_retention,
         "pagerank": q_pagerank,
@@ -5387,6 +5425,7 @@ def oracle_sql() -> dict[str, str]:
         "value_trend": SQL_VALUE_TREND,
         "communities": SQL_COMMUNITIES,
         "posting_lists": SQL_POSTING_LISTS,
+        "stream_trending": SQL_STREAM_TRENDING,
         "event_funnel": SQL_EVENT_FUNNEL,
         "cohort_retention": SQL_COHORT_RETENTION,
         "pagerank": SQL_PAGERANK,

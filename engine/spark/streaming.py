@@ -10,7 +10,7 @@ the reference's resume semantics via the checkpointLocation).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1040,3 +1040,37 @@ def stream_funnel(
     )
     q.awaitTermination()
     return spark.table(sink_table)
+
+
+def stream_trending(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    output_path: str,
+    k: int = 3,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming trending-topics: top-``k`` event types per closed
+    window.  The STREAM side is the bounded-state windowed count
+    (append mode + parquet sink — `stream_event_window_counts_append`);
+    the top-k rank runs as a batch window over the SINK, not inside the
+    streaming query.  That split is the production architecture, not a
+    shortcut: under append semantics a window's rows emit exactly once,
+    when the watermark closes the window — which is also the first
+    moment a per-window rank is final — so ranking belongs to the
+    serving read, where it costs one bounded per-window sort over ≤
+    |event_types| rows, and the streaming state stays the mergeable
+    count aggregate.  Ties break (n_events DESC, event_type ASC) so the
+    emitted top-k is deterministic and oracle-checkable."""
+    counts = stream_event_window_counts_append(
+        spark, events_path, checkpoint_dir, output_path, window, watermark
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("window_start", "event_type", "n_events", "rank")
+    )
