@@ -27,6 +27,7 @@ from engine.spark import (
     dedup,
     diagnose,
     joins,
+    lineage,
     mix,
     multimodal,
     pipeline,
@@ -4384,6 +4385,193 @@ ORDER BY d.term
 """
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (text.dsir_weights): per-doc log ratio
+    of an English-target hashed-token LM vs the corpus LM, add-1
+    smoothed over 1024 md5-hash buckets.  Per-bucket log-ratios round
+    to 6 dp then accumulate as DECIMAL — aggregation-order-proof; both
+    LMs are ≤1024-row partial aggs and the ratio table broadcasts."""
+    return etext.dsir_weights(
+        _t(spark, sf_dir, "documents"),
+        F.col("lang") == "en",
+        n_buckets=1024,
+    ).orderBy("doc_id")
+
+
+SQL_DSIR_WEIGHTS = r"""
+WITH toks AS (
+  SELECT doc_id, (lang = 'en') AS is_tgt,
+         unnest(regexp_split_to_array(trim(lower(text)),
+                                      '[ \t\n\x0b\f\r]+')) AS tok
+  FROM documents
+),
+t2 AS (SELECT doc_id, is_tgt, tok FROM toks WHERE tok <> ''),
+bk AS (
+  SELECT doc_id, is_tgt,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024 AS b
+  FROM t2
+),
+doc_counts AS (SELECT doc_id, b, count(*) AS c FROM bk GROUP BY doc_id, b),
+lm AS (
+  SELECT b, count(*) AS n_src,
+         sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS n_tgt
+  FROM bk GROUP BY b
+),
+tot AS (SELECT sum(n_src) AS t_src, sum(n_tgt) AS t_tgt FROM lm),
+ratio AS (
+  SELECT b,
+         round(ln((n_tgt + 1)::DOUBLE / (t_tgt + 1024)::DOUBLE)
+               - ln((n_src + 1)::DOUBLE / (t_src + 1024)::DOUBLE),
+               6) AS r
+  FROM lm CROSS JOIN tot
+)
+SELECT dc.doc_id,
+       CAST(sum(CAST(dc.c AS DECIMAL(20,6)) * CAST(ratio.r AS DECIMAL(20,6)))
+            AS DECIMAL(20,6)) AS log_weight
+FROM doc_counts dc JOIN ratio USING (b)
+GROUP BY dc.doc_id ORDER BY dc.doc_id
+"""
+
+
+def q_apply_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE (lineage.apply_changeset): an op-coded I/U/D
+    changeset — derived deterministically from events, with a second
+    higher-seq wave overriding part of the first — applied to a
+    snapshot.  Last-wins per key resolves as a struct-max partial agg
+    (no window over a hot key's history); the merge is ONE outer join.
+    The DuckDB twin re-derives last-wins with row_number — independent
+    algorithm, identical merged table."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(20,6)").alias("value"),
+    )
+    snap = ev.filter(F.col("event_id") < 3000)
+    base = ev.filter(
+        (F.col("event_id") >= 1000) & (F.col("event_id") < 4000)
+    )
+    c1 = base.select(
+        "event_id",
+        "event_type",
+        (F.col("value") + 100).cast("decimal(20,6)").alias("value"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("U"))
+        .when(F.col("event_id") % 3 == 1, F.lit("D"))
+        .otherwise(F.lit("I"))
+        .alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    c2 = base.filter(F.col("event_id") % 6 == 0).select(
+        "event_id",
+        "event_type",
+        (F.col("value") + 200).cast("decimal(20,6)").alias("value"),
+        F.lit("U").alias("op"),
+        F.lit(2).alias("seq"),
+    )
+    merged = lineage.apply_changeset(
+        snap, c1.unionByName(c2), ["event_id"], seq_col="seq", op_col="op"
+    )
+    return merged.orderBy("event_id")
+
+
+SQL_APPLY_CHANGESET = r"""
+WITH ev AS (
+  SELECT event_id, event_type, CAST(value AS DECIMAL(20,6)) AS value
+  FROM events
+),
+snap AS (SELECT * FROM ev WHERE event_id < 3000),
+base AS (SELECT * FROM ev WHERE event_id >= 1000 AND event_id < 4000),
+c1 AS (
+  SELECT event_id, event_type,
+         CAST(value + 100 AS DECIMAL(20,6)) AS value,
+         CASE WHEN event_id % 3 = 0 THEN 'U'
+              WHEN event_id % 3 = 1 THEN 'D' ELSE 'I' END AS op,
+         1 AS seq
+  FROM base
+),
+c2 AS (
+  SELECT event_id, event_type,
+         CAST(value + 200 AS DECIMAL(20,6)) AS value,
+         'U' AS op, 2 AS seq
+  FROM base WHERE event_id % 6 = 0
+),
+ch AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2),
+latest AS (
+  SELECT event_id, event_type, value, op FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY event_id
+      ORDER BY seq DESC, op DESC, event_type DESC, value DESC) AS rn
+    FROM ch
+  ) WHERE rn = 1
+)
+SELECT coalesce(s.event_id, l.event_id) AS event_id,
+       CASE WHEN l.op IS NOT NULL THEN l.event_type
+            ELSE s.event_type END AS event_type,
+       CASE WHEN l.op IS NOT NULL THEN l.value ELSE s.value END AS value
+FROM snap s FULL OUTER JOIN latest l ON s.event_id = l.event_id
+WHERE l.op IS NULL OR l.op <> 'D'
+ORDER BY event_id
+"""
+
+
+def q_context_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prompt-assembly context trimming (conversation.context_trim):
+    keep each conversation's longest turn-suffix fitting a 60-token
+    budget (final turn always kept) via one conv-keyed window cumsum
+    ordered from the end — O(1) reducer state per row."""
+    return conversation.context_trim(
+        _synthetic_turns_full(spark, sf_dir), budget_tokens=60
+    ).orderBy("conv_id", "turn_idx")
+
+
+SQL_CONTEXT_TRIM = _SQL_TURNS_FULL + r"""
+, tok AS (
+  SELECT conv_id, turn_idx, role,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text),
+                                             '[ \t\n\x0b\f\r]+')) END
+           AS n_tokens
+  FROM full_t
+),
+cum AS (
+  SELECT conv_id, turn_idx, role, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                             ROWS UNBOUNDED PRECEDING)::BIGINT
+           AS suffix_tokens,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx DESC)
+           AS pos_from_end
+  FROM tok
+)
+SELECT conv_id, turn_idx, role, n_tokens, suffix_tokens
+FROM cum WHERE suffix_tokens <= 60 OR pos_from_end = 1
+ORDER BY conv_id, turn_idx
+"""
+
+
+def q_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-k uniform sample (diagnose.uniform_sample):
+    hash-rank by md5('s0:'||doc_id), keep the 50 smallest — plans as
+    TakeOrderedAndProject, reproducible across engines (the sample
+    MEMBERSHIP is the value under test)."""
+    return (
+        diagnose.uniform_sample(
+            _t(spark, sf_dir, "documents").select("doc_id", "lang", "source"),
+            k=50,
+            id_col="doc_id",
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_UNIFORM_SAMPLE = r"""
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source
+  FROM documents
+  ORDER BY md5('s0:' || doc_id::VARCHAR) ASC, doc_id ASC
+  LIMIT 50
+) ORDER BY doc_id
+"""
+
+
 # ------------------------------------------- behavioral / graph analytics
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view → click → purchase over the event log
@@ -5265,58 +5453,15 @@ ORDER BY c.c_nationkey
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Registry ORDER is load-bearing: the driver's oracle gate samples the
-    # first 50 keys, so entries are sorted by driver-coverage recency —
-    # the 34 never-checked round-5 additions first, then the 37 whose
-    # last green row is CORRECTNESS_r03 (34 + 37 = 71 > 50, so the last
-    # 21 stale keys wait for the r6 sample — rotate them to the head
-    # next round), then the 50 re-verified in r04.
+    # Registry ORDER is load-bearing: the driver's oracle gate samples
+    # the first 50 keys.  Per the r4 verdict ask #6 the 37 keys whose
+    # last green driver row is CORRECTNESS_r03 head the r5 sample (37 +
+    # 13 of the never-checked round-5 additions fit in the 50); the
+    # remaining 35 round-5 additions — every one locally value-checked
+    # against its DuckDB twin in tests/test_entry_oracle.py each suite
+    # run — rotate to the head of the r6 sample, then the 50
+    # re-verified in r04.
     return {
-        # -- round-5 additions (never driver-checked)
-        "q13_custdist": q_q13_custdist,
-        "q14_promo_effect": q_q14_promo_effect,
-        "q17_small_qty_revenue": q_q17_small_qty_revenue,
-        "q18_large_orders": q_q18_large_orders,
-        "q22_idle_customers": q_q22_idle_customers,
-        "semantic_dedup": q_semantic_dedup,
-        "value_trend": q_value_trend,
-        "communities": q_communities,
-        "posting_lists": q_posting_lists,
-        "stream_trending": q_stream_trending,
-        "event_funnel": q_event_funnel,
-        "cohort_retention": q_cohort_retention,
-        "pagerank": q_pagerank,
-        "bm25_topk": q_bm25,
-        "triangle_counts": q_triangle_counts,
-        "stream_funnel": q_stream_funnel,
-        "heavy_hitters": q_heavy_hitters,
-        "value_histogram": q_value_histogram,
-        "q10_returned_items": q_q10_returned_items,
-        "asof_join_forward": q_asof_join_forward,
-        "token_entropy": q_token_entropy,
-        "rfm_segments": q_rfm_segments,
-        "scd2_intervals": q_scd2_intervals,
-        "interval_overlap": q_interval_overlap,
-        "vocab_coverage": q_vocab_coverage,
-        "ann_recall": q_ann_recall,
-        "transcript_curation": q_transcript_curation,
-        "bpe_merges": q_bpe_merges,
-        "table_cells": q_table_cells,
-        "ivf_incremental": q_ivf_incremental,
-        "stream_sft_examples": q_stream_sft_examples,
-        "conv_stats": q_conv_stats,
-        "role_violations": q_role_violations,
-        "chat_render": q_chat_render,
-        "sft_examples": q_sft_examples,
-        "sessionize": q_sessionize,
-        "tool_usage": q_tool_usage,
-        "stream_turn_dedup": q_stream_turn_dedup,
-        "turn_dedup": q_turn_dedup,
-        "shard_shuffle": q_shard_shuffle,
-        "mixture_sample": q_mixture_sample,
-        "substring_dup": q_substring_dup,
-        "ivf_quantized": q_ivf_quantized,
-        "ngram_lm_score": q_ngram_lm_score,
         # -- last driver row is round 3 (stale-first)
         "ocr_insert": q_ocr_insert,
         "fence_strip": q_fence_strip,
@@ -5355,6 +5500,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_pairs": q_ngram_pairs,
         "embedding_topk": q_embedding_topk,
         "minhash_lsh": q_minhash_lsh,
+        # -- round-5 additions (never driver-checked)
+        "q13_custdist": q_q13_custdist,
+        "q14_promo_effect": q_q14_promo_effect,
+        "q17_small_qty_revenue": q_q17_small_qty_revenue,
+        "q18_large_orders": q_q18_large_orders,
+        "q22_idle_customers": q_q22_idle_customers,
+        "semantic_dedup": q_semantic_dedup,
+        "value_trend": q_value_trend,
+        "communities": q_communities,
+        "posting_lists": q_posting_lists,
+        "stream_trending": q_stream_trending,
+        "dsir_weights": q_dsir_weights,
+        "apply_changeset": q_apply_changeset,
+        "context_trim": q_context_trim,
+        "uniform_sample": q_uniform_sample,
+        "event_funnel": q_event_funnel,
+        "cohort_retention": q_cohort_retention,
+        "pagerank": q_pagerank,
+        "bm25_topk": q_bm25,
+        "triangle_counts": q_triangle_counts,
+        "stream_funnel": q_stream_funnel,
+        "heavy_hitters": q_heavy_hitters,
+        "value_histogram": q_value_histogram,
+        "q10_returned_items": q_q10_returned_items,
+        "asof_join_forward": q_asof_join_forward,
+        "token_entropy": q_token_entropy,
+        "rfm_segments": q_rfm_segments,
+        "scd2_intervals": q_scd2_intervals,
+        "interval_overlap": q_interval_overlap,
+        "vocab_coverage": q_vocab_coverage,
+        "ann_recall": q_ann_recall,
+        "transcript_curation": q_transcript_curation,
+        "bpe_merges": q_bpe_merges,
+        "table_cells": q_table_cells,
+        "ivf_incremental": q_ivf_incremental,
+        "stream_sft_examples": q_stream_sft_examples,
+        "conv_stats": q_conv_stats,
+        "role_violations": q_role_violations,
+        "chat_render": q_chat_render,
+        "sft_examples": q_sft_examples,
+        "sessionize": q_sessionize,
+        "tool_usage": q_tool_usage,
+        "stream_turn_dedup": q_stream_turn_dedup,
+        "turn_dedup": q_turn_dedup,
+        "shard_shuffle": q_shard_shuffle,
+        "mixture_sample": q_mixture_sample,
+        "substring_dup": q_substring_dup,
+        "ivf_quantized": q_ivf_quantized,
+        "ngram_lm_score": q_ngram_lm_score,
         # -- green in CORRECTNESS_r04 (rotate forward when stale)
         "dup_clusters": q_dup_clusters,
         "dedup_canonical": q_dedup_canonical,
@@ -5415,51 +5609,6 @@ def oracle_sql() -> dict[str, str]:
     # (value_quantiles_approx has no oracle entry by design: the sketch
     # twin is pinned by tests/test_sampling.py error bounds instead.)
     return {
-        # -- round-5 additions (never driver-checked)
-        "q13_custdist": SQL_Q13_CUSTDIST,
-        "q14_promo_effect": SQL_Q14_PROMO_EFFECT,
-        "q17_small_qty_revenue": SQL_Q17_SMALL_QTY,
-        "q18_large_orders": SQL_Q18_LARGE_ORDERS,
-        "q22_idle_customers": SQL_Q22_IDLE_CUSTOMERS,
-        "semantic_dedup": SQL_SEMANTIC_DEDUP,
-        "value_trend": SQL_VALUE_TREND,
-        "communities": SQL_COMMUNITIES,
-        "posting_lists": SQL_POSTING_LISTS,
-        "stream_trending": SQL_STREAM_TRENDING,
-        "event_funnel": SQL_EVENT_FUNNEL,
-        "cohort_retention": SQL_COHORT_RETENTION,
-        "pagerank": SQL_PAGERANK,
-        "bm25_topk": SQL_BM25,
-        "triangle_counts": SQL_TRIANGLE_COUNTS,
-        "stream_funnel": SQL_EVENT_FUNNEL,  # shared: stream == batch exactly
-        "heavy_hitters": SQL_HEAVY_HITTERS,
-        "value_histogram": SQL_VALUE_HISTOGRAM,
-        "q10_returned_items": SQL_Q10_RETURNED_ITEMS,
-        "asof_join_forward": SQL_ASOF_JOIN_FORWARD,
-        "token_entropy": SQL_TOKEN_ENTROPY,
-        "rfm_segments": SQL_RFM_SEGMENTS,
-        "scd2_intervals": SQL_SCD2_INTERVALS,
-        "interval_overlap": SQL_INTERVAL_OVERLAP,
-        "vocab_coverage": SQL_VOCAB_COVERAGE,
-        "ann_recall": SQL_ANN_RECALL,
-        "transcript_curation": SQL_TRANSCRIPT_CURATION,
-        "bpe_merges": SQL_BPE_MERGES,
-        "table_cells": SQL_TABLE_CELLS,
-        "ivf_incremental": SQL_IVF_INCREMENTAL,
-        "stream_sft_examples": SQL_STREAM_SFT_EXAMPLES,
-        "conv_stats": SQL_CONV_STATS,
-        "role_violations": SQL_ROLE_VIOLATIONS,
-        "chat_render": SQL_CHAT_RENDER,
-        "sft_examples": SQL_SFT_EXAMPLES,
-        "sessionize": SQL_SESSIONIZE,
-        "tool_usage": SQL_TOOL_USAGE,
-        "turn_dedup": SQL_TURN_DEDUP,
-        "stream_turn_dedup": SQL_STREAM_TURN_DEDUP,
-        "shard_shuffle": SQL_SHARD_SHUFFLE,
-        "mixture_sample": SQL_MIXTURE_SAMPLE,
-        "substring_dup": SQL_SUBSTRING_DUP,
-        "ivf_quantized": SQL_IVF_QUANTIZED,
-        "ngram_lm_score": SQL_NGRAM_LM_SCORE,
         # -- last driver row is round 3 (stale-first)
         "ocr_insert": SQL_OCR_INSERT,
         "fence_strip": SQL_FENCE_STRIP,
@@ -5497,6 +5646,55 @@ def oracle_sql() -> dict[str, str]:
         "ngram_pairs": SQL_NGRAM_PAIRS,
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "minhash_lsh": SQL_MINHASH_LSH,
+        # -- round-5 additions (never driver-checked)
+        "q13_custdist": SQL_Q13_CUSTDIST,
+        "q14_promo_effect": SQL_Q14_PROMO_EFFECT,
+        "q17_small_qty_revenue": SQL_Q17_SMALL_QTY,
+        "q18_large_orders": SQL_Q18_LARGE_ORDERS,
+        "q22_idle_customers": SQL_Q22_IDLE_CUSTOMERS,
+        "semantic_dedup": SQL_SEMANTIC_DEDUP,
+        "value_trend": SQL_VALUE_TREND,
+        "communities": SQL_COMMUNITIES,
+        "posting_lists": SQL_POSTING_LISTS,
+        "stream_trending": SQL_STREAM_TRENDING,
+        "dsir_weights": SQL_DSIR_WEIGHTS,
+        "apply_changeset": SQL_APPLY_CHANGESET,
+        "context_trim": SQL_CONTEXT_TRIM,
+        "uniform_sample": SQL_UNIFORM_SAMPLE,
+        "event_funnel": SQL_EVENT_FUNNEL,
+        "cohort_retention": SQL_COHORT_RETENTION,
+        "pagerank": SQL_PAGERANK,
+        "bm25_topk": SQL_BM25,
+        "triangle_counts": SQL_TRIANGLE_COUNTS,
+        "stream_funnel": SQL_EVENT_FUNNEL,  # shared: stream == batch exactly
+        "heavy_hitters": SQL_HEAVY_HITTERS,
+        "value_histogram": SQL_VALUE_HISTOGRAM,
+        "q10_returned_items": SQL_Q10_RETURNED_ITEMS,
+        "asof_join_forward": SQL_ASOF_JOIN_FORWARD,
+        "token_entropy": SQL_TOKEN_ENTROPY,
+        "rfm_segments": SQL_RFM_SEGMENTS,
+        "scd2_intervals": SQL_SCD2_INTERVALS,
+        "interval_overlap": SQL_INTERVAL_OVERLAP,
+        "vocab_coverage": SQL_VOCAB_COVERAGE,
+        "ann_recall": SQL_ANN_RECALL,
+        "transcript_curation": SQL_TRANSCRIPT_CURATION,
+        "bpe_merges": SQL_BPE_MERGES,
+        "table_cells": SQL_TABLE_CELLS,
+        "ivf_incremental": SQL_IVF_INCREMENTAL,
+        "stream_sft_examples": SQL_STREAM_SFT_EXAMPLES,
+        "conv_stats": SQL_CONV_STATS,
+        "role_violations": SQL_ROLE_VIOLATIONS,
+        "chat_render": SQL_CHAT_RENDER,
+        "sft_examples": SQL_SFT_EXAMPLES,
+        "sessionize": SQL_SESSIONIZE,
+        "tool_usage": SQL_TOOL_USAGE,
+        "turn_dedup": SQL_TURN_DEDUP,
+        "stream_turn_dedup": SQL_STREAM_TURN_DEDUP,
+        "shard_shuffle": SQL_SHARD_SHUFFLE,
+        "mixture_sample": SQL_MIXTURE_SAMPLE,
+        "substring_dup": SQL_SUBSTRING_DUP,
+        "ivf_quantized": SQL_IVF_QUANTIZED,
+        "ngram_lm_score": SQL_NGRAM_LM_SCORE,
         # -- green in CORRECTNESS_r04 (rotate forward when stale)
         "dup_clusters": SQL_DUP_CLUSTERS,
         "dedup_canonical": SQL_DEDUP_CANONICAL,

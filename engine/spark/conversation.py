@@ -302,3 +302,49 @@ def transcript_curation(
             "drop_reason",
         )
     )
+
+
+def context_trim(turns: DataFrame, budget_tokens: int = 60) -> DataFrame:
+    """Context-window budget trimming — keep each conversation's
+    LONGEST suffix of turns whose total whitespace-token count fits
+    ``budget_tokens`` (the inference-serving prompt-assembly rule:
+    newest context survives, oldest is evicted).  The final turn is
+    always kept even when it alone busts the budget — a trimmer that
+    emits an empty conversation is wrong.
+
+    Shape: per-turn token counts are codegen projections; the suffix
+    sum is ONE window cumsum per conv_id ordered by turn_idx DESC
+    (reducer memory O(1) per row, state = running sum), sharing a
+    single conv-keyed exchange with nothing else — at 10^12 turns the
+    conv_id hash partitioning is the same key every other conversation
+    op uses, so the exchange is reusable under co-partitioned layouts.
+
+    Returns the kept turns with their token counts and the running
+    suffix total.
+    """
+    from engine.spark.text import ws_token_count
+
+    t = turns.withColumn("n_tokens", ws_token_count(F.col("text")))
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.col("turn_idx").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = t.withColumn("suffix_tokens", F.sum("n_tokens").over(w)).withColumn(
+        "_pos_from_end", F.row_number().over(
+            Window.partitionBy("conv_id").orderBy(F.col("turn_idx").desc())
+        )
+    )
+    return (
+        t.filter(
+            (F.col("suffix_tokens") <= budget_tokens)
+            | (F.col("_pos_from_end") == 1)
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "n_tokens",
+            F.col("suffix_tokens").cast("long").alias("suffix_tokens"),
+        )
+    )

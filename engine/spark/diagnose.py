@@ -429,3 +429,30 @@ def grouped_regression(
             F.round((sy - slope * sx) / n, 6).alias("intercept"),
         )
     )
+
+
+def uniform_sample(
+    df: DataFrame, k: int, id_col: str, seed: str = "s0"
+) -> DataFrame:
+    """Deterministic exact-k uniform sample without replacement: rank
+    every row by the portable md5 hash of ``seed:id`` and keep the k
+    smallest — a hash-rank reservoir that needs NO RNG state, is
+    reproducible across reruns / cluster sizes / engines, and plans as
+    TakeOrderedAndProject (distributed top-k: each partition keeps its
+    local k, the driver merges) — never a global sort, never a
+    single-pass reservoir bottleneck.
+
+    Changing ``seed`` redraws the sample independently (md5 keys are
+    pairwise-uncorrelated across seeds for practical purposes); the
+    classic use is carving deterministic eval subsets out of a
+    10^12-row corpus where `TABLESAMPLE` is neither stable nor exact.
+    """
+    key = F.md5(
+        F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
+    )
+    return (
+        df.withColumn("_sk", key)
+        .orderBy(F.col("_sk").asc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("_sk")
+    )

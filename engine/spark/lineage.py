@@ -740,3 +740,63 @@ def lineage_summary(spark: SparkSession, output_dir: str) -> DataFrame:
         F.count("*").alias("n_runs"),
     )
     return latest.orderBy("part_hash")
+
+
+def apply_changeset(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Batch MERGE: apply an op-coded CDC changeset (op ∈ I/U/D) to a
+    snapshot — the parquet-table analog of Iceberg/Delta ``MERGE INTO``
+    (this engine's stand-in while the sandbox Spark has no Iceberg jar;
+    same role as the manifest adapter above).
+
+    Semantics: per key, the LATEST change wins — resolved as
+    ``max(struct(seq, op, payload))`` so ties on ``seq`` break
+    deterministically by (op, payload) — a partial agg, never a window
+    sort over a hot key's change history.  'D' deletes the key; 'I'/'U'
+    upsert the change's payload (an I on an existing key overwrites, a
+    U on a missing key inserts — upsert semantics, matching MERGE with
+    WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT).  Untouched snapshot
+    keys pass through.
+
+    Shape at 10^12 rows: the changeset collapses to one row per changed
+    key BEFORE touching the snapshot; the merge itself is one outer
+    join on the key — broadcastable when the daily changeset is small,
+    shuffle-on-key otherwise, with the snapshot bucketed by key so the
+    join is exchange-free on the big side (pipeline.write_bucketed).
+    """
+    vals = [c for c in snapshot.columns if c not in key_cols]
+    latest = (
+        changes.groupBy(*key_cols)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(seq_col).alias("_seq"),
+                    F.col(op_col).alias("_op"),
+                    *[F.col(v).alias(v) for v in vals],
+                )
+            ).alias("_m")
+        )
+        .select(
+            *key_cols,
+            F.col("_m._op").alias("_op"),
+            *[F.col(f"_m.{v}").alias(f"_new_{v}") for v in vals],
+        )
+    )
+    merged = snapshot.join(latest, key_cols, "full_outer")
+    kept = merged.filter(
+        F.col("_op").isNull() | (F.col("_op") != F.lit("D"))
+    )
+    return kept.select(
+        *key_cols,
+        *[
+            F.when(F.col("_op").isNotNull(), F.col(f"_new_{v}"))
+            .otherwise(F.col(v))
+            .alias(v)
+            for v in vals
+        ],
+    )

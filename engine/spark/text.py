@@ -949,3 +949,89 @@ def posting_lists(
     return df_tab.join(postings, "term", "left").select(
         "term", "df", "postings"
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_pred: Column,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023,
+    arXiv:2302.03169): per-document log importance ratio between a
+    target distribution (rows matching ``target_pred``) and the full
+    corpus, over HASHED token features — the hash-bucket trick is what
+    makes the method scale-free: the feature space is a fixed
+    ``n_buckets`` regardless of vocabulary, so both "n-gram LMs" are
+    ≤ n_buckets-row tables.
+
+    log w(d) = Σ_b c_d(b) · [ln p̂_tgt(b) − ln p̂_src(b)],  add-1
+    smoothed.  Cross-engine discipline: the per-bucket log-ratio is
+    computed once in IEEE double, ROUNDED to 6 dp, and the per-doc sum
+    accumulates count × rounded-ratio as DECIMAL(20,6) — aggregation-
+    order-proof (the ngram_lm_score discipline).  Buckets hash via the
+    portable md5-prefix integer.
+
+    Shapes at 10^12 docs: token explode → (doc, bucket) partial agg;
+    the two corpus LMs are partial aggs collapsing to ≤ n_buckets
+    rows; the ratio table broadcasts back onto the per-doc bucket
+    counts; final per-doc sum is one partial-agg shuffle on doc_id.
+    The corpus is never joined against itself.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        target_pred.alias("is_tgt"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), WS)
+        ).alias("tok"),
+    ).where(F.col("tok") != "")
+    bucketed = toks.select(
+        "doc_id",
+        "is_tgt",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast(
+                "long"
+            ),
+            F.lit(n_buckets),
+        ).alias("b"),
+    )
+    doc_counts = bucketed.groupBy("doc_id", "b").agg(
+        F.count("*").alias("c")
+    )
+    lm = bucketed.groupBy("b").agg(
+        F.count("*").alias("n_src"),
+        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("n_tgt"),
+    )
+    totals = lm.agg(
+        F.sum("n_src").alias("t_src"), F.sum("n_tgt").alias("t_tgt")
+    )
+    ratio = (
+        lm.crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (F.col("n_tgt") + 1).cast("double")
+                    / (F.col("t_tgt") + n_buckets).cast("double")
+                )
+                - F.log(
+                    (F.col("n_src") + 1).cast("double")
+                    / (F.col("t_src") + n_buckets).cast("double")
+                ),
+                6,
+            ).alias("r"),
+        )
+    )
+    return (
+        doc_counts.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                (F.col("c").cast("decimal(20,6)"))
+                * F.col("r").cast("decimal(20,6)")
+            )
+            .cast("decimal(20,6)")
+            .alias("log_weight")
+        )
+    )

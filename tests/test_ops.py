@@ -858,3 +858,64 @@ def test_ivf_incremental_frozen_index(spark, emb):
     exact = similarity.brute_force_topk(emb, n_queries=6, k=5).toPandas()
     pairs = lambda d: set(zip(d.query_id, d.neighbor_id))  # noqa: E731
     assert pairs(full) == pairs(exact)
+
+
+def test_apply_changeset_iud_semantics(spark):
+    """MERGE semantics: D deletes, U updates, I inserts, U-on-missing
+    upserts, last change (by seq) wins, untouched rows pass through."""
+    import pandas as pd
+    from engine.spark import lineage
+
+    snap = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, "a"), (2, "b"), (3, "c"), (4, "d")], columns=["k", "v"]
+        )
+    )
+    changes = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (2, "b2", "U", 1),     # update
+                (3, None, "D", 1),     # delete
+                (5, "e", "I", 1),      # insert new key
+                (6, "f", "U", 1),      # upsert on missing key
+                (1, "a1", "U", 1),     # first wave...
+                (1, "a2", "U", 2),     # ...overridden by later seq
+            ],
+            columns=["k", "v", "op", "seq"],
+        )
+    )
+    got = (
+        lineage.apply_changeset(snap, changes, ["k"])
+        .toPandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(got["k"]) == [1, 2, 4, 5, 6]
+    assert dict(zip(got["k"], got["v"])) == {
+        1: "a2", 2: "b2", 4: "d", 5: "e", 6: "f"
+    }
+
+
+def test_context_trim_budget_and_last_turn(spark):
+    """Suffix within budget kept; final turn survives even when it
+    alone exceeds the budget."""
+    import pandas as pd
+    from engine.spark import conversation
+
+    rows = [
+        # conv A: tokens 5,5,5 budget 8 -> keep only last turn (5),
+        # second-to-last would make 10 > 8
+        ("A", 0, "user", "t1 t2 t3 t4 t5"),
+        ("A", 1, "assistant", "u1 u2 u3 u4 u5"),
+        ("A", 2, "user", "v1 v2 v3 v4 v5"),
+        # conv B: single giant turn (10 tokens) > budget -> still kept
+        ("B", 0, "user", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text"])
+    )
+    got = conversation.context_trim(df, budget_tokens=8).toPandas()
+    a = got[got["conv_id"] == "A"]
+    assert list(a["turn_idx"]) == [2]
+    b = got[got["conv_id"] == "B"]
+    assert list(b["turn_idx"]) == [0] and int(b["n_tokens"].iloc[0]) == 10
