@@ -1362,6 +1362,77 @@ FROM cand
 """
 
 
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-then-verify with an edit-distance verifier
+    (dedup.fuzzy_dup_pairs): MinHash-LSH candidates refined by exact
+    Levenshtein ≤ 12.  Planted twins carry a ' zq end' suffix (edit
+    distance 7, token-Jaccard ≈ 0.96) so the refine sees real nonzero
+    distances; Spark's thresholded levenshtein bails out early, the
+    DuckDB twin computes the full distance then filters — values must
+    agree exactly."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", "text")
+    )
+    dd = d.union(
+        d.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zq end")).alias("text"),
+        )
+    )
+    return dedup.fuzzy_dup_pairs(dd, max_dist=12, num_perm=32, bands=16).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+_SQL_EDITED_DOCS = """
+  SELECT doc_id, text FROM documents WHERE doc_id < 150
+  UNION ALL SELECT doc_id + 1000000 AS doc_id, text || ' zq end' AS text
+  FROM documents WHERE doc_id < 150
+"""
+
+SQL_FUZZY_PAIRS = rf"""
+WITH d AS ({_SQL_EDITED_DOCS}),
+tk AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS t FROM d
+),
+g AS (
+  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM tk, UNNEST(range(1, greatest(len(t) - 3, 0) + 2)) r(i)
+),
+gd AS (SELECT DISTINCT doc_id, shingle FROM g),
+code AS (
+  SELECT doc_id, {_H60.format(x='shingle')} % 2147483647 AS code FROM gd
+),
+per AS (
+  SELECT doc_id, i AS perm,
+         min((((i * 1103515245 + 12345) % 2147483646 + 1) * code
+              + (i * 2654435761 + 11) % 2147483647) % 2147483647) AS mh
+  FROM code, UNNEST(range(0, 32)) r(i)
+  GROUP BY doc_id, i
+),
+sig AS (SELECT doc_id, list(mh ORDER BY perm) AS sig FROM per GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, b AS band,
+         md5(b || ':' || array_to_string(sig[b*2+1 : b*2+2], '-')) AS bucket
+  FROM sig, UNNEST(range(0, 16)) r(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b, levenshtein(da.text, db.text) AS edit_dist
+FROM cand c
+JOIN d da ON da.doc_id = c.doc_a
+JOIN d db ON db.doc_id = c.doc_b
+WHERE levenshtein(da.text, db.text) <= 12
+ORDER BY c.doc_a, c.doc_b
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, portable hash, radius-derived blocking
     (max_hamming=3 → 4 chunks) — exact DuckDB twin in SQL_SIMHASH."""
@@ -4572,6 +4643,65 @@ SELECT doc_id, lang, source FROM (
 """
 
 
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source bigram type–token ratio (text.ngram_diversity):
+    zero-shuffle zip_with bigram pairing + the two-stage distinct
+    aggregate — the corpus-level self-repetition signal."""
+    return etext.ngram_diversity(_t(spark, sf_dir, "documents")).orderBy(
+        "source"
+    )
+
+
+SQL_NGRAM_DIVERSITY = r"""
+WITH tk AS (
+  SELECT source,
+         regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS t
+  FROM documents
+),
+bg AS (
+  SELECT source, array_to_string(t[i:i+1], ' ') AS bigram
+  FROM tk, UNNEST(range(1, greatest(len(t) - 1, 0) + 1)) r(i)
+  WHERE len(t) >= 2
+)
+SELECT source, count(*) AS total_bigrams,
+       count(DISTINCT bigram) AS distinct_bigrams,
+       round(count(DISTINCT bigram)::DOUBLE / count(*), 6) AS diversity
+FROM bg GROUP BY source ORDER BY source
+"""
+
+
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted per-source sampling (mix.token_budget_sample):
+    keep each source's hash-ordered prefix of docs until 800 tokens —
+    first crossing doc kept, overshoot ≤ one doc; one window cumsum
+    per low-cardinality source key."""
+    return mix.token_budget_sample(
+        _t(spark, sf_dir, "documents"), budget_tokens=800
+    ).orderBy("source", "doc_id")
+
+
+SQL_TOKEN_BUDGET_SAMPLE = r"""
+WITH t AS (
+  SELECT source AS grp, doc_id AS id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text),
+                                             '[ \t\n\x0b\f\r]+')) END
+           AS n_tokens,
+         md5('s0:' || doc_id::VARCHAR) AS sk
+  FROM documents
+),
+cum AS (
+  SELECT grp, id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY grp ORDER BY sk ASC, id ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t
+)
+SELECT grp AS source, id AS doc_id, n_tokens, cum_tokens::BIGINT AS cum_tokens
+FROM cum WHERE cum_tokens - n_tokens < 800
+ORDER BY source, doc_id
+"""
+
+
 # ------------------------------------------- behavioral / graph analytics
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view → click → purchase over the event log
@@ -5515,6 +5645,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_changeset": q_apply_changeset,
         "context_trim": q_context_trim,
         "uniform_sample": q_uniform_sample,
+        "fuzzy_pairs": q_fuzzy_pairs,
+        "ngram_diversity": q_ngram_diversity,
+        "token_budget_sample": q_token_budget_sample,
         "event_funnel": q_event_funnel,
         "cohort_retention": q_cohort_retention,
         "pagerank": q_pagerank,
@@ -5661,6 +5794,9 @@ def oracle_sql() -> dict[str, str]:
         "apply_changeset": SQL_APPLY_CHANGESET,
         "context_trim": SQL_CONTEXT_TRIM,
         "uniform_sample": SQL_UNIFORM_SAMPLE,
+        "fuzzy_pairs": SQL_FUZZY_PAIRS,
+        "ngram_diversity": SQL_NGRAM_DIVERSITY,
+        "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
         "event_funnel": SQL_EVENT_FUNNEL,
         "cohort_retention": SQL_COHORT_RETENTION,
         "pagerank": SQL_PAGERANK,

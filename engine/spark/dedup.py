@@ -903,3 +903,46 @@ def incremental_pairs_from_bands(
             "pair_type",
         )
     )
+
+
+def fuzzy_dup_pairs(
+    docs: DataFrame,
+    max_dist: int = 8,
+    num_perm: int = 32,
+    bands: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Edit-distance-refined near-dup pairs: MinHash-LSH candidate
+    generation (banded equi-join — never all-pairs) followed by an
+    EXACT Levenshtein refine at ``max_dist``.  The refine is the
+    expensive O(len²)-per-pair step, so two scale guards hold: it only
+    ever touches the banded candidate set (linear in true near-dups),
+    and Spark's threshold form ``levenshtein(a, b, max_dist)`` abandons
+    a pair's DP early once the distance provably exceeds the bound
+    (returns −1, filtered) — the band-then-verify discipline with a
+    cheap verifier bailout.
+
+    Complements est_jaccard verification: token-set Jaccard is blind to
+    within-token edits and ordering; edit distance is the right refine
+    for OCR-noise / typo-class near-duplicates.
+    """
+    cand = minhash_lsh_pairs(docs, num_perm, bands, n, text_col).select(
+        "doc_a", "doc_b"
+    )
+    t = docs.select(F.col("doc_id"), F.col(text_col).alias("_t"))
+    joined = (
+        cand.join(
+            t.select(F.col("doc_id").alias("doc_a"), F.col("_t").alias("_ta")),
+            "doc_a",
+        )
+        .join(
+            t.select(F.col("doc_id").alias("doc_b"), F.col("_t").alias("_tb")),
+            "doc_b",
+        )
+    )
+    dist = F.levenshtein(F.col("_ta"), F.col("_tb"), max_dist)
+    return (
+        joined.select("doc_a", "doc_b", dist.alias("edit_dist"))
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist))
+    )

@@ -180,3 +180,55 @@ def export_jsonl(
         .option("maxRecordsPerFile", max_records_per_file)
         .json(path)
     )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "s0",
+) -> DataFrame:
+    """Token-budgeted per-source sampling — the mixture builder's real
+    unit is TOKENS, not documents: from each source keep documents in
+    deterministic hash order until the source's running token total
+    exceeds ``budget_tokens`` (the first budget-crossing document is
+    kept, so every source with any data contributes and the overshoot
+    is bounded by one document).
+
+    Hash order (md5(seed:id)) makes the sample stable across reruns,
+    cluster sizes and engines — rerunning tomorrow's mixture job keeps
+    yesterday's picks for unchanged sources.  Shape: ONE window cumsum
+    per source key (running sum state only); at 10^12 docs the
+    source key is low-cardinality, so the window partitions by
+    (source) but each row carries O(1) state — no per-source
+    materialization — and sources parallelize across reducers.
+    """
+    from engine.spark.text import ws_token_count
+
+    t = docs.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        ws_token_count(F.col(text_col)).alias("n_tokens"),
+        F.md5(
+            F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
+        ).alias("_sk"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(F.col("_sk").asc(), F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        t.filter(
+            (F.col("cum_tokens") - F.col("n_tokens")) < budget_tokens
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        )
+    )

@@ -1035,3 +1035,50 @@ def dsir_weights(
             .alias("log_weight")
         )
     )
+
+
+def ngram_diversity(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group corpus diversity: distinct-bigram / total-bigram ratio
+    (the bigram type–token ratio) — the cheap self-repetition signal at
+    corpus granularity (a source whose crawler loops emits few distinct
+    bigrams; synthetic data collapses here long before per-doc
+    repetition_stats fire).
+
+    Shape: bigrams pair up JVM-side via zip_with over two array slices
+    (zero shuffle, no O(n²) re-split); the per-group count(DISTINCT
+    bigram) plans as the two-stage distinct aggregate — partial
+    distinct on (group, bigram), then the count — so a hot group never
+    materializes its distinct set on one reducer.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), WS)
+    n = F.size(toks)
+    bigrams = F.when(n >= 2, F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )).otherwise(F.array().cast("array<string>"))
+    ex = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(bigrams).alias("bigram"),
+    )
+    return (
+        ex.groupBy("grp")
+        .agg(
+            F.count("*").alias("total_bigrams"),
+            F.countDistinct("bigram").alias("distinct_bigrams"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "total_bigrams",
+            "distinct_bigrams",
+            F.round(
+                F.col("distinct_bigrams").cast("double")
+                / F.col("total_bigrams"),
+                6,
+            ).alias("diversity"),
+        )
+    )
