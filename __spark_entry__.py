@@ -4702,6 +4702,76 @@ ORDER BY source, doc_id
 """
 
 
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions over per-user event sequences
+    (analytics.transition_matrix): one lag window per user, |states|²
+    partial-agg matrix, row totals broadcast back — never a fact-table
+    window for the probabilities."""
+    return analytics.transition_matrix(_t(spark, sf_dir, "events")).orderBy(
+        "from_state", "to_state"
+    )
+
+
+SQL_TRANSITION_MATRIX = r"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS nxt
+  FROM events
+),
+pairs AS (
+  SELECT event_type AS from_state, nxt AS to_state
+  FROM seq WHERE nxt IS NOT NULL
+),
+counts AS (
+  SELECT from_state, to_state, count(*) AS n
+  FROM pairs GROUP BY from_state, to_state
+),
+totals AS (SELECT from_state, sum(n) AS row_n FROM counts GROUP BY from_state)
+SELECT c.from_state, c.to_state, c.n,
+       round(c.n::DOUBLE / t.row_n, 6) AS p
+FROM counts c JOIN totals t USING (from_state)
+ORDER BY c.from_state, c.to_state
+"""
+
+
+def q_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers (diagnose.anomaly_flags): exact
+    DECIMAL (n, Σx, Σx²) partial aggs broadcast back; the 3σ compare is
+    squared — division- and sqrt-free — so there is no rounding
+    boundary for engines to disagree on."""
+    return diagnose.anomaly_flags(
+        _t(spark, sf_dir, "events"),
+        key_col="event_type",
+        value_col="value",
+        id_col="event_id",
+        z=3.0,
+    ).orderBy("event_type", "event_id")
+
+
+SQL_ANOMALY_FLAGS = r"""
+WITH base AS (
+  SELECT event_type AS key, event_id AS id,
+         CAST(value AS DECIMAL(18,6)) AS x
+  FROM events WHERE value IS NOT NULL
+),
+stats AS (
+  SELECT key, count(*) AS n,
+         CAST(sum(x) AS DECIMAL(38,6)) AS sx,
+         CAST(sum(CAST(x AS DECIMAL(19,6)) * x) AS DECIMAL(38,6)) AS sxx
+  FROM base GROUP BY key HAVING count(*) >= 2
+)
+SELECT b.key AS event_type, b.id AS event_id,
+       round(b.x::DOUBLE, 6) AS value
+FROM base b JOIN stats s ON b.key = s.key
+WHERE (s.n::DOUBLE * b.x::DOUBLE - s.sx::DOUBLE)
+      * (s.n::DOUBLE * b.x::DOUBLE - s.sx::DOUBLE)
+      > 9.0 * s.n::DOUBLE
+        * (s.n::DOUBLE * s.sxx::DOUBLE - s.sx::DOUBLE * s.sx::DOUBLE)
+ORDER BY event_type, event_id
+"""
+
+
 # ------------------------------------------- behavioral / graph analytics
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view → click → purchase over the event log
@@ -5648,6 +5718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_pairs": q_fuzzy_pairs,
         "ngram_diversity": q_ngram_diversity,
         "token_budget_sample": q_token_budget_sample,
+        "transition_matrix": q_transition_matrix,
+        "anomaly_flags": q_anomaly_flags,
         "event_funnel": q_event_funnel,
         "cohort_retention": q_cohort_retention,
         "pagerank": q_pagerank,
@@ -5797,6 +5869,8 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_pairs": SQL_FUZZY_PAIRS,
         "ngram_diversity": SQL_NGRAM_DIVERSITY,
         "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
+        "transition_matrix": SQL_TRANSITION_MATRIX,
+        "anomaly_flags": SQL_ANOMALY_FLAGS,
         "event_funnel": SQL_EVENT_FUNNEL,
         "cohort_retention": SQL_COHORT_RETENTION,
         "pagerank": SQL_PAGERANK,

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def event_funnel(
@@ -375,3 +375,47 @@ def label_propagation(
             )
         )
     return labels
+
+
+def transition_matrix(
+    events: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts/probabilities over each
+    key's event sequence — the product-analytics "where do users go
+    next" matrix and the navigation-model estimator.
+
+    Consecutive pairs come from ONE lag window per key (deterministic
+    order: ts then ``tie_col``); the matrix itself is a partial agg on
+    (from_state, to_state) — |states|² rows regardless of corpus size.
+    Probabilities are round(cnt/row_total, 6) with the row total as a
+    window sum OVER THE MATRIX (|states|² rows) — deriving it from a
+    second aggregation branch would duplicate the fact-scan+window
+    subtree in the physical plan (Catalyst does not dedupe across
+    joins), doubling the 10^12-row work; the plan test pins a single
+    fact scan.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tie_col).asc()
+    )
+    pairs = (
+        events.withColumn("_next", F.lead(state_col).over(w))
+        .filter(F.col("_next").isNotNull())
+        .select(
+            F.col(state_col).alias("from_state"),
+            F.col("_next").alias("to_state"),
+        )
+    )
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count("*").alias("n")
+    )
+    row_n = F.sum("n").over(Window.partitionBy("from_state"))
+    return counts.select(
+        "from_state",
+        "to_state",
+        "n",
+        F.round(F.col("n").cast("double") / row_n, 6).alias("p"),
+    )

@@ -456,3 +456,50 @@ def uniform_sample(
         .limit(k)
         .drop("_sk")
     )
+
+
+def anomaly_flags(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    z: float = 3.0,
+) -> DataFrame:
+    """Per-key z-score outlier detection: flag rows whose value sits
+    more than ``z`` population standard deviations from the key's mean
+    — the metric-anomaly staple, two-pass and engine-exact:
+
+    pass 1: per-key (n, Σx, Σx²) as exact DECIMAL partial aggs —
+    never a float stddev whose partial-sum order drifts between
+    engines; pass 2: the per-key stats (|keys| rows) broadcast back
+    and the flag evaluates in fixed-order IEEE double
+    (n·x − Σx)² > z²·n·(n·Σx² − Σx²ᵀ).  The compare is squared —
+    division- and sqrt-free — so no rounding boundary exists at all.
+    Keys with n < 2 produce no flags (variance undefined).
+    """
+    d6 = lambda c: c.cast("decimal(18,6)")
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).alias("id"),
+        d6(F.col(value_col)).alias("x"),
+    ).where(F.col("x").isNotNull())
+    stats = base.groupBy("key").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("decimal(38,6)").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,6)").alias("sxx"),
+    ).filter(F.col("n") >= 2)
+    j = base.join(F.broadcast(stats), "key")
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    xv = F.col("x").cast("double")
+    lhs = (n * xv - sx) * (n * xv - sx)
+    rhs = F.lit(float(z * z)) * n * (n * sxx - sx * sx)
+    return (
+        j.filter(lhs > rhs)
+        .select(
+            F.col("key").alias(key_col),
+            F.col("id").alias(id_col),
+            F.round(xv, 6).alias("value"),
+        )
+    )

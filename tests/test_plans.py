@@ -714,3 +714,28 @@ def test_posting_lists_df_cap_before_collect(spark):
     # the plan contains a join whose build side filters on df <= 8
     assert "<= 8" in plan, plan
     assert "collect_list" in plan, plan
+
+
+def test_anomaly_flags_broadcast_stats_no_window(spark):
+    """Pass-2 must join BROADCAST per-key stats back onto the fact —
+    never a per-key window over the fact table."""
+    from engine.spark import diagnose
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plan = _plan(
+        diagnose.anomaly_flags(ev, "event_type", "value", "event_id")
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_transition_matrix_single_fact_scan(spark):
+    """The fact table is scanned and lag-windowed exactly once; the
+    row-total normalization is a window over the tiny matrix, not a
+    second aggregation branch duplicating the fact subtree."""
+    from engine.spark import analytics
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plan = _plan(analytics.transition_matrix(ev))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
