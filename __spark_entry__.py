@@ -3703,6 +3703,78 @@ ORDER BY doc_id, start_tok
 """
 
 
+# Planted prefix-filter fixtures: one pair exactly AT the 0.6 boundary
+# (6 shared of 10 union — '>=' must keep it) and one pair well below
+# (4/12 ≈ 0.33 — must be dropped even though the docs share prefix
+# tokens). Tokens are nonsense stems so they can't collide with corpus
+# vocabulary.
+_PFX_FIXTURES = [
+    (9300001, "zqpa zqpb zqpc zqpd zqpe zqpf zqpg zqph"),
+    (9300002, "zqpa zqpb zqpc zqpd zqpe zqpf zqxg zqxh"),
+    (9300003, "zqpa zqpb zqpc zqpd zzm1 zzm2 zzm3 zzm4"),
+]
+
+
+def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-threshold set-similarity self-join via prefix filtering
+    (dedup.prefix_filter_pairs, PPJoin-family): every pair with token
+    Jaccard ≥ 3/5, zero recall loss — the lossless counterpart to
+    minhash_lsh.  Membership decided by integer cross-multiplication
+    (5·shared ≥ 3·union), never a float compare; the DuckDB oracle runs
+    the all-pairs shared-token join, so a hash match proves the prefix
+    filter dropped NOTHING.  Fixtures plant an exactly-at-boundary pair
+    (kept) and a below-threshold pair (dropped)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150).select(
+        "doc_id", "text"
+    )
+    fixtures = spark.createDataFrame(
+        _PFX_FIXTURES, "doc_id: long, text: string"
+    )
+    return (
+        dedup.prefix_filter_pairs(d.unionByName(fixtures), threshold=(3, 5))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("shared").cast("long").alias("shared"),
+            "jaccard",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SQL_PREFIX_JACCARD = r"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 150
+  UNION ALL
+  SELECT * FROM (VALUES
+    (9300001, 'zqpa zqpb zqpc zqpd zqpe zqpf zqpg zqph'),
+    (9300002, 'zqpa zqpb zqpc zqpd zqpe zqpf zqxg zqxh'),
+    (9300003, 'zqpa zqpb zqpc zqpd zzm1 zzm2 zzm3 zzm4')
+  ) AS v(doc_id, text)
+), toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)),
+                                        '[ \t\n\x0b\f\r]+')) AS tok
+    FROM base
+  ) WHERE tok <> ''
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+), shr AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared,
+       round(shared / (sa.n + sb.n - shared), 4) AS jaccard
+FROM shr
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE 5 * shared >= 3 * (sa.n + sb.n - shared)
+ORDER BY doc_a, doc_b
+"""
+
+
 def _synthetic_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Five synthetic turns per document (user / assistant ×3 identical
     — the planted run / tool), so every conversation exercises both a
@@ -5752,6 +5824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_shuffle": q_shard_shuffle,
         "mixture_sample": q_mixture_sample,
         "substring_dup": q_substring_dup,
+        "prefix_jaccard": q_prefix_jaccard,
         "ivf_quantized": q_ivf_quantized,
         "ngram_lm_score": q_ngram_lm_score,
         # -- green in CORRECTNESS_r04 (rotate forward when stale)
@@ -5903,6 +5976,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_shuffle": SQL_SHARD_SHUFFLE,
         "mixture_sample": SQL_MIXTURE_SAMPLE,
         "substring_dup": SQL_SUBSTRING_DUP,
+        "prefix_jaccard": SQL_PREFIX_JACCARD,
         "ivf_quantized": SQL_IVF_QUANTIZED,
         "ngram_lm_score": SQL_NGRAM_LM_SCORE,
         # -- green in CORRECTNESS_r04 (rotate forward when stale)

@@ -946,3 +946,133 @@ def fuzzy_dup_pairs(
         joined.select("doc_a", "doc_b", dist.alias("edit_dist"))
         .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist))
     )
+
+
+# ----------------------------------------------- prefix-filter exact join
+def word_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct lowercase word tokens per doc: (doc_id, tok).
+
+    The unigram analogue of :func:`word_shingles` — split on the shared
+    explicit ASCII whitespace class (``text.WS``, Java/RE2-identical) so
+    the DuckDB oracle tokenizes byte-for-byte the same."""
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.split(F.trim(F.lower(F.col(text_col))), text.WS)
+                )
+            ).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+
+
+def prefix_filter_pairs(
+    docs: DataFrame,
+    threshold: tuple[int, int] = (3, 5),
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT-threshold set-similarity self-join via prefix filtering
+    (PPJoin-family, Chaudhuri/Xiao et al.) — every pair of documents
+    whose token-set Jaccard is ≥ ``threshold``, with NO recall loss.
+
+    This is the exact counterpart to :func:`minhash_lsh_pairs`: LSH is
+    probabilistic (pairs near the threshold can be missed); the prefix
+    filter is *lossless*.  For Jaccard ≥ t, two sets of sizes |a|,|b|
+    must share ≥ ceil(t/(1+t)·(|a|+|b|)) tokens, so if each doc keeps
+    only its ``|d| − ceil(t·|d|) + 1`` rarest tokens (global document
+    frequency ascending, token as tie-break), any qualifying pair is
+    GUARANTEED to collide on at least one prefix token (pigeonhole:
+    fewer than that many misses cannot leave the required intersection).
+
+    ``threshold`` is a (p, q) integer fraction — prefix lengths use
+    integer ceiling ``(p·n + q − 1) // q`` and the final filter is the
+    cross-multiplied ``q·shared ≥ p·(union)``, so NO float comparison
+    ever decides membership and the DuckDB oracle agrees bit-for-bit.
+
+    Scale shape (100 TB): candidate generation is an equi-join on
+    prefix tokens only — and prefix tokens are each document's RAREST
+    tokens, so the join's per-key fan-out is self-limiting (a stop word
+    never enters a prefix unless the doc is almost entirely stop words);
+    contrast ``ngram_jaccard_pairs`` which needs an explicit ``max_df``
+    cap.  The rank window partitions by doc_id (doc-sized partitions),
+    the verify step intersects two per-doc token arrays (bounded by
+    document length), and nothing is ever all-pairs.
+
+    Columns: (doc_a, doc_b, shared, jaccard) with jaccard rounded to 4
+    places for display; the membership predicate is integer-exact.
+    """
+    from pyspark.sql import Window
+
+    p, q = threshold
+    toks = word_tokens(docs, text_col)
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    ranked = (
+        toks.join(dfreq, "tok")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("df").asc(), F.col("tok").asc()
+                )
+            ),
+        )
+    )
+    # prefix_len = n − ceil(p·n/q) + 1, all-integer
+    prefix = (
+        ranked.join(sizes, "doc_id")
+        .filter(
+            F.col("pos")
+            <= F.col("n_tok")
+            - F.floor((p * F.col("n_tok") + q - 1) / q).cast("long")
+            + 1
+        )
+        .select("doc_id", "tok")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    tsets = toks.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("tok")).alias("_set")
+    )
+    verified = (
+        cand.join(
+            tsets.select(
+                F.col("doc_id").alias("doc_a"), F.col("_set").alias("_sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            tsets.select(
+                F.col("doc_id").alias("doc_b"), F.col("_set").alias("_sb")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("_sa", "_sb")).alias("shared"),
+            (F.size("_sa") + F.size("_sb")).alias("_sum"),
+        )
+        .filter(
+            F.lit(q) * F.col("shared")
+            >= F.lit(p) * (F.col("_sum") - F.col("shared"))
+        )
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        "shared",
+        F.round(
+            F.col("shared") / (F.col("_sum") - F.col("shared")), 4
+        ).alias("jaccard"),
+    )

@@ -919,3 +919,68 @@ def test_context_trim_budget_and_last_turn(spark):
     assert list(a["turn_idx"]) == [2]
     b = got[got["conv_id"] == "B"]
     assert list(b["turn_idx"]) == [0] and int(b["n_tokens"].iloc[0]) == 10
+
+
+# ------------------------------------------------ prefix-filter exact join
+def _random_token_docs(spark, n_docs=60, vocab=40):
+    """Deterministic corpus of token-set docs with many borderline
+    Jaccard pairs: doc i draws 6-14 tokens from a 40-token vocabulary
+    by md5 arithmetic (seed-free, engine-independent)."""
+    import hashlib
+
+    rows = []
+    for i in range(n_docs):
+        h = int(hashlib.md5(f"pfx:{i}".encode()).hexdigest(), 16)
+        k = 6 + h % 9
+        toks = sorted({f"w{(h >> (4 * j)) % vocab}" for j in range(k)})
+        rows.append((i, " ".join(toks)))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_prefix_filter_lossless_vs_brute_force(spark):
+    """The prefix filter must find EXACTLY the pairs an all-pairs exact
+    Jaccard join finds — zero recall loss is the operator's contract
+    (this is what separates it from LSH)."""
+    docs = _random_token_docs(spark)
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["shared"], r["jaccard"])
+        for r in dedup.prefix_filter_pairs(docs, threshold=(3, 5)).collect()
+    }
+    # brute force: all-pairs via shared-token equi-join (>=1 shared
+    # token; any Jaccard>=0.6 pair shares at least one token)
+    toks = dedup.word_tokens(docs)
+    sizes = {r["doc_id"]: r["n"] for r in
+             toks.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    a, b = toks.alias("a"), toks.alias("b")
+    shared = (
+        a.join(b, F.col("a.tok") == F.col("b.tok"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("s"))
+        .collect()
+    )
+    want = {}
+    for r in shared:
+        union = sizes[r["da"]] + sizes[r["db"]] - r["s"]
+        if 5 * r["s"] >= 3 * union:
+            want[(r["da"], r["db"])] = r["s"]
+    assert set(got) == set(want), (
+        f"missed={set(want)-set(got)} extra={set(got)-set(want)}"
+    )
+    for k, s in want.items():
+        assert got[k][0] == s
+
+
+def test_prefix_filter_boundary_semantics(spark):
+    """A pair exactly AT the threshold (6 shared / 10 union = 0.6) is
+    kept ('>='); a below-threshold pair sharing prefix tokens is
+    generated as a candidate but dropped by the verify."""
+    rows = [
+        (1, "zqpa zqpb zqpc zqpd zqpe zqpf zqpg zqph"),
+        (2, "zqpa zqpb zqpc zqpd zqpe zqpf zqxg zqxh"),
+        (3, "zqpa zqpb zqpc zqpd zzm1 zzm2 zzm3 zzm4"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in dedup.prefix_filter_pairs(d, threshold=(3, 5)).collect()}
+    assert out == {(1, 2): 0.6}

@@ -739,3 +739,21 @@ def test_transition_matrix_single_fact_scan(spark):
     plan = _plan(analytics.transition_matrix(ev))
     assert plan.count("Scan parquet") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_prefix_filter_equi_join_no_cartesian(spark):
+    """prefix_filter_pairs' candidate stage must plan as an equi-join
+    on tok (prefix tokens = each doc's rarest tokens, self-limiting
+    fan-out) and the verify as equi-joins on doc_a/doc_b — never a
+    cartesian or broadcast-nested-loop over the corpus; the only
+    window is the per-doc rank (partitioned by doc_id, doc-sized)."""
+    from engine.spark import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = dedup.prefix_filter_pairs(docs, threshold=(3, 5))
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "tok" in plan
