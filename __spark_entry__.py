@@ -4715,6 +4715,43 @@ SELECT doc_id, lang, source FROM (
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-k weighted sample without replacement
+    (diagnose.weighted_sample, Efraimidis–Spirakis exponential race):
+    key = −ln(u)/w with u the portable md5 60-bit hash-uniform and
+    w = length(text)+1, keep the 60 smallest — longer docs are
+    proportionally likelier, the draw is engine-reproducible, and the
+    plan is TakeOrderedAndProject (sample MEMBERSHIP is the value
+    under test)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    return (
+        diagnose.weighted_sample(
+            d,
+            k=60,
+            id_col="doc_id",
+            weight_col=F.length("text") + F.lit(1),
+        )
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+SQL_WEIGHTED_SAMPLE = r"""
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source
+  FROM documents
+  ORDER BY
+    -ln((('0x' || substr(md5('w0:' || doc_id::VARCHAR), 1, 15))::BIGINT + 1)
+        / 1152921504606846976.0)
+      / (length(text) + 1) ASC,
+    doc_id ASC
+  LIMIT 60
+) ORDER BY doc_id
+"""
+
+
 def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source bigram type–token ratio (text.ngram_diversity):
     zero-shuffle zip_with bigram pairing + the two-stage distinct
@@ -5787,6 +5824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_changeset": q_apply_changeset,
         "context_trim": q_context_trim,
         "uniform_sample": q_uniform_sample,
+        "weighted_sample": q_weighted_sample,
         "fuzzy_pairs": q_fuzzy_pairs,
         "ngram_diversity": q_ngram_diversity,
         "token_budget_sample": q_token_budget_sample,
@@ -5939,6 +5977,7 @@ def oracle_sql() -> dict[str, str]:
         "apply_changeset": SQL_APPLY_CHANGESET,
         "context_trim": SQL_CONTEXT_TRIM,
         "uniform_sample": SQL_UNIFORM_SAMPLE,
+        "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "fuzzy_pairs": SQL_FUZZY_PAIRS,
         "ngram_diversity": SQL_NGRAM_DIVERSITY,
         "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,

@@ -458,6 +458,60 @@ def uniform_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    id_col: str,
+    weight_col,
+    seed: str = "w0",
+) -> DataFrame:
+    """Deterministic exact-k weighted sample WITHOUT replacement
+    (Efraimidis–Spirakis A-ES, exponential-race form): each row gets
+    the key ``−ln(u)/w`` with ``u`` a portable hash-uniform in (0, 1]
+    and ``w`` its weight; the k SMALLEST keys are the sample.  A row's
+    inclusion probability matches sequential weighted sampling without
+    replacement — the standard result (Efraimidis & Spirakis 2006,
+    "Weighted random sampling with a reservoir"): the key is an
+    Exponential(rate=w) draw, and the race between independent
+    exponentials selects index i first with probability wᵢ/Σw.
+
+    Same scale/portability contract as :func:`uniform_sample`: no RNG
+    state, reproducible across reruns / cluster sizes / engines
+    (``u = (h60+1)/2^60`` from the md5 60-bit hash both engines
+    compute identically; DuckDB twin uses the same formula), and plans
+    as TakeOrderedAndProject — each partition keeps its local top-k,
+    the driver merges k·n_partitions candidate rows, never a global
+    sort.  The classic use: temperature-weighting a multi-source
+    training mix (weight = quality score or source multiplier) while
+    keeping the draw exactly reproducible for dataset audits.
+
+    ``weight_col`` may be a column name or Column expression; weights
+    must be strictly positive (a zero weight divides by zero — filter
+    first, matching the convention that zero-weight rows are simply
+    never sampled).
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    key = -F.log(u) / w.cast("double")
+    return (
+        df.withColumn("_ek", key)
+        .orderBy(F.col("_ek").asc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("_ek")
+    )
+
+
 def anomaly_flags(
     df: DataFrame,
     key_col: str,

@@ -197,3 +197,66 @@ def test_grouped_regression_matches_numpy(spark):
         slope, intercept = np.polyfit(xs, ys, 1)
         assert abs(got.loc[key, "slope"] - slope) < 1e-6
         assert abs(got.loc[key, "intercept"] - intercept) < 1e-6
+
+
+# --------------------------------------------- weighted sample (A-ES race)
+def test_weighted_sample_heavy_item_always_wins(spark):
+    """A weight-10^6 row among 999 weight-1 rows loses the exponential
+    race with probability ~exp(-10^6·ε) ≈ 0 — it must be in the sample
+    for every seed."""
+    from engine.spark import diagnose
+
+    rows = [(i, 1.0 if i else 1e6) for i in range(1000)]
+    d = spark.createDataFrame(rows, ["rid", "w"])
+    for seed in ("a", "b", "c"):
+        got = {
+            r["rid"]
+            for r in diagnose.weighted_sample(
+                d, k=10, id_col="rid", weight_col="w", seed=seed
+            ).collect()
+        }
+        assert 0 in got, seed
+        assert len(got) == 10
+
+
+def test_weighted_sample_inclusion_monotone_in_weight(spark):
+    """Across 30 independent seeds, a weight-20 row must be sampled
+    strictly more often than a weight-1 row (inclusion probability in
+    A-ES is monotone in weight; with k=50 of 500 rows the expected gap
+    is huge)."""
+    from engine.spark import diagnose
+
+    rows = [(i, 20.0 if i < 25 else 1.0) for i in range(500)]
+    d = spark.createDataFrame(rows, ["rid", "w"]).cache()
+    heavy = light = 0
+    for s in range(30):
+        got = {
+            r["rid"]
+            for r in diagnose.weighted_sample(
+                d, k=50, id_col="rid", weight_col="w", seed=f"s{s}"
+            ).collect()
+        }
+        heavy += sum(1 for i in got if i < 25)
+        light += sum(1 for i in got if i >= 25)
+    d.unpersist()
+    # 25 heavy rows (w=20) vs 475 light (w=1): heavy inclusion per draw
+    # ≈ 1 − ∏(1 − wᵢ/Σw_remaining) ≈ 0.9; light ≈ 0.05. 30 seeds →
+    # heavy_rate/light_rate must exceed 5 with enormous margin.
+    heavy_rate = heavy / (30 * 25)
+    light_rate = light / (30 * 475)
+    assert heavy_rate > 5 * light_rate, (heavy_rate, light_rate)
+
+
+def test_weighted_sample_plans_take_ordered(spark, docs):
+    """The sample must plan as TakeOrderedAndProject (distributed
+    top-k merge), never a global Sort+Limit of the corpus."""
+    from engine.spark import diagnose
+
+    out = diagnose.weighted_sample(
+        docs.select("doc_id", "text"),
+        k=60,
+        id_col="doc_id",
+        weight_col=F.length("text") + F.lit(1),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
