@@ -681,6 +681,45 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi-join (joins.bloom_filter_semi_join): lineitem
+    rows belonging to high-value orders (o_totalprice > 400000), with a
+    broadcast bloom bitmap dropping non-matching fact rows inside the
+    scan's codegen BEFORE the semi-join shuffle.  The oracle is the
+    plain IN-subquery semi-join — a hash match proves the bloom is
+    correctness-transparent (false positives refined away, zero false
+    negatives)."""
+    li = _t(spark, sf_dir, "lineitem")
+    hi = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    dec = lambda c: c.cast("decimal(18,4)")
+    return (
+        joins.bloom_filter_semi_join(
+            li, hi, key_col="l_orderkey", dim_key_col="o_orderkey"
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(
+                    dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_BLOOM_SEMI_JOIN = """
+SELECT l_returnflag, count(*) AS n_items,
+  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -5783,6 +5822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "running_user_value": q_running_user_value,
         "asof_join": q_asof_join,
+        "bloom_semi_join": q_bloom_semi_join,
         "range_join": q_range_join,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
@@ -5937,6 +5977,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": SQL_EVENTS_HOURLY,
         "running_user_value": SQL_RUNNING_USER_VALUE,
         "asof_join": SQL_ASOF_JOIN,
+        "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
         "range_join": SQL_RANGE_JOIN,
         "token_stats": SQL_TOKEN_STATS,
         "quality_scores": SQL_QUALITY_SCORES,

@@ -273,3 +273,84 @@ def interval_overlap_join(
             if c not in (key, start_col, end_col)
         ],
     )
+
+
+# ------------------------------------------------- bloom-pruned semi-join
+def bloom_filter_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    dim_key_col: str | None = None,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Left-semi join with an explicit broadcast Bloom-filter prefilter
+    — the shape Spark's own runtime row-group filters (and every
+    warehouse's "join pruning") use, surfaced as an operator: build a
+    tiny bitmap over the dim keys, evaluate it as a CODEGEN'D FILTER on
+    the fact scan (k xxhash64 probes against an array literal — zero
+    extra joins, zero Python), then refine the survivors with the exact
+    semi-join.  The result is EXACTLY ``fact ⋉ dim`` for any bitmap
+    size: false positives only cost refine work, never correctness.
+
+    Why this matters at 100 TB: the semi-join shuffles every fact row
+    that reaches it.  With a selective dim (say 0.1% of keys), a 1%-fp
+    bloom drops ~99% of fact rows BEFORE the exchange — the shuffle
+    shrinks by the filter's selectivity, and the filter itself rides
+    the scan inside WholeStageCodegen.
+
+    Sizing: fp ≈ (1 − e^(−k·n/m))^k; the default 2^16 bits / 5 hashes
+    holds ~9k dim keys at ~1% fp.  The bitmap is folded into the plan
+    as an array<long> literal of m/64 words, so keep m ≤ ~2^20 (16k
+    words) — past that, production Spark should lean on AQE runtime
+    filters or a broadcast hash join instead; the collect here is
+    m/64 AGGREGATED words (metadata-scale, like the lineage bucket
+    reads), never the dim rows themselves.
+    """
+    from functools import reduce as _reduce
+
+    dkc = dim_key_col or key_col
+    n_words = m_bits // 64
+    keys = dim.select(F.col(dkc).alias("_k")).distinct()
+
+    def _positions(col: Column) -> list[Column]:
+        return [
+            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits))
+            for i in range(k_hashes)
+        ]
+
+    words = (
+        keys.select(F.explode(F.array(*_positions(F.col("_k")))).alias("p"))
+        .select(
+            F.floor(F.col("p") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(1L, cast(pmod(p, 64) as int))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("word"))
+        .collect()
+    )
+    wmap = {r["w"]: r["word"] for r in words}
+    bitmap = F.array(
+        *[F.lit(wmap.get(i, 0)).cast("long") for i in range(n_words)]
+    )
+    # bit 63 must be the SIGNED long with only the sign bit set —
+    # 1 << 63 overflows py4j's long marshalling
+    bitmask = F.array(
+        *[
+            F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+            for b in range(64)
+        ]
+    )
+
+    def _probe(i: int) -> Column:
+        p = F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))
+        word = F.get(bitmap, F.floor(p / 64).cast("int"))
+        mask = F.get(bitmask, F.pmod(p, F.lit(64)).cast("int"))
+        return word.bitwiseAND(mask) != 0
+
+    pruned = fact.filter(
+        _reduce(lambda a, b: a & b, [_probe(i) for i in range(k_hashes)])
+    )
+    return pruned.join(
+        keys, pruned[key_col] == keys["_k"], "left_semi"
+    )

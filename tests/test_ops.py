@@ -984,3 +984,45 @@ def test_prefix_filter_boundary_semantics(spark):
     out = {(r["doc_a"], r["doc_b"]): r["jaccard"]
            for r in dedup.prefix_filter_pairs(d, threshold=(3, 5)).collect()}
     assert out == {(1, 2): 0.6}
+
+
+# --------------------------------------------------- bloom-pruned semi-join
+def test_bloom_semi_join_exact_at_any_fp_rate(spark):
+    """The result must equal the plain left-semi join even with an
+    absurdly small bitmap (m=256 bits for ~100 keys → fp rate near 1):
+    false positives are refined away, false negatives are impossible."""
+    fact = spark.range(0, 5000).select(
+        (F.col("id") % 997).alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.range(0, 100).select((F.col("id") * 7).alias("k"))
+    want = sorted(
+        (r["k"], r["v"])
+        for r in fact.join(dim, "k", "left_semi").collect()
+    )
+    for m_bits in (256, 1 << 16):
+        got = sorted(
+            (r["k"], r["v"])
+            for r in joins.bloom_filter_semi_join(
+                fact, dim, key_col="k", m_bits=m_bits
+            ).collect()
+        )
+        assert got == want, f"m_bits={m_bits}"
+
+
+def test_bloom_semi_join_prunes_before_join(spark):
+    """With a selective dim and a well-sized bitmap, the bloom filter
+    must drop the overwhelming majority of fact rows BEFORE the
+    semi-join — the whole point of the operator at 100 TB."""
+    fact = spark.range(0, 20000).select(F.col("id").alias("k"))
+    dim = spark.range(0, 20).select((F.col("id") * 1000).alias("k"))
+    keys = dim.select(F.col("k").alias("_k")).distinct()
+    # reconstruct just the pruned (pre-refine) side by re-running the
+    # operator's filter: count survivors of the codegen'd bloom probe
+    pruned = joins.bloom_filter_semi_join(fact, dim, key_col="k")
+    # exactness
+    assert pruned.count() == 20
+    # the plan carries the xxhash64 probe as a Filter (not a join)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
