@@ -2043,6 +2043,80 @@ FROM documents
 """
 
 
+def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs (multimodal.image_ahash +
+    ahash_pairs): REAL PNG decode → all-integer average-hash (block
+    mean vs image mean, cross-multiplied — no float decides a bit) →
+    SimHash-style banded candidate join → exact hamming refine via
+    bit_count(xor) JVM-side.  Fixtures: each ≥8×8 synthetic PNG gets a
+    one-pixel-edited variant (media_id + 7000000), so planted pairs sit
+    at hamming 0–2; the oracle re-derives every hash from the pixel
+    formula and does the all-pairs hamming join."""
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") < 120)
+            & (F.col("doc_id") % 16 + 1 >= 8)
+            & (F.col("doc_id") % 12 + 1 >= 8)
+        )
+        .select("doc_id")
+    )
+    media = multimodal.png_media_from_documents(ids).unionByName(
+        multimodal.png_media_from_documents(
+            ids, id_offset=7000000, variant_pixel0=255
+        )
+    )
+    hashes = multimodal.image_ahash(media)
+    return multimodal.ahash_pairs(hashes, max_hamming=2, bands=8).orderBy(
+        "media_a", "media_b"
+    )
+
+
+SQL_IMAGE_DEDUP = """
+WITH ids AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id < 120 AND doc_id % 16 + 1 >= 8 AND doc_id % 12 + 1 >= 8
+), imgs AS (
+  SELECT doc_id AS media_id, doc_id AS did, 0 AS v FROM ids
+  UNION ALL
+  SELECT doc_id + 7000000, doc_id, 1 FROM ids
+), px AS (
+  SELECT media_id,
+         (did % 16 + 1) AS w,
+         (did % 12 + 1) AS h,
+         list_transform(
+           range((did % 16 + 1) * (did % 12 + 1)),
+           i -> CASE WHEN v = 1 AND i = 0 THEN 255
+                     ELSE (did * 7 + i) % 256 END
+         ) AS p
+  FROM imgs
+), bits AS (
+  SELECT media_id, b,
+         list_sum(list_transform(
+           range((b // 8) * h // 8, (b // 8 + 1) * h // 8),
+           y -> list_sum(list_transform(
+                  range((b % 8) * w // 8, (b % 8 + 1) * w // 8),
+                  x -> p[y * w + x + 1]))
+         )) AS bs,
+         ((b // 8 + 1) * h // 8 - (b // 8) * h // 8)
+           * ((b % 8 + 1) * w // 8 - (b % 8) * w // 8) AS bn,
+         list_sum(p) AS ts,
+         w * h AS tn
+  FROM px, UNNEST(range(64)) AS r(b)
+), hs AS (
+  SELECT media_id,
+         string_agg(CASE WHEN bs * tn > ts * bn THEN '1' ELSE '0' END,
+                    '' ORDER BY b) AS ahash
+  FROM bits GROUP BY media_id
+)
+SELECT a.media_id AS media_a, b.media_id AS media_b,
+       hamming(a.ahash, b.ahash)::BIGINT AS hamming
+FROM hs a JOIN hs b ON a.media_id < b.media_id
+WHERE hamming(a.ahash, b.ahash) <= 2
+ORDER BY media_a, media_b
+"""
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame-sampling fan-out (row-expanding posexplode +
     binary byte slicing, zero Python) — frame payloads compared as hex."""
@@ -5912,6 +5986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube": q_events_cube,
         "quarantine": q_quarantine,
         "png_features": q_png_features,
+        "image_dedup": q_image_dedup,
         "event_type_pivot": q_event_type_pivot,
         "stream_event_counts_append": q_stream_event_counts_append,
         "stream_stream_join": q_stream_stream_join,
@@ -6066,6 +6141,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cube": SQL_EVENTS_CUBE,
         "quarantine": SQL_QUARANTINE,
         "png_features": SQL_PNG_FEATURES,
+        "image_dedup": SQL_IMAGE_DEDUP,
         "event_type_pivot": SQL_EVENT_TYPE_PIVOT,
         "stream_event_counts_append": SQL_STREAM_EVENT_COUNTS_APPEND,
         "stream_stream_join": SQL_STREAM_STREAM_JOIN,

@@ -15,7 +15,7 @@ import zlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -61,7 +61,11 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
-def png_media_from_documents(docs: DataFrame) -> DataFrame:
+def png_media_from_documents(
+    docs: DataFrame,
+    id_offset: int = 0,
+    variant_pixel0: int | None = None,
+) -> DataFrame:
     """Deterministic synthetic PNG media table (fixtures for the real
     codec path): one grayscale PNG per document, dimensions and pixels
     pure functions of doc_id, so a SQL oracle can re-derive the decoded
@@ -70,6 +74,12 @@ def png_media_from_documents(docs: DataFrame) -> DataFrame:
         width  = doc_id % 16 + 1
         height = doc_id % 12 + 1
         pixel[i] = (doc_id * 7 + i) % 256
+
+    ``id_offset`` / ``variant_pixel0`` plant near-duplicate variants:
+    the media_id shifts by the offset while the pixels stay those of
+    the BASE doc_id except pixel[0], which is overwritten — the planted
+    fixture for perceptual-hash dedup (one-pixel edit ⇒ tiny or zero
+    aHash hamming distance, re-derivable by the SQL oracle).
     """
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -78,11 +88,13 @@ def png_media_from_documents(docs: DataFrame) -> DataFrame:
             for did in ids:
                 w = int(did) % 16 + 1
                 h = int(did) % 12 + 1
-                px = bytes((int(did) * 7 + i) % 256 for i in range(w * h))
-                payloads.append(encode_png_gray(w, h, px))
+                pix = [(int(did) * 7 + i) % 256 for i in range(w * h)]
+                if variant_pixel0 is not None:
+                    pix[0] = variant_pixel0
+                payloads.append(encode_png_gray(w, h, bytes(pix)))
             yield pd.DataFrame(
                 {
-                    "media_id": ids,
+                    "media_id": ids + id_offset,
                     "kind": "image",
                     "mime": "image/png",
                     "payload": payloads,
@@ -166,7 +178,7 @@ def encode_png_gray(width: int, height: int, pixels: bytes) -> bytes:
     )
 
 
-def decode_png(payload: bytes) -> dict:
+def decode_png(payload: bytes, keep_pixels: bool = False) -> dict:
     """Real PNG decode, stdlib only: chunk walk with CRC verification,
     IHDR parse, zlib inflate, all five scanline de-filters.  Returns
     width/height/bit_depth/color_type plus two checksums over the
@@ -240,6 +252,7 @@ def decode_png(payload: bytes) -> dict:
         "color_type": color_type,
         "pixel_crc32": zlib.crc32(bytes(out)) & 0xFFFFFFFF,
         "pixel_sum": sum(out),
+        **({"pixels": bytes(out)} if keep_pixels else {}),
     }
 
 
@@ -475,4 +488,121 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     extract_features."""
     return media.select("media_id", "payload").mapInPandas(
         _audio_feature_batches, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+# --------------------------------------------- perceptual image dedup (aHash)
+def ahash_bits(width: int, height: int, pixels: bytes, grid: int = 8) -> str:
+    """Average-hash over decoded grayscale pixels, ALL-INTEGER: the
+    image is partitioned into a grid×grid block grid (block (r,c) spans
+    rows ⌊r·h/g⌋..⌊(r+1)·h/g⌋−1, the standard box-downsample), and bit
+    (r,c) is 1 iff the block's mean exceeds the image mean — compared
+    cross-multiplied (``block_sum·(w·h) > total_sum·block_n``) so no
+    float ever decides a bit and a SQL oracle reproduces the hash
+    exactly.  Returns the 64 bits as a '0'/'1' string (row-major), which
+    sidesteps signed-long edge cases and makes banding a substring.
+
+    Requires width ≥ grid and height ≥ grid (every block non-empty);
+    production thumbnails always are — filter smaller images first."""
+    if width < grid or height < grid:
+        raise ValueError(f"image {width}x{height} smaller than grid {grid}")
+    total = sum(pixels)
+    tn = width * height
+    bits = []
+    for r in range(grid):
+        y0, y1 = r * height // grid, (r + 1) * height // grid
+        for c in range(grid):
+            x0, x1 = c * width // grid, (c + 1) * width // grid
+            bs = sum(
+                pixels[y * width + x]
+                for y in range(y0, y1)
+                for x in range(x0, x1)
+            )
+            bn = (y1 - y0) * (x1 - x0)
+            bits.append("1" if bs * tn > total * bn else "0")
+    return "".join(bits)
+
+
+def image_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual hash column over the media table: decode each PNG
+    payload (the REAL stdlib codec) and emit its aHash bitstring.
+    Arrow-batched mapInPandas — the decode+hash is per-row Python by
+    necessity (it's a codec), but batches move as Arrow and nothing
+    shuffles.  Columns: (media_id, ahash)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for b in pdf["payload"]:
+                d = decode_png(bytes(b), keep_pixels=True)
+                hashes.append(
+                    ahash_bits(d["width"], d["height"], d["pixels"], grid)
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "ahash": hashes}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        gen, schema="media_id long, ahash string"
+    )
+
+
+def ahash_pairs(
+    hashes: DataFrame, max_hamming: int = 2, bands: int = 8
+) -> DataFrame:
+    """Near-duplicate image pairs by aHash hamming distance — banded
+    candidate generation exactly like SimHash text dedup: the 64-bit
+    hash splits into ``bands`` substrings, pairs collide on an equi-join
+    over (band_idx, band_value), and the refine computes the exact
+    hamming distance JVM-side (bit_count over XOR of the two 32-bit
+    halves — never per-char Python).  Pigeonhole: two hashes within
+    ``bands − 1`` hamming distance MUST share an intact band, so recall
+    is guaranteed for ``max_hamming < bands``.  Never all-pairs; the
+    fan-out per band bucket is bounded by how many images genuinely
+    share 8 identical hash bits.
+
+    Columns: (media_a, media_b, hamming)."""
+    assert max_hamming < bands, "pigeonhole guarantee needs bands > max_hamming"
+    width = 64 // bands
+    banded = hashes.select(
+        "media_id",
+        "ahash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("ahash", i * width + 1, width)
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band") == F.col("b.band")),
+        )
+        .filter(F.col("a.media_id") < F.col("b.media_id"))
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.col("a.ahash").alias("_ha"),
+            F.col("b.ahash").alias("_hb"),
+        )
+        .distinct()
+    )
+
+    def _half(col: Column, start: int) -> Column:
+        return F.conv(F.substring(col, start, 32), 2, 10).cast("long")
+
+    ham = F.bit_count(
+        _half(F.col("_ha"), 1).bitwiseXOR(_half(F.col("_hb"), 1))
+    ) + F.bit_count(
+        _half(F.col("_ha"), 33).bitwiseXOR(_half(F.col("_hb"), 33))
+    )
+    return (
+        cand.select(
+            "media_a", "media_b", ham.cast("long").alias("hamming")
+        )
+        .filter(F.col("hamming") <= max_hamming)
     )

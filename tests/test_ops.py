@@ -1026,3 +1026,68 @@ def test_bloom_semi_join_prunes_before_join(spark):
     assert "xxhash64" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------------------------------ perceptual image dedup
+def test_ahash_invariant_under_uniform_brightness(spark):
+    """aHash compares each block mean against the image mean with a
+    cross-multiplied integer test, so a uniform brightness shift that
+    doesn't wrap must leave every bit unchanged (the property that
+    makes it a PERCEPTUAL hash, not a byte hash)."""
+    w, h = 10, 9
+    base = [(i * 13) % 200 for i in range(w * h)]          # ≤ 199, +50 safe
+    shifted = [p + 50 for p in base]
+    a = multimodal.ahash_bits(w, h, bytes(base))
+    b = multimodal.ahash_bits(w, h, bytes(shifted))
+    assert a == b
+    assert len(a) == 64 and set(a) <= {"0", "1"}
+
+
+def test_ahash_pairs_banded_recall_and_exact_hamming(spark):
+    """Pairs within hamming ≤ bands−1 MUST be found (pigeonhole), and
+    the JVM bit_count(xor) refine must equal the true bit-level
+    hamming distance — including bit 63 (the signed edge)."""
+    h0 = "1" * 64
+    h1 = "1" * 60 + "0011"          # hamming 2 vs h0 (bits 60, 61)
+    h2 = "1" * 63 + "0"             # hamming 1 vs h0 (bit 63, signed edge)
+    h3 = "0110" * 16                # far from all of the above
+    hashes = spark.createDataFrame(
+        [(0, h0), (1, h1), (2, h2), (3, h3)], ["media_id", "ahash"]
+    )
+    got = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in multimodal.ahash_pairs(hashes, max_hamming=3, bands=8)
+        .collect()
+    }
+    assert got[(0, 1)] == 2
+    assert got[(0, 2)] == 1
+    assert got[(1, 2)] == 3
+    assert not any(3 in pair for pair in got)
+
+
+def test_image_ahash_real_decode_roundtrip(spark):
+    """image_ahash must hash the DECODED pixels: encode a known pixel
+    buffer through the real PNG codec, hash via the Spark path, and
+    compare against ahash_bits computed directly on the source
+    buffer."""
+    w, h = 12, 8
+    px = bytes((i * 31 + 7) % 256 for i in range(w * h))
+    payload = multimodal.encode_png_gray(w, h, px)
+    media = spark.createDataFrame(
+        [(1, "image", "image/png", bytearray(payload), {})],
+        "media_id long, kind string, mime string, payload binary, "
+        "meta map<string,string>",
+    )
+    got = multimodal.image_ahash(media).collect()[0]["ahash"]
+    assert got == multimodal.ahash_bits(w, h, px)
+
+
+def test_ahash_pairs_no_cartesian(spark):
+    hashes = spark.createDataFrame(
+        [(i, format(i * 2654435761 % (1 << 64), "064b")) for i in range(50)],
+        ["media_id", "ahash"],
+    )
+    out = multimodal.ahash_pairs(hashes, max_hamming=2, bands=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
