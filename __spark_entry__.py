@@ -2936,6 +2936,29 @@ def q_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(outp).select("conv_id", "turn_idx", "reason")
 
 
+def q_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregates answered from parquet FOOTER metadata
+    (pipeline.footer_stats): COUNT/MIN/MAX pushed into the V2 parquet
+    scan — the plan reads row-group statistics, never data pages
+    (asserted in tests/test_plans.py); confs are planning-scoped and
+    restored.  At 100 TB: a metadata round-trip instead of a scan."""
+    return pipeline.footer_stats(
+        spark,
+        f"{sf_dir}/events.parquet",
+        count=True,
+        min_cols=("event_id", "value"),
+        max_cols=("event_id", "value"),
+    )
+
+
+SQL_FOOTER_STATS = """
+SELECT count(*) AS n_rows,
+       min(event_id) AS min_event_id, min(value) AS min_value,
+       max(event_id) AS max_event_id, max(value) AS max_value
+FROM events
+"""
+
+
 def q_extraction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Operational rollup of an extraction run: turn/conv/image counts
     and total extracted bytes in one partial-agg pass over the turns
@@ -5912,6 +5935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "distinct_users": q_distinct_users,
         "key_profile": q_key_profile,
+        "footer_stats": q_footer_stats,
         "json_fields": q_json_fields,
         "q5_local_supplier": q_q5_local_supplier,
         "latest_events": q_latest_events,
@@ -6067,6 +6091,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "distinct_users": SQL_DISTINCT_USERS,
         "key_profile": SQL_KEY_PROFILE,
+        "footer_stats": SQL_FOOTER_STATS,
         "json_fields": SQL_JSON_FIELDS,
         "q5_local_supplier": SQL_Q5_LOCAL_SUPPLIER,
         "latest_events": SQL_LATEST_EVENTS,

@@ -299,3 +299,59 @@ def write_bucketed(
     else:
         w = w.bucketBy(n_buckets, bucket_col)
     w.saveAsTable(table_name)
+
+
+def footer_stats(
+    spark,
+    path: str,
+    count: bool = True,
+    min_cols: tuple[str, ...] = (),
+    max_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """COUNT/MIN/MAX answered from parquet FOOTER metadata — zero data
+    pages read (Spark's DSv2 aggregate pushdown, surfaced as an
+    operator).  At 100 TB this is the difference between a metadata
+    round-trip and a full scan: row-group headers already carry
+    row counts and per-column min/max, so the "scan" returns one
+    pre-aggregated row per file split.
+
+    Spark only applies the pushdown through the V2 parquet source with
+    ``spark.sql.parquet.aggregatePushdown`` on; both confs are set for
+    PLANNING only and restored before returning — the physical plan is
+    forced eagerly (QueryExecution caches it), so the returned
+    DataFrame keeps its pushed plan while the session's source
+    selection is left exactly as found.  Falls back transparently (same
+    results, data-page scan) for types parquet stats can't serve.
+
+    Mirrors write_zordered's min/max-stats story from the READ side:
+    the same footer statistics that prune z-ordered scans also answer
+    these aggregates outright.
+    """
+    conf = spark.conf
+    prev_push = conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    prev_v1 = conf.get("spark.sql.sources.useV1SourceList")
+    conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    conf.set(
+        "spark.sql.sources.useV1SourceList",
+        ",".join(
+            s for s in (prev_v1 or "").split(",") if s and s != "parquet"
+        ),
+    )
+    try:
+        aggs = []
+        if count:
+            aggs.append(F.count(F.lit(1)).alias("n_rows"))
+        aggs += [F.min(c).alias(f"min_{c}") for c in min_cols]
+        aggs += [F.max(c).alias(f"max_{c}") for c in max_cols]
+        out = spark.read.parquet(path).agg(*aggs)
+        # force physical planning NOW, while the pushdown confs hold;
+        # QueryExecution is cached on the DataFrame, so later actions
+        # reuse the pushed plan even after the confs are restored
+        out._jdf.queryExecution().executedPlan()
+        return out
+    finally:
+        conf.set("spark.sql.parquet.aggregatePushdown", prev_push)
+        if prev_v1 is None:
+            conf.unset("spark.sql.sources.useV1SourceList")
+        else:
+            conf.set("spark.sql.sources.useV1SourceList", prev_v1)

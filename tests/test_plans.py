@@ -757,3 +757,35 @@ def test_prefix_filter_equi_join_no_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "tok" in plan
+
+
+def test_footer_stats_pushes_aggregates_and_restores_confs(spark):
+    """COUNT/MIN/MAX must appear as PushedAggregation on the V2 parquet
+    scan (answered from row-group metadata, zero data pages), the
+    values must match a plain scan, and the planning-scoped confs must
+    be restored exactly."""
+    prev_push = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    prev_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    out = pipeline.footer_stats(
+        spark,
+        f"{SF_DIR}/events.parquet",
+        min_cols=("event_id",),
+        max_cols=("event_id",),
+    )
+    plan = _plan(out)
+    assert "PushedAggregation: [COUNT(*), MIN(event_id), MAX(event_id)]" in plan, plan
+    assert spark.conf.get("spark.sql.parquet.aggregatePushdown", "false") == prev_push
+    assert spark.conf.get("spark.sql.sources.useV1SourceList") == prev_v1
+    row = out.collect()[0]
+    want = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("mn"),
+            F.max("event_id").alias("mx"),
+        )
+        .collect()[0]
+    )
+    assert (row["n_rows"], row["min_event_id"], row["max_event_id"]) == (
+        want["n"], want["mn"], want["mx"],
+    )
