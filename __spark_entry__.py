@@ -2936,6 +2936,41 @@ def q_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(outp).select("conv_id", "turn_idx", "reason")
 
 
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column catalog stats in ONE scan (diagnose.column_profile,
+    the ANALYZE TABLE analog): (col, n_nonnull, n_null, ndv) for five
+    events columns via a single multi-DISTINCT agg (one Expand pass)
+    melted with stack().  Exact NDV is the oracle pin; production flips
+    exact_ndv=False for the mergeable HLL path (distinct_users twin
+    discipline)."""
+    return diagnose.column_profile(
+        _t(spark, sf_dir, "events"),
+        cols=["event_id", "user_id", "event_type", "value", "props"],
+    ).orderBy("col")
+
+
+SQL_COLUMN_PROFILE = """
+WITH s AS (
+  SELECT 'event_id' AS col, count(event_id) AS n_nonnull,
+         count(*) - count(event_id) AS n_null,
+         count(DISTINCT event_id) AS ndv FROM events
+  UNION ALL
+  SELECT 'user_id', count(user_id), count(*) - count(user_id),
+         count(DISTINCT user_id) FROM events
+  UNION ALL
+  SELECT 'event_type', count(event_type), count(*) - count(event_type),
+         count(DISTINCT event_type) FROM events
+  UNION ALL
+  SELECT 'value', count(value), count(*) - count(value),
+         count(DISTINCT value) FROM events
+  UNION ALL
+  SELECT 'props', count(props), count(*) - count(props),
+         count(DISTINCT props) FROM events
+)
+SELECT * FROM s ORDER BY col
+"""
+
+
 def q_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregates answered from parquet FOOTER metadata
     (pipeline.footer_stats): COUNT/MIN/MAX pushed into the V2 parquet
@@ -5936,6 +5971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users": q_distinct_users,
         "key_profile": q_key_profile,
         "footer_stats": q_footer_stats,
+        "column_profile": q_column_profile,
         "json_fields": q_json_fields,
         "q5_local_supplier": q_q5_local_supplier,
         "latest_events": q_latest_events,
@@ -6092,6 +6128,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users": SQL_DISTINCT_USERS,
         "key_profile": SQL_KEY_PROFILE,
         "footer_stats": SQL_FOOTER_STATS,
+        "column_profile": SQL_COLUMN_PROFILE,
         "json_fields": SQL_JSON_FIELDS,
         "q5_local_supplier": SQL_Q5_LOCAL_SUPPLIER,
         "latest_events": SQL_LATEST_EVENTS,

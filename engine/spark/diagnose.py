@@ -557,3 +557,43 @@ def anomaly_flags(
             F.round(xv, 6).alias("value"),
         )
     )
+
+
+def column_profile(
+    df: DataFrame, cols: list[str], exact_ndv: bool = True
+) -> DataFrame:
+    """Per-column table profile — the ANALYZE TABLE / catalog-stats
+    analog: one row per column with (col, n_nonnull, n_null, ndv).
+    These are the statistics a cost-based optimizer and a data-quality
+    gate both start from (join-size estimation, null-rate alerts,
+    key-uniqueness checks: a column is a candidate key iff
+    ndv = n_nonnull = table rows).
+
+    ONE scan: every per-column aggregate rides in a single agg() (the
+    multi-DISTINCT form plans as one Expand over the scan — one pass
+    over the data, row growth × |cols|), and the single stats row is
+    melted to per-column rows with stack() — a 1×(3·|cols|) literal
+    reshape, no second job.
+
+    ``exact_ndv=False`` swaps count(distinct) for HLL
+    approx_count_distinct — the 100 TB default (no Expand blowup, one
+    mergeable sketch per column; same twin discipline as
+    distinct_users): exact NDV is the ORACLE pin, the sketch is the
+    production path.
+    """
+    ndv = (
+        (lambda c: F.countDistinct(F.col(c)))
+        if exact_ndv
+        else (lambda c: F.approx_count_distinct(F.col(c)))
+    )
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
+        aggs.append(ndv(c).alias(f"_ndv_{c}"))
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _nn_{c}, _n - _nn_{c}, _ndv_{c}" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (col, n_nonnull, n_null, ndv)"
+    )

@@ -789,3 +789,29 @@ def test_footer_stats_pushes_aggregates_and_restores_confs(spark):
     assert (row["n_rows"], row["min_event_id"], row["max_event_id"]) == (
         want["n"], want["mn"], want["mx"],
     )
+
+
+def test_column_profile_single_scan_and_hll_twin(spark):
+    """Exact mode: ONE scan (a single Expand over one parquet scan —
+    count the scans in the plan), and the stack() reshape adds no
+    second job.  Sketch mode: approx NDV within HLL tolerance of
+    exact, no Expand at all."""
+    from engine.spark import diagnose
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    cols = ["event_id", "user_id", "event_type"]
+    exact = diagnose.column_profile(ev, cols)
+    plan = _plan(exact)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan
+    got = {r["col"]: r for r in exact.collect()}
+    approx = {
+        r["col"]: r
+        for r in diagnose.column_profile(ev, cols, exact_ndv=False).collect()
+    }
+    aplan = _plan(diagnose.column_profile(ev, cols, exact_ndv=False))
+    assert "Expand" not in aplan, aplan
+    for c in cols:
+        assert got[c]["n_nonnull"] + got[c]["n_null"] == 10000
+        # HLL default rsd = 5%
+        assert abs(approx[c]["ndv"] - got[c]["ndv"]) <= 0.2 * got[c]["ndv"]
