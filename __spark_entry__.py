@@ -5935,8 +5935,11 @@ ORDER BY c.c_nationkey
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples
     # the first 50 keys.  Per the r4 verdict ask #6 the 37 keys whose
-    # last green driver row is CORRECTNESS_r03 head the r5 sample (37 +
-    # 13 of the never-checked round-5 additions fit in the 50); the
+    # last green driver row is CORRECTNESS_r03 head the r5 sample,
+    # interleaved with this round's late additions (bloom_semi_join,
+    # footer_stats, column_profile — never driver-checked, so they
+    # outrank the locally-verified r5 keys they displace); ~10 of the
+    # other never-checked round-5 additions still fit in the 50; the
     # remaining 35 round-5 additions — every one locally value-checked
     # against its DuckDB twin in tests/test_entry_oracle.py each suite
     # run — rotate to the head of the r6 sample, then the 50
