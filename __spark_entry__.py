@@ -4297,6 +4297,43 @@ ORDER BY conv_id, turn_idx
 """
 
 
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE session_window aggregation (conversation.session_window_agg)
+    — Spark's dedicated merging-sessions path, the same expression that
+    runs under a streaming watermark.  Boundary semantics pinned by the
+    oracle: a gap strictly GREATER than 30 min opens a new session
+    (an event landing exactly on the previous window's end merges —
+    same rule as sessionize's lag test, pinned by a unit test); bounds
+    emitted as unix_micros integers so no float epoch reaches the
+    compare."""
+    return conversation.session_window_agg(
+        _t(spark, sf_dir, "events"), gap="30 minutes"
+    ).orderBy("user_id", "start_us")
+
+
+SQL_SESSION_WINDOW = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, value FROM events
+), f AS (
+  SELECT user_id, us, value,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us)
+), s AS (
+  SELECT *, sum(is_new) OVER (
+    PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f
+)
+SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS value_sum
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, start_us
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based batch sessionization (conversation.sessionize, 30-min
     gap) over the events stream — lag/cumsum window and session rollup
@@ -6033,6 +6070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chat_render": q_chat_render,
         "sft_examples": q_sft_examples,
         "sessionize": q_sessionize,
+        "session_window": q_session_window,
         "tool_usage": q_tool_usage,
         "stream_turn_dedup": q_stream_turn_dedup,
         "turn_dedup": q_turn_dedup,
@@ -6190,6 +6228,7 @@ def oracle_sql() -> dict[str, str]:
         "chat_render": SQL_CHAT_RENDER,
         "sft_examples": SQL_SFT_EXAMPLES,
         "sessionize": SQL_SESSIONIZE,
+        "session_window": SQL_SESSION_WINDOW,
         "tool_usage": SQL_TOOL_USAGE,
         "turn_dedup": SQL_TURN_DEDUP,
         "stream_turn_dedup": SQL_STREAM_TURN_DEDUP,

@@ -348,3 +348,55 @@ def context_trim(turns: DataFrame, budget_tokens: int = 60) -> DataFrame:
             F.col("suffix_tokens").cast("long").alias("suffix_tokens"),
         )
     )
+
+
+def session_window_agg(
+    events: DataFrame, gap: str = "30 minutes"
+) -> DataFrame:
+    """Gap sessionization via Spark's NATIVE ``session_window`` — the
+    built-in twin of :func:`sessionize`, exercising the API that also
+    powers streaming session aggregation (the same expression works
+    under ``readStream`` with a watermark, where the lag/cumsum form
+    cannot run at all).
+
+    Semantics note (pinned by a boundary unit test): the native
+    operator MERGES an event landing exactly on the previous window's
+    end (sessions split only when the gap strictly exceeds the
+    threshold) — the same rule as ``sessionize``'s ``> gap_s`` lag
+    test, so the two operators agree everywhere.  Emitted bounds are
+    microsecond-exact integers (``unix_micros``), so no float epoch
+    ever reaches the cross-engine compare; ``session_end`` is the
+    native definition: last event + gap.
+
+    Scale shape: one hash exchange on (user_id, session_window) with
+    map-side partial session merging — Spark's dedicated
+    MergingSessionsExec / session-window aggregation path, no window
+    function and no per-user sort of the whole history.
+
+    Columns: (user_id, start_us, end_us, n_events, value_sum).
+    """
+    sw = F.session_window(F.col("ts"), gap)
+    return (
+        events.groupBy("user_id", sw)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"),
+                2,
+            ).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            # parquet timestamps load as TIMESTAMP_NTZ; the session
+            # runs UTC (session.py), so the cast is an identity
+            # relabel, and unix_micros then yields the exact integer
+            F.unix_micros(
+                F.col("session_window.start").cast("timestamp")
+            ).alias("start_us"),
+            F.unix_micros(
+                F.col("session_window.end").cast("timestamp")
+            ).alias("end_us"),
+            "n_events",
+            "value_sum",
+        )
+    )

@@ -1091,3 +1091,45 @@ def test_ahash_pairs_no_cartesian(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+# ---------------------------------------------- native session_window agg
+def test_session_window_boundary_semantics(spark):
+    """Native session_window MERGES an event landing exactly on the
+    previous window's end (split only when the gap strictly exceeds
+    the threshold) — the same boundary rule as sessionize's `> gap_s`
+    lag test, and the rule the session_window oracle SQL encodes."""
+    from datetime import datetime, timedelta
+
+    from engine.spark import conversation
+
+    t0 = datetime(2026, 1, 1)
+    rows = [
+        (1, t0, 1.0),
+        (1, t0 + timedelta(minutes=30), 1.0),                   # == gap: merge
+        (2, t0, 1.0),
+        (2, t0 + timedelta(minutes=30, microseconds=1), 1.0),   # > gap: new
+    ]
+    e = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = conversation.session_window_agg(e, gap="30 minutes").collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(r)
+    assert len(per_user[1]) == 1 and per_user[1][0]["n_events"] == 2
+    assert len(per_user[2]) == 2
+    # end_us = last event + gap, microsecond-exact
+    s = sorted(per_user[2], key=lambda r: r["start_us"])
+    assert s[0]["end_us"] - s[0]["start_us"] == 30 * 60 * 1_000_000
+
+
+def test_session_window_uses_merging_sessions_path(spark, docs):
+    """The plan must take Spark's dedicated session-window aggregation
+    (MergingSessions/UpdatingSessions operators) — never a per-user
+    window sort of the whole history."""
+    from engine.spark import conversation
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = conversation.session_window_agg(ev)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Session" in plan, plan          # MergingSessionsExec et al.
+    assert "Window" not in plan, plan
