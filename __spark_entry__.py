@@ -4960,6 +4960,28 @@ SELECT doc_id, lang, source FROM (
 """
 
 
+def q_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-indexed substring search (text.substring_search, the
+    pg_trgm LIKE-acceleration shape): posting-list intersection over
+    the query's 2 rarest trigrams (prune_grams — fewer grams only
+    WIDEN the candidate superset) + exact instr verify on candidates
+    only.  The oracle is the plain full-scan contains filter — a hash
+    match proves the index path is lossless."""
+    return etext.substring_search(
+        _t(spark, sf_dir, "documents"),
+        query="vector table",
+        prune_grams=2,
+    ).orderBy("doc_id")
+
+
+SQL_SUBSTRING_SEARCH = """
+SELECT doc_id, strpos(lower(text), 'vector table')::INTEGER AS first_pos
+FROM documents
+WHERE contains(lower(text), 'vector table')
+ORDER BY doc_id
+"""
+
+
 def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source bigram type–token ratio (text.ngram_diversity):
     zero-shuffle zip_with bigram pairing + the two-stage distinct
@@ -6039,6 +6061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_trim": q_context_trim,
         "uniform_sample": q_uniform_sample,
         "weighted_sample": q_weighted_sample,
+        "substring_search": q_substring_search,
         "fuzzy_pairs": q_fuzzy_pairs,
         "ngram_diversity": q_ngram_diversity,
         "token_budget_sample": q_token_budget_sample,
@@ -6197,6 +6220,7 @@ def oracle_sql() -> dict[str, str]:
         "context_trim": SQL_CONTEXT_TRIM,
         "uniform_sample": SQL_UNIFORM_SAMPLE,
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
+        "substring_search": SQL_SUBSTRING_SEARCH,
         "fuzzy_pairs": SQL_FUZZY_PAIRS,
         "ngram_diversity": SQL_NGRAM_DIVERSITY,
         "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,

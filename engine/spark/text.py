@@ -1082,3 +1082,89 @@ def ngram_diversity(
             ).alias("diversity"),
         )
     )
+
+
+# -------------------------------------------- trigram substring search
+def trigram_postings(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-trigram posting lists: (doc_id, tg) — one row per
+    distinct lowercase 3-char substring per document (pg_trgm's index
+    model).  Built JVM-side (sequence → substr transform → distinct →
+    explode, zero Python); docs shorter than 3 chars index nothing.
+    In production this table is the persisted index — written
+    bucketed/sorted by tg so a query's posting reads are pruned scans."""
+    tokd = docs.filter(F.length(text_col) >= 3).select(
+        "doc_id", F.lower(F.col(text_col)).alias("_t")
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("_t") - 2),
+        lambda i: F.substr(F.col("_t"), i, F.lit(3)),
+    )
+    return tokd.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("tg")
+    )
+
+
+def substring_search(
+    docs: DataFrame,
+    query: str,
+    text_col: str = "text",
+    prune_grams: int | None = None,
+) -> DataFrame:
+    """Substring search via the trigram index (pg_trgm's LIKE
+    acceleration): a doc can contain ``query`` only if it contains
+    EVERY trigram of the query, so candidates = posting-list
+    intersection, then the exact ``instr`` verify runs on candidates
+    only.  Result is exactly the full-scan ``contains`` filter —
+    (doc_id, first_pos), 1-based — for any corpus.
+
+    Scale shape: the posting scan is filtered to the query's trigrams
+    (a pushed IN-filter on the index's sort/bucket key — reads only
+    those lists, never the corpus), the intersection is one partial-agg
+    groupBy on doc_id, and the corpus itself is touched once, semi-
+    joined down to candidates, for the verify.  ``prune_grams=k`` keeps
+    only the k RAREST query trigrams (by corpus document frequency) as
+    the candidate generator — requiring fewer grams only WIDENS the
+    candidate superset, so correctness is unaffected while a long
+    query's common trigrams (huge postings) never get read; the
+    rarest-first discipline of every candidate-generation op here.
+
+    Queries shorter than 3 chars can't use the index — falls back to
+    the documented full-scan filter.
+    """
+    q = query.lower()
+    base = docs.select("doc_id", text_col)
+    verify_pos = F.instr(F.lower(F.col(text_col)), q)
+    if len(q) < 3:
+        return (
+            base.select("doc_id", verify_pos.alias("first_pos"))
+            .filter(F.col("first_pos") > 0)
+        )
+    qgrams = sorted({q[i : i + 3] for i in range(len(q) - 2)})
+    post = trigram_postings(docs, text_col)
+    need = qgrams
+    if prune_grams is not None and prune_grams < len(qgrams):
+        dfs = (
+            post.filter(F.col("tg").isin(qgrams))
+            .groupBy("tg")
+            .agg(F.count("*").alias("df"))
+            .collect()
+        )  # ≤ |query| rows — metadata-scale
+        by_df = {r["tg"]: r["df"] for r in dfs}
+        # a query trigram absent from the corpus ⇒ no doc can match
+        if len(by_df) < len(qgrams):
+            return base.select(
+                "doc_id", verify_pos.alias("first_pos")
+            ).filter(F.lit(False))
+        need = sorted(qgrams, key=lambda g: (by_df[g], g))[:prune_grams]
+    cand = (
+        post.filter(F.col("tg").isin(need))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("tg").alias("_ng"))
+        .filter(F.col("_ng") == len(need))
+        .select("doc_id")
+    )
+    return (
+        base.join(cand, "doc_id", "left_semi")
+        .select("doc_id", verify_pos.alias("first_pos"))
+        .filter(F.col("first_pos") > 0)
+    )

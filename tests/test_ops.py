@@ -1133,3 +1133,41 @@ def test_session_window_uses_merging_sessions_path(spark, docs):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Session" in plan, plan          # MergingSessionsExec et al.
     assert "Window" not in plan, plan
+
+
+# ----------------------------------------------- trigram substring search
+def test_substring_search_lossless_vs_full_scan(spark, docs):
+    """The indexed path (any prune level) must return exactly the
+    full-scan contains() filter — candidates are a superset, the
+    verify is exact."""
+    d = docs.select("doc_id", "text")
+    want = sorted(
+        (r["doc_id"], r["first_pos"])
+        for r in d.select(
+            "doc_id", F.instr(F.lower("text"), "spark merge").alias("first_pos")
+        )
+        .filter(F.col("first_pos") > 0)
+        .collect()
+    )
+    assert want, "fixture query must match some docs"
+    for prune in (None, 2, 1):
+        got = sorted(
+            (r["doc_id"], r["first_pos"])
+            for r in text.substring_search(
+                d, "spark merge", prune_grams=prune
+            ).collect()
+        )
+        assert got == want, f"prune={prune}"
+
+
+def test_substring_search_edge_cases(spark, docs):
+    d = docs.select("doc_id", "text")
+    # absent trigram -> empty without scanning (early exit path)
+    assert text.substring_search(d, "zzqzzq", prune_grams=2).count() == 0
+    # sub-trigram query -> full-scan fallback, still correct
+    got = {r["doc_id"] for r in text.substring_search(d, "ag").collect()}
+    want = {
+        r["doc_id"]
+        for r in d.filter(F.instr(F.lower("text"), "ag") > 0).collect()
+    }
+    assert got == want
