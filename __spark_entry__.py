@@ -2936,6 +2936,34 @@ def q_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(outp).select("conv_id", "turn_idx", "reason")
 
 
+def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-completeness gap detection (diagnose.sequence_gaps): the
+    gaps-and-islands check via shifted self-ANTI-joins — boundary rows
+    are local properties, so NO global-order window ever touches the
+    facts (the empty-PARTITION-BY lag() is the classic single-reducer
+    trap); only the tiny boundary table is ranked.  Fixture carves 10
+    ids out of every 1000 from the event stream."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(~((F.col("event_id") % 1000).between(500, 509)))
+        .select("event_id")
+    )
+    return diagnose.sequence_gaps(e, "event_id").orderBy("gap_start")
+
+
+SQL_SEQUENCE_GAPS = """
+WITH ids AS (
+  SELECT DISTINCT event_id AS id FROM events
+  WHERE NOT (event_id % 1000 BETWEEN 500 AND 509)
+), l AS (
+  SELECT id, lead(id) OVER (ORDER BY id) AS nxt FROM ids
+)
+SELECT id + 1 AS gap_start, nxt - 1 AS gap_end, nxt - 1 - id AS gap_len
+FROM l WHERE nxt > id + 1
+ORDER BY gap_start
+"""
+
+
 def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column catalog stats in ONE scan (diagnose.column_profile,
     the ANALYZE TABLE analog): (col, n_nonnull, n_null, ndv) for five
@@ -6034,6 +6062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_profile": q_key_profile,
         "footer_stats": q_footer_stats,
         "column_profile": q_column_profile,
+        "sequence_gaps": q_sequence_gaps,
         "json_fields": q_json_fields,
         "q5_local_supplier": q_q5_local_supplier,
         "latest_events": q_latest_events,
@@ -6193,6 +6222,7 @@ def oracle_sql() -> dict[str, str]:
         "key_profile": SQL_KEY_PROFILE,
         "footer_stats": SQL_FOOTER_STATS,
         "column_profile": SQL_COLUMN_PROFILE,
+        "sequence_gaps": SQL_SEQUENCE_GAPS,
         "json_fields": SQL_JSON_FIELDS,
         "q5_local_supplier": SQL_Q5_LOCAL_SUPPLIER,
         "latest_events": SQL_LATEST_EVENTS,

@@ -597,3 +597,57 @@ def column_profile(
     return one.selectExpr(
         f"stack({len(cols)}, {stack_args}) AS (col, n_nonnull, n_null, ndv)"
     )
+
+
+def sequence_gaps(df: DataFrame, id_col: str) -> DataFrame:
+    """Missing ranges in an integer id sequence — the gaps-and-islands
+    completeness check (did every event_id / offset / page arrive?),
+    WITHOUT the textbook ``lag() OVER (ORDER BY id)`` whose empty
+    PARTITION BY serialises the whole table through one reducer.
+
+    Distributed shape: a gap boundary is a LOCAL property — id x ends
+    an island iff x+1 is absent, y starts one iff y−1 is absent — so
+    boundaries come from two self-ANTI-joins on the shifted key
+    (hash equi-joins on ``id+1 = id``: no sort, no window, each
+    partition-sized).  Only the BOUNDARY rows (2·#gaps — metadata
+    scale: a healthy 10^12-row feed has few gaps) reach the pairing
+    step, where the k-th gap start matches the k-th gap end by rank —
+    a global window over the tiny boundary table, never the facts.
+    Min/max ride as one broadcast single-row aggregate to drop the
+    sequence's outer edges.
+
+    Columns: (gap_start, gap_end, gap_len), inclusive bounds.
+    """
+    ids = df.select(F.col(id_col).cast("long").alias("id")).distinct()
+    no_succ = ids.alias("a").join(
+        ids.alias("b"),
+        F.col("a.id") + 1 == F.col("b.id"),
+        "left_anti",
+    )
+    no_pred = ids.alias("a").join(
+        ids.alias("b"),
+        F.col("a.id") - 1 == F.col("b.id"),
+        "left_anti",
+    )
+    bounds = ids.agg(
+        F.min("id").alias("_lo"), F.max("id").alias("_hi")
+    )
+    starts = (
+        no_succ.crossJoin(F.broadcast(bounds))
+        .filter(F.col("id") < F.col("_hi"))
+        .select((F.col("id") + 1).alias("gap_start"))
+        .withColumn(
+            "_k", F.row_number().over(Window.orderBy("gap_start"))
+        )
+    )
+    ends = (
+        no_pred.crossJoin(F.broadcast(bounds))
+        .filter(F.col("id") > F.col("_lo"))
+        .select((F.col("id") - 1).alias("gap_end"))
+        .withColumn("_k", F.row_number().over(Window.orderBy("gap_end")))
+    )
+    return starts.join(ends, "_k").select(
+        "gap_start",
+        "gap_end",
+        (F.col("gap_end") - F.col("gap_start") + 1).alias("gap_len"),
+    )

@@ -1171,3 +1171,40 @@ def test_substring_search_edge_cases(spark, docs):
         for r in d.filter(F.instr(F.lower("text"), "ag") > 0).collect()
     }
     assert got == want
+
+
+# ------------------------------------------------- sequence gap detection
+def test_sequence_gaps_planted_and_edges(spark):
+    """ids {1,2,3,7,8,10}: gaps are [4,6] and [9,9]; the sequence's
+    outer edges are NOT gaps; a dense sequence yields nothing;
+    duplicates don't create phantom boundaries."""
+    from engine.spark import diagnose
+
+    d = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 7, 8, 10, 10, 3]], ["id"]
+    )
+    got = sorted(
+        (r["gap_start"], r["gap_end"], r["gap_len"])
+        for r in diagnose.sequence_gaps(d, "id").collect()
+    )
+    assert got == [(4, 6, 3), (9, 9, 1)]
+    dense = spark.createDataFrame([(i,) for i in range(20)], ["id"])
+    assert diagnose.sequence_gaps(dense, "id").count() == 0
+
+
+def test_sequence_gaps_no_global_window_over_facts(spark):
+    """Both anti-joins must be hash equi-joins on the shifted key; the
+    only Window runs on the boundary rows (after the anti-joins), so
+    the plan has no sort of the fact table feeding a window directly."""
+    from engine.spark import diagnose
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select("event_id")
+    out = diagnose.sequence_gaps(ev, "event_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("LeftAnti") == 2, plan
+    # the Window's input must be the anti-join output, not the scan:
+    # cheap structural proxy — windows appear above the anti-joins
+    assert plan.index("Window") < plan.index("LeftAnti"), (
+        "window must sit above (before, in top-down print) the anti-joins"
+    )
