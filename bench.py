@@ -420,6 +420,16 @@ RELATIONAL = [
     "sessionize",
     "sft_examples",
     "chat_render",
+    # round-5 session-2 additions
+    "prefix_jaccard",
+    "bloom_semi_join",
+    "weighted_sample",
+    "image_dedup",
+    "footer_stats",
+    "column_profile",
+    "session_window",
+    "substring_search",
+    "sequence_gaps",
 ]
 
 
@@ -460,7 +470,14 @@ def main(argv=None) -> int:
             # CC loop's localCheckpoint rounds; IVF centroid training's
             # seed/mean collects) must be rebuilt inside the timed job
             # or the timer misses the real work
-            construct_heavy = {"dup_clusters", "ivf_quantized"}
+            # bloom_semi_join collects its bitmap words and
+            # substring_search its rarest-gram dfs at construction time
+            construct_heavy = {
+                "dup_clusters",
+                "ivf_quantized",
+                "bloom_semi_join",
+                "substring_search",
+            }
             for name in RELATIONAL:
                 if name in construct_heavy:
                     job = lambda: (
