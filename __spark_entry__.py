@@ -5971,8 +5971,12 @@ def q_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scalar subquery (global avg positive acctbal) rides as a
     broadcast single-row agg; the avg compare is division-free —
     ``acctbal * cnt > sum`` in DECIMAL — so each row's verdict is
-    engine-exact; "no orders" is a LEFT ANTI join against the orders
-    key set.  Output integer counts + DECIMAL balances only."""
+    engine-exact; "idle" is a LEFT ANTI join against the keys of
+    RECENT orders (this synthetic corpus gives nearly every customer
+    *some* order, so the all-time anti-join returned zero rows at
+    every SF — an empty contract query proves nothing; the recent-
+    orders variant keeps the Q22 shape and makes the anti-join bite).
+    Output integer counts + DECIMAL balances only."""
     dec = lambda c: c.cast("decimal(18,4)")
     c = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", dec(F.col("c_acctbal")).alias("_bal")
@@ -5984,7 +5988,11 @@ def q_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("_cnt"),
         )
     )
-    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+        .select("o_custkey")
+    )
     rich = c.crossJoin(F.broadcast(thresh)).filter(
         F.col("_bal") * F.col("_cnt").cast("decimal(10,0)")
         > F.col("_sum_bal")
@@ -5994,7 +6002,10 @@ def q_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         idle.groupBy("c_nationkey")
         .agg(
             F.count("*").alias("numcust"),
-            F.sum("_bal").cast("decimal(20,4)").alias("totacctbal"),
+            F.sum("_bal")
+            .cast("decimal(20,4)")
+            .cast("double")
+            .alias("totacctbal"),
         )
         .orderBy("c_nationkey")
     )
@@ -6010,12 +6021,511 @@ thresh AS (
   FROM c WHERE _bal > 0
 )
 SELECT c.c_nationkey, count(*) AS numcust,
-       CAST(sum(c._bal) AS DECIMAL(20,4)) AS totacctbal
+       CAST(CAST(sum(c._bal) AS DECIMAL(20,4)) AS DOUBLE) AS totacctbal
 FROM c CROSS JOIN thresh t
 WHERE c._bal * CAST(t._cnt AS DECIMAL(10,0)) > t._sum_bal
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= '2000-01-01')
 GROUP BY c.c_nationkey
 ORDER BY c.c_nationkey
+"""
+
+
+def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — forecast revenue change: a pure scan-filter-agg
+    with ZERO joins and ZERO shuffles beyond the final single-row
+    combine.  All three predicates (date range, discount band, quantity
+    cap) sit in PushedFilters at the parquet scan, and only four columns
+    survive pruning — at 100 TB this query's cost is I/O on the pruned
+    row groups, nothing else.  Revenue stays exact DECIMAL end to end."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                "decimal(18,4)"
+            )
+        )
+        .cast("decimal(20,4)")
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+SQL_Q6_FORECAST_REVENUE = r"""
+SELECT CAST(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+       AS DECIMAL(20,4)) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted: no l_commitdate/l_receiptdate in this
+    corpus — the EXISTS predicate is 'order has a returned lineitem',
+    same semi-join skeleton): priority distribution of one quarter's
+    orders that have at least one matching lineitem.  The EXISTS
+    decorrelates to a LEFT SEMI join on orderkey — Spark never
+    materializes the match multiplicity, so a 7-lineitem order costs
+    the same as a 1-lineitem order, and the quarter filter on orders
+    prunes the probe side before the join.  Pure integer output."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-07-01"))
+            & (F.col("o_orderdate") < F.lit("1996-10-01"))
+        )
+        .select("o_orderkey", "o_orderpriority")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_Q4_ORDER_PRIORITY = r"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= '1996-07-01' AND o_orderdate < '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — bilateral shipping volume between two nations
+    by year: lineitem⋈orders⋈customer⋈supplier plus two nation dims,
+    with the disjunctive nation-pair predicate ((s=N1 ∧ c=N2) ∨
+    (s=N2 ∧ c=N1)) applied AFTER both dimension joins.  The nation dims
+    are broadcast (25 rows — always broadcastable, even at 100 TB);
+    the three fact joins shuffle on their natural keys and AQE handles
+    the post-filter size collapse.  Revenue exact DECIMAL; the year
+    comes from l_shipdate so the grouping is derivable from pruned
+    columns only."""
+    dec = lambda c: c.cast("decimal(18,4)")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.year("l_shipdate").alias("l_year"),
+            dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "_vol"
+            ),
+        )
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("_cnk"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n1, F.col("s_nationkey") == F.col("_snk"))
+        .join(n2, F.col("c_nationkey") == F.col("_cnk"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.sum("_vol").cast("decimal(20,4)").cast("double").alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+SQL_Q7_VOLUME_SHIPPING = r"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+       CAST(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                AS DECIMAL(18,4))) AS DECIMAL(20,4)) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+WHERE l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — one nation's market share of a product type in
+    a region, by order year: the deepest dim chain in the suite
+    (lineitem⋈part⋈orders⋈customer⋈nation⋈region + a second nation on
+    the supplier side).  part is fact-sized at 100 TB so that join
+    shuffles on partkey; every geo dim broadcasts.  The share is a
+    conditional-sum / total-sum ratio computed from two exact DECIMAL
+    sums in the SAME partial agg (one pass), divided only at the end
+    as a rounded double — both operands also surface as columns so the
+    oracle pins the exact values, not just the quotient."""
+    dec = lambda c: c.cast("decimal(18,4)")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_vol"),
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        )
+        .select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n_cust = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("_cnk"),
+            F.col("n_regionkey").alias("_crk"),
+        )
+    )
+    r = F.broadcast(
+        _t(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n_supp = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("_snk"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    joined = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n_cust, F.col("c_nationkey") == F.col("_cnk"))
+        .join(r, F.col("_crk") == F.col("r_regionkey"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n_supp, F.col("s_nationkey") == F.col("_snk"))
+    )
+    agg = joined.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_3", F.col("_vol")).otherwise(
+                F.lit(0).cast("decimal(18,4)")
+            )
+        )
+        .cast("decimal(20,4)")
+        .cast("double")
+        .alias("nation_volume"),
+        F.sum("_vol").cast("decimal(20,4)").cast("double").alias(
+            "total_volume"
+        ),
+    )
+    return agg.select(
+        "o_year",
+        "nation_volume",
+        "total_volume",
+        F.round(F.col("nation_volume") / F.col("total_volume"), 6).alias(
+            "mkt_share"
+        ),
+    ).orderBy("o_year")
+
+
+SQL_Q8_MARKET_SHARE = r"""
+WITH agg AS (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+         CAST(CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+              THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                   AS DECIMAL(18,4))
+              ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(20,4)) AS DOUBLE)
+           AS nation_volume,
+         CAST(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+              AS DECIMAL(18,4))) AS DECIMAL(20,4)) AS DOUBLE)
+           AS total_volume
+  FROM lineitem l
+  JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+  JOIN region r   ON n1.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+  WHERE o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1998-01-01'
+  GROUP BY 1
+)
+SELECT o_year, nation_volume, total_volume,
+       round(nation_volume / total_volume, 6) AS mkt_share
+FROM agg ORDER BY o_year
+"""
+
+
+def q_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: this corpus has no partsupp, so profit
+    is gross revenue rather than revenue − supplycost·qty — the join
+    topology and group-by are Q9's): revenue from one product type by
+    supplier nation and order year.  lineitem⋈part and lineitem⋈orders
+    shuffle on their keys; supplier⋈nation broadcasts.  The p_type
+    filter lands on the part scan BEFORE the fact join, so the join's
+    build side is pre-shrunk — the difference between shuffling 100 TB
+    and shuffling one product line."""
+    dec = lambda c: c.cast("decimal(18,4)")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("_nk"), F.col("n_name").alias("nation")
+        )
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, F.col("s_nationkey") == F.col("_nk"))
+        .groupBy("nation", "o_year")
+        .agg(
+            F.sum("_rev")
+            .cast("decimal(20,4)")
+            .cast("double")
+            .alias("sum_profit")
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+SQL_Q9_PRODUCT_PROFIT = r"""
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+       CAST(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+            AS DECIMAL(18,4))) AS DECIMAL(20,4)) AS DOUBLE) AS sum_profit
+FROM lineitem l
+JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+GROUP BY 1, 2
+ORDER BY 1, 2 DESC
+"""
+
+
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — the supplier(s) with maximum quarterly
+    revenue: per-supplier partial agg, then the global max rides back
+    as a broadcast single-row aggregate and the winner is selected by
+    exact DECIMAL equality (the reference query's correlated
+    max-subquery, decorrelated).  No window over all suppliers, no
+    global sort — the only full-data exchange is the per-supplier
+    agg's own shuffle.  Ties (multiple max-revenue suppliers) are all
+    returned, matching the SQL semantics."""
+    dec = lambda c: c.cast("decimal(18,4)")
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            )
+            .cast("decimal(20,4)")
+            .alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_max_rev"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_Q15_TOP_SUPPLIER = r"""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+              AS DECIMAL(18,4))) AS DECIMAL(20,4)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE)
+         AS total_revenue
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s.s_suppkey
+"""
+
+
+def q_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (adapted to this corpus's columns: brand/size/
+    quantity bands instead of container/shipmode) — revenue under an
+    OR of three conjunctive brand+size+quantity bands.  The point of
+    Q19 is optimizer behavior on disjunctions: Catalyst extracts the
+    common sub-predicates (p_size >= 1, l_quantity bounds 1..30) and
+    pushes them into BOTH scans while the residual OR evaluates post-
+    join inside codegen — so each side's parquet scan already skips
+    row groups no disjunct can match.  Revenue exact DECIMAL."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_quantity",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,4)")
+        .alias("_rev"),
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(p, li.l_partkey == p.p_partkey).filter(
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#19")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.agg(
+        F.sum("_rev").cast("decimal(20,4)").cast("double").alias("revenue")
+    )
+
+
+SQL_Q19_DISJUNCTIVE = r"""
+SELECT CAST(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+       AS DECIMAL(18,4))) AS DECIMAL(20,4)) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_q21_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: the corpus has no commit/receipt
+    dates, so 'kept the order waiting' becomes 'was the sole supplier
+    with a returned lineitem in a multi-supplier order' — the same
+    EXISTS(other supplier) + NOT EXISTS(other offending supplier)
+    skeleton).  Q21's textbook form is two correlated subqueries per
+    lineitem; the scale-safe decorrelation here computes ONE per-order
+    aggregate (distinct supplier count, distinct offending-supplier
+    count) and joins it back — turning two semi/anti join passes over
+    the largest fact into one partial agg + one equi-join.  Counts are
+    distinct orders per supplier, pure integers."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("_n_offend"),
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    blamed = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("_n_supp") >= 2) & (F.col("_n_offend") == 1))
+    )
+    return (
+        blamed.join(s, blamed.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+SQL_Q21_BLAME_SUPPLIER = r"""
+WITH per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS _n_supp,
+         count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+           AS _n_offend
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT s.s_name, count(DISTINCT l.l_orderkey) AS numwait
+FROM lineitem l
+JOIN orders o    ON l.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F'
+JOIN per_order p ON l.l_orderkey = p.l_orderkey
+JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+WHERE l.l_returnflag = 'R' AND p._n_supp >= 2 AND p._n_offend = 1
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
 """
 
 
@@ -6080,6 +6590,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_qty_revenue": q_q17_small_qty_revenue,
         "q18_large_orders": q_q18_large_orders,
         "q22_idle_customers": q_q22_idle_customers,
+        "q4_order_priority": q_q4_order_priority,
+        "q6_forecast_revenue": q_q6_forecast_revenue,
+        "q7_volume_shipping": q_q7_volume_shipping,
+        "q8_market_share": q_q8_market_share,
+        "q9_product_profit": q_q9_product_profit,
+        "q15_top_supplier": q_q15_top_supplier,
+        "q19_disjunctive": q_q19_disjunctive,
+        "q21_blame_supplier": q_q21_blame_supplier,
         "semantic_dedup": q_semantic_dedup,
         "value_trend": q_value_trend,
         "communities": q_communities,
@@ -6240,6 +6758,14 @@ def oracle_sql() -> dict[str, str]:
         "q17_small_qty_revenue": SQL_Q17_SMALL_QTY,
         "q18_large_orders": SQL_Q18_LARGE_ORDERS,
         "q22_idle_customers": SQL_Q22_IDLE_CUSTOMERS,
+        "q4_order_priority": SQL_Q4_ORDER_PRIORITY,
+        "q6_forecast_revenue": SQL_Q6_FORECAST_REVENUE,
+        "q7_volume_shipping": SQL_Q7_VOLUME_SHIPPING,
+        "q8_market_share": SQL_Q8_MARKET_SHARE,
+        "q9_product_profit": SQL_Q9_PRODUCT_PROFIT,
+        "q15_top_supplier": SQL_Q15_TOP_SUPPLIER,
+        "q19_disjunctive": SQL_Q19_DISJUNCTIVE,
+        "q21_blame_supplier": SQL_Q21_BLAME_SUPPLIER,
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "value_trend": SQL_VALUE_TREND,
         "communities": SQL_COMMUNITIES,
