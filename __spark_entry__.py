@@ -6529,6 +6529,72 @@ ORDER BY numwait DESC, s.s_name
 """
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet-style cross-document line dedup (engine.spark.dedup.
+    line_dedup): lines occurring in ≥3 distinct documents are removed
+    everywhere, documents reassembled in original line order.  The
+    corpus documents are single-line so they pass through untouched
+    (unless the whole doc is an exact dup 3+ times over); the planted
+    rows 9000001-4 carry a shared SUBSCRIBE/COOKIE boilerplate pair
+    across three docs plus one doc that is pure boilerplate and must
+    survive as an empty string with n_kept = 0."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(
+        [
+            (
+                9000001,
+                "SUBSCRIBE TO OUR NEWSLETTER\ngenuine content one\nCOOKIE NOTICE",
+            ),
+            (
+                9000002,
+                "SUBSCRIBE TO OUR NEWSLETTER\ngenuine content two\nCOOKIE NOTICE",
+            ),
+            (
+                9000003,
+                "SUBSCRIBE TO OUR NEWSLETTER\ngenuine content three\nCOOKIE NOTICE",
+            ),
+            (9000004, "SUBSCRIBE TO OUR NEWSLETTER"),
+        ],
+        "doc_id: long, text: string",
+    )
+    return dedup.line_dedup(d.unionByName(planted), min_df=3)
+
+
+SQL_LINE_DEDUP = r"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    (9000001, 'SUBSCRIBE TO OUR NEWSLETTER' || chr(10) ||
+              'genuine content one' || chr(10) || 'COOKIE NOTICE'),
+    (9000002, 'SUBSCRIBE TO OUR NEWSLETTER' || chr(10) ||
+              'genuine content two' || chr(10) || 'COOKIE NOTICE'),
+    (9000003, 'SUBSCRIBE TO OUR NEWSLETTER' || chr(10) ||
+              'genuine content three' || chr(10) || 'COOKIE NOTICE'),
+    (9000004, 'SUBSCRIBE TO OUR NEWSLETTER')
+  ) v(doc_id, text)
+), l AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM src
+), lf AS (
+  SELECT doc_id, pos, line,
+         ('0x' || substr(md5(line), 1, 15))::BIGINT AS lfp
+  FROM l
+), c AS (
+  SELECT lfp, count(DISTINCT doc_id) AS line_df FROM lf GROUP BY 1
+)
+SELECT lf.doc_id,
+       sum(CASE WHEN c.line_df < 3 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       sum(CASE WHEN c.line_df >= 3 THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       coalesce(string_agg(CASE WHEN c.line_df < 3 THEN lf.line END,
+                           chr(10) ORDER BY lf.pos), '') AS text
+FROM lf JOIN c ON lf.lfp = c.lfp
+GROUP BY lf.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples
     # the first 50 keys.  Per the r4 verdict ask #6 the 37 keys whose
@@ -6598,6 +6664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": q_q15_top_supplier,
         "q19_disjunctive": q_q19_disjunctive,
         "q21_blame_supplier": q_q21_blame_supplier,
+        "line_dedup": q_line_dedup,
         "semantic_dedup": q_semantic_dedup,
         "value_trend": q_value_trend,
         "communities": q_communities,
@@ -6766,6 +6833,7 @@ def oracle_sql() -> dict[str, str]:
         "q15_top_supplier": SQL_Q15_TOP_SUPPLIER,
         "q19_disjunctive": SQL_Q19_DISJUNCTIVE,
         "q21_blame_supplier": SQL_Q21_BLAME_SUPPLIER,
+        "line_dedup": SQL_LINE_DEDUP,
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "value_trend": SQL_VALUE_TREND,
         "communities": SQL_COMMUNITIES,

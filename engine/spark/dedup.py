@@ -1076,3 +1076,61 @@ def prefix_filter_pairs(
             F.col("shared") / (F.col("_sum") - F.col("shared")), 4
         ).alias("jaccard"),
     )
+
+
+# ------------------------------------------------------------ line dedup
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_df: int = 3,
+    sep: str = "\n",
+) -> DataFrame:
+    """C4/CCNet-style cross-document LINE deduplication: any line that
+    occurs in ``min_df`` or more DISTINCT documents is boilerplate
+    (nav bars, cookie notices, subscribe prompts) and is removed from
+    every document; survivors are reassembled in original line order.
+
+    This is the third dedup granularity next to document-level
+    (:func:`exact_dedup`) and span-level (:func:`substring_spans`):
+    C4 drops repeated three-sentence spans, CCNet drops repeated
+    paragraphs — both are this operator with a different unit.
+
+    Scale shape (100 TB): the line explode is shuffle-free; the
+    document-frequency count shuffles on a 60-bit line fingerprint
+    (8-byte keys — the line TEXT never enters the df shuffle, the
+    fingerprint does), map-side partial agg first; the counts join
+    back on the same fingerprint key (exchange reuse under AQE) and
+    the hot keys every corpus has (empty line, "Subscribe") fan out to
+    exactly one count row each, AQE skew-split handles the probe side;
+    reassembly is ONE groupBy(doc_id) with an array_sort on bounded
+    per-document line arrays — never a global order-by.
+
+    Returns (doc_id, n_kept, n_dropped, text) — a doc whose every line
+    was boilerplate survives with text '' and n_kept 0 so the caller
+    decides whether to drop the row (C4 drops; CCNet keeps for stats).
+    """
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn("lfp", portable_hash60(F.col("line")))
+    df_counts = lines.groupBy("lfp").agg(
+        F.countDistinct("doc_id").alias("line_df")
+    )
+    keep = F.col("line_df") < min_df
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("pos"), F.col("line"), keep.alias("k")))
+    )
+    return (
+        lines.join(df_counts, "lfp")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(keep.cast("long")).alias("n_kept"),
+            F.sum((~keep).cast("long")).alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.filter(arr, lambda x: x["k"]), lambda x: x["line"]
+                ),
+                sep,
+            ).alias("text"),
+        )
+    )

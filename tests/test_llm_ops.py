@@ -733,3 +733,39 @@ def test_table_cells_hand_case(spark):
         (4, 1, "x"), (4, 2, "1"),
         (6, 1, "y"), (6, 2, "2"),
     ]
+
+
+def test_line_dedup_drops_boilerplate_keeps_order(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "BOILER\nalpha\nbeta\nBOILER"),
+            (2, "BOILER\ngamma"),
+            (3, "BOILER\ndelta\nalpha"),
+            (4, "BOILER"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.line_dedup(docs, min_df=3).collect()
+    }
+    # BOILER appears in 4 distinct docs -> removed everywhere, including
+    # BOTH occurrences inside doc 1; 'alpha' appears in only 2 -> kept.
+    assert out[1]["text"] == "alpha\nbeta"
+    assert (out[1]["n_kept"], out[1]["n_dropped"]) == (2, 2)
+    assert out[2]["text"] == "gamma"
+    assert out[3]["text"] == "delta\nalpha"  # original order preserved
+    # a pure-boilerplate doc survives as an empty row, caller decides
+    assert (out[4]["text"], out[4]["n_kept"]) == ("", 0)
+
+
+def test_line_dedup_min_df_boundary(spark):
+    docs = spark.createDataFrame(
+        [(1, "x\nshared"), (2, "y\nshared"), (3, "z")],
+        "doc_id: long, text: string",
+    )
+    # df('shared') == 2: kept at min_df=3, dropped at min_df=2
+    keep3 = dedup.line_dedup(docs, min_df=3)
+    assert keep3.filter("doc_id = 1").first()["text"] == "x\nshared"
+    drop2 = dedup.line_dedup(docs, min_df=2)
+    assert drop2.filter("doc_id = 1").first()["text"] == "x"
