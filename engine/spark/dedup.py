@@ -1134,3 +1134,100 @@ def line_dedup(
             ).alias("text"),
         )
     )
+
+
+# ------------------------------------------- sorted-neighborhood blocking
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    window: int = 4,
+    threshold: tuple[int, int] = (1, 2),
+    key_len: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo's classic
+    record-linkage method): sort the corpus once by a normalized
+    blocking key, take every pair within ``window`` positions of the
+    global sort order as a candidate, refine with EXACT token-set
+    Jaccard ≥ ``threshold`` (an integer (p, q) fraction — the compare
+    is the cross-multiplied ``q·shared ≥ p·union``, no floats).
+
+    Complements the hash-based modalities: LSH/SimHash bucket on
+    content sketches; sorted-neighborhood exploits LEXICOGRAPHIC
+    locality (typo'd or truncated near-dups that share a prefix sort
+    adjacent even when their shingle sets diverge).  Candidates are
+    O(n·window) by construction — a skewed blocking key cannot blow
+    up the pair count, unlike an equi-join on block id.
+
+    Scale shape: the global rank comes from the distributed-ranking
+    helper (range-partitioned sort + broadcast offsets — never a
+    single-reducer global window); the neighborhood self-join is two
+    bounded equi-joins on rank-bucket id (each row lands in bucket
+    rank DIV window; a pair within ``window`` spans at most adjacent
+    buckets, so same-bucket + next-bucket joins cover exactly all
+    candidates with no duplicates); the refine joins each candidate
+    against two per-doc distinct-token tables — all bounded fan-out.
+
+    Columns: (doc_a, doc_b, rank_gap, shared, union_sz) for pairs
+    passing the threshold.
+    """
+    from engine.spark.diagnose import global_rank
+
+    p, q = threshold
+    key = F.substring(
+        F.lower(F.trim(F.col(text_col))), 1, key_len
+    ).alias("_block_key")
+    keyed = docs.select("doc_id", key)
+    ranked = global_rank(
+        keyed, [F.col("_block_key"), F.col("doc_id")], out_col="_r"
+    ).select("doc_id", "_r", (F.col("_r") - 1).cast("long").alias("_rm1"))
+    ranked = ranked.select(
+        "doc_id", "_r", F.floor(F.col("_rm1") / window).alias("_b")
+    )
+    a = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("_r").alias("_ra"),
+        F.col("_b").alias("_ba"),
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("_r").alias("_rb"),
+        F.col("_b").alias("_bb"),
+    )
+    in_win = (F.col("_rb") > F.col("_ra")) & (
+        F.col("_rb") - F.col("_ra") <= window
+    )
+    same = a.join(b, F.col("_ba") == F.col("_bb")).filter(in_win)
+    adj = a.join(b, F.col("_ba") + 1 == F.col("_bb")).filter(in_win)
+    cand = same.unionByName(adj).select(
+        "doc_a", "doc_b", (F.col("_rb") - F.col("_ra")).alias("rank_gap")
+    )
+    toks = word_tokens(docs, text_col)
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    shared = (
+        cand.join(
+            toks.select(F.col("doc_id").alias("doc_a"), "tok"), "doc_a"
+        )
+        .join(
+            toks.select(F.col("doc_id").alias("doc_b"), "tok"),
+            ["doc_b", "tok"],
+        )
+        .groupBy("doc_a", "doc_b", "rank_gap")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("doc_a"),
+                         F.col("n_tok").alias("_na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"),
+                         F.col("n_tok").alias("_nb")),
+            "doc_b",
+        )
+        .withColumn(
+            "union_sz", F.col("_na") + F.col("_nb") - F.col("shared")
+        )
+        .filter(q * F.col("shared") >= p * F.col("union_sz"))
+        .select("doc_a", "doc_b", "rank_gap", "shared", "union_sz")
+    )

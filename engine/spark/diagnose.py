@@ -651,3 +651,59 @@ def sequence_gaps(df: DataFrame, id_col: str) -> DataFrame:
         "gap_end",
         (F.col("gap_end") - F.col("gap_start") + 1).alias("gap_len"),
     )
+
+
+def global_rank(
+    df: DataFrame, order_cols: list, out_col: str = "grank"
+) -> DataFrame:
+    """Exact 1-based GLOBAL row rank over ``order_cols`` without the
+    single-reducer ``row_number().over(Window.orderBy(...))`` — the
+    same distributed-ranking shape as :func:`distributed_ntile`
+    (range-repartition → local rank per range partition → tiny
+    per-partition count histogram → broadcast offsets back), minus the
+    per-part bookkeeping.  Ties are deterministic iff ``order_cols``
+    is a total order (include a unique id as the last column).
+
+    The projected range-partitioned frame is persisted for the same
+    reason as distributed_ntile: the rank branch and the histogram
+    branch must observe identical partition boundaries, and
+    repartitionByRange re-samples boundaries per evaluation.  Shares
+    the bounded _NTILE_CACHE discipline.  Output: input columns +
+    ``out_col``."""
+    order = [c.asc() if hasattr(c, "asc") else F.col(c).asc()
+             for c in order_cols]
+    spark = df.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    keyed = df.repartitionByRange(nparts, *order).withColumn(
+        "_gr_pid", F.spark_partition_id()
+    )
+    for old in list(_NTILE_CACHE):
+        if old.sameSemantics(keyed):
+            old.unpersist()
+            _NTILE_CACHE.remove(old)
+    while len(_NTILE_CACHE) >= _NTILE_MAX_CACHE:
+        _NTILE_CACHE.pop(0).unpersist()
+    keyed = keyed.persist()
+    _NTILE_CACHE.append(keyed)
+    ranked = keyed.withColumn(
+        "_gr_lrank",
+        F.row_number().over(Window.partitionBy("_gr_pid").orderBy(*order)),
+    )
+    w_pid = Window.orderBy("_gr_pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pid_off = (
+        keyed.groupBy("_gr_pid")
+        .agg(F.count("*").alias("_gr_pc"))
+        .select(
+            "_gr_pid",
+            (F.sum("_gr_pc").over(w_pid) - F.col("_gr_pc")).alias(
+                "_gr_off"
+            ),
+        )
+    )
+    return (
+        ranked.join(F.broadcast(pid_off), "_gr_pid")
+        .withColumn(out_col, F.col("_gr_off") + F.col("_gr_lrank"))
+        .drop("_gr_pid", "_gr_lrank", "_gr_off")
+    )

@@ -769,3 +769,26 @@ def test_line_dedup_min_df_boundary(spark):
     assert keep3.filter("doc_id = 1").first()["text"] == "x\nshared"
     drop2 = dedup.line_dedup(docs, min_df=2)
     assert drop2.filter("doc_id = 1").first()["text"] == "x"
+
+
+def test_sorted_neighborhood_window_and_boundaries(spark):
+    # 10 near-identical docs -> adjacent ranks; doc k differs from doc
+    # k+1 by one token so every adjacent pair passes Jaccard >= 1/2,
+    # and pairs spanning rank-bucket boundaries (bucket = rank DIV w)
+    # must be found by the adjacent-bucket join leg.
+    docs = spark.createDataFrame(
+        [(i, f"common prefix words alpha beta gamma delta tok{i}") for i in range(10)],
+        "doc_id: long, text: string",
+    )
+    out = dedup.sorted_neighborhood_pairs(
+        docs, window=3, threshold=(1, 2), key_len=16
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["rank_gap"] for r in out.collect()}
+    # ranks follow doc_id (identical keys, doc_id tie-break): every pair
+    # with id gap <= 3 qualifies (Jaccard 6/8 at gap>=1), none beyond
+    expect = {(a, b) for a in range(10) for b in range(10)
+              if 0 < b - a <= 3}
+    assert set(pairs) == expect
+    assert all(pairs[(a, b)] == b - a for (a, b) in pairs)
+    # no duplicate candidate rows from the two join legs
+    assert out.count() == len(expect)
