@@ -6661,6 +6661,34 @@ WHERE 2 * sh.shared >= 1 * (za.n_tok + zb.n_tok - sh.shared)
 """
 
 
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (α = 1/2) over event values (engine.spark.
+    analytics.ewma): recursive fold replayed bit-identically by the
+    DuckDB twin's recursive CTE — raw unrounded doubles on both sides
+    because 0.5·x is a pure exponent shift and the one addition per
+    step rounds identically under IEEE-754."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    return analytics.ewma(e)
+
+
+SQL_EWMA = r"""
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id < 30
+), rec AS (
+  SELECT user_id, event_id, rn, value, value AS ewma
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.event_id, s.rn, s.value,
+         0.5 * s.value + 0.5 * r.ewma AS ewma
+  FROM seq s JOIN rec r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT user_id, event_id, value, ewma FROM rec
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples
     # the first 50 keys.  Per the r4 verdict ask #6 the 37 keys whose
@@ -6732,6 +6760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_blame_supplier": q_q21_blame_supplier,
         "line_dedup": q_line_dedup,
         "sorted_neighborhood": q_sorted_neighborhood,
+        "ewma": q_ewma,
         "semantic_dedup": q_semantic_dedup,
         "value_trend": q_value_trend,
         "communities": q_communities,
@@ -6902,6 +6931,7 @@ def oracle_sql() -> dict[str, str]:
         "q21_blame_supplier": SQL_Q21_BLAME_SUPPLIER,
         "line_dedup": SQL_LINE_DEDUP,
         "sorted_neighborhood": SQL_SORTED_NEIGHBORHOOD,
+        "ewma": SQL_EWMA,
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "value_trend": SQL_VALUE_TREND,
         "communities": SQL_COMMUNITIES,

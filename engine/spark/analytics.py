@@ -419,3 +419,78 @@ def transition_matrix(
         "n",
         F.round(F.col("n").cast("double") / row_n, 6).alias("p"),
     )
+
+
+def ewma(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average with α = 1/2,
+    s₁ = x₁ and sᵢ = 0.5·xᵢ + 0.5·sᵢ₋₁ — the standard recursive EWMA,
+    computed as an in-order fold so the result is BIT-DETERMINISTIC:
+    0.5·x is a pure exponent decrement (no mantissa rounding) and the
+    single addition per step rounds identically under IEEE-754 in any
+    engine, so the DuckDB twin (a recursive CTE replaying the same
+    fold) reproduces every double exactly.  α is fixed at the binary
+    power 1/2 for precisely this reason — an arbitrary α would make
+    each step's multiply round, still deterministic but worth calling
+    out; pow()-based closed forms are NOT reproducible and are never
+    used (same rule as engine.spark.mix).
+
+    Spark has no recursive window, so the fold runs as a JVM
+    higher-order ``aggregate`` over each key's time-sorted event array
+    — zero per-row Python.  Scale shape: ONE shuffle (groupBy key);
+    per-key arrays are bounded by the per-entity sequence length, the
+    same boundedness assumption as per-conversation doc assembly —
+    keys with 10⁶+ events need the chunked two-phase variant instead.
+
+    Columns: (key, tie, value, ewma) — ewma as raw unrounded double
+    (identical bits on both engines; rounding would only ADD a
+    cross-engine tie-break hazard)."""
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(tie_col).alias("tie"),
+                F.col(value_col).alias("x"),
+            )
+        )
+    )
+    folded = F.aggregate(
+        F.slice(F.col("_arr"), 2, F.greatest(F.size("_arr") - 1, F.lit(0))),
+        F.array(
+            F.struct(
+                F.element_at(F.col("_arr"), 1)["tie"].alias("tie"),
+                F.element_at(F.col("_arr"), 1)["x"].alias("x"),
+                F.element_at(F.col("_arr"), 1)["x"].alias("s"),
+            )
+        ),
+        lambda acc, e: F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    e["tie"].alias("tie"),
+                    e["x"].alias("x"),
+                    (
+                        F.lit(0.5) * e["x"]
+                        + F.lit(0.5) * F.element_at(acc, -1)["s"]
+                    ).alias("s"),
+                )
+            ),
+        ),
+    )
+    return (
+        events.groupBy(key_col)
+        .agg(arr.alias("_arr"))
+        .filter(F.size("_arr") > 0)
+        .select(key_col, F.explode(folded).alias("_e"))
+        .select(
+            key_col,
+            F.col("_e.tie").alias(tie_col),
+            F.col("_e.x").alias(value_col),
+            F.col("_e.s").alias("ewma"),
+        )
+    )

@@ -685,3 +685,32 @@ def test_label_propagation_two_cliques(spark):
     assert set(out.loc[[1, 2, 3]]) == {1}
     assert set(out.loc[[10, 11, 12]]) == {10}
     assert set(out.loc[[20, 21]]) == {20}
+
+
+def test_ewma_matches_sequential_fold(spark):
+    import datetime as dt
+
+    rows = []
+    t0 = dt.datetime(2026, 1, 1)
+    vals = {1: [10.0, 20.0, 30.0, 40.0], 2: [5.0], 3: [1.0, 2.0]}
+    eid = 0
+    for uid, vs in vals.items():
+        for i, v in enumerate(vs):
+            rows.append((eid, uid, t0 + dt.timedelta(minutes=i), v))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id: long, user_id: long, ts: timestamp, value: double"
+    )
+    out = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in analytics.ewma(df).collect()
+    }
+    # replay the exact fold in Python doubles — must be bit-identical
+    eid = 0
+    for uid, vs in vals.items():
+        s = None
+        for v in vs:
+            s = v if s is None else 0.5 * v + 0.5 * s
+            assert out[(uid, eid)] == s, (uid, eid)
+            eid += 1
+    assert len(out) == 7
