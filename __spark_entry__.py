@@ -6689,6 +6689,65 @@ SELECT user_id, event_id, value, ewma FROM rec
 """
 
 
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """86-core of the user co-occurrence graph (engine.spark.analytics.
+    k_core): iterative peeling to fixpoint.  At sf0.01 the peel runs a
+    REAL multi-round cascade (alive sizes 149 → 147 → 144 → fixpoint,
+    non-empty 144-node core — k chosen so the fixture exercises more
+    than one round).  The DuckDB twin unrolls SIX fixed peel rounds:
+    peeling is idempotent after the fixpoint, so any unroll depth ≥ the
+    actual round count reproduces the fixpoint exactly."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "user_id",
+    )
+    edges = analytics.cooccurrence_edges(
+        ev, ["event_type", "hour"], "user_id", max_group=64
+    )
+    return analytics.k_core(edges, k=86).orderBy("node")
+
+
+def _sql_peel_round(i: int, k: int) -> str:
+    prev = "eu" if i == 1 else f"e{i - 1}"
+    return (
+        f"a{i} AS MATERIALIZED (SELECT src AS node FROM {prev} "
+        f"GROUP BY 1 HAVING count(*) >= {k}),\n"
+        f"e{i} AS MATERIALIZED (SELECT p.* FROM {prev} p "
+        f"JOIN a{i} x ON p.src = x.node "
+        f"JOIN a{i} y ON p.dst = y.node),\n"
+    )
+
+
+SQL_K_CORE = (
+    r"""
+WITH g AS (
+  SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id
+  FROM events
+), sz AS (
+  SELECT event_type, h FROM g
+  GROUP BY event_type, h HAVING count(*) <= 64
+), c AS (
+  SELECT g.* FROM g JOIN sz USING (event_type, h)
+), e AS (
+  SELECT DISTINCT a.user_id::BIGINT AS src, b.user_id::BIGINT AS dst
+  FROM c a JOIN c b
+    ON a.event_type = b.event_type AND a.h = b.h
+   AND a.user_id < b.user_id
+), eu AS MATERIALIZED (
+  SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
+),
+"""
+    + "".join(_sql_peel_round(i, 86) for i in range(1, 7))
+    + r"""
+fin AS (SELECT 1)
+SELECT src AS node, count(*) AS core_degree
+FROM e6 GROUP BY 1 HAVING count(*) >= 86
+ORDER BY node
+"""
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples
     # the first 50 keys.  Per the r4 verdict ask #6 the 37 keys whose
@@ -6761,6 +6820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "sorted_neighborhood": q_sorted_neighborhood,
         "ewma": q_ewma,
+        "k_core": q_k_core,
         "semantic_dedup": q_semantic_dedup,
         "value_trend": q_value_trend,
         "communities": q_communities,
@@ -6932,6 +6992,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": SQL_LINE_DEDUP,
         "sorted_neighborhood": SQL_SORTED_NEIGHBORHOOD,
         "ewma": SQL_EWMA,
+        "k_core": SQL_K_CORE,
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "value_trend": SQL_VALUE_TREND,
         "communities": SQL_COMMUNITIES,

@@ -494,3 +494,71 @@ def ewma(
             F.col("_e.s").alias("ewma"),
         )
     )
+
+
+def k_core(
+    edges: DataFrame, k: int, max_rounds: int = 30
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly remove
+    nodes of degree < k until fixpoint; returns the surviving nodes
+    with their within-core degree (node, core_degree).
+
+    Convergence is detected by ALIVE-COUNT equality, which is
+    sufficient (not just heuristic): the alive sets are monotone
+    decreasing (round r's survivors are a subset of round r−1's), so
+    equal counts imply equal sets.  Peeling is also idempotent after
+    the fixpoint — extra rounds are no-ops — which is what lets a
+    fixed-depth unrolled SQL twin reproduce the fixpoint exactly as
+    long as its depth covers the actual round count.
+
+    Scale shape: per round, ONE degree aggregation (map-side combined
+    on src) + two LEFT SEMI joins against the alive set — the same
+    bounded-round discipline as connected_components (large/small
+    star); each round's edge frame is persisted and the previous
+    unpersisted so lineage stays O(1) deep in the executed plan; the
+    only driver-side values are one count per round.  Rounds needed =
+    peel depth of the graph (≤ its degeneracy ordering length), far
+    below ``max_rounds`` for real co-occurrence graphs.
+
+    Input edges are undirected (src < dst) and are symmetrized here;
+    pass ``cooccurrence_edges`` output directly."""
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    ).distinct()
+    e = sym.persist()
+    prev = -1
+    deg = None
+    for _ in range(max_rounds):
+        deg = e.groupBy("src").agg(F.count("*").alias("core_degree"))
+        alive = deg.filter(F.col("core_degree") >= k).select(
+            F.col("src").alias("node")
+        )
+        n = alive.count()
+        if n == prev:
+            break
+        prev = n
+        e_new = (
+            e.join(alive, e.src == alive.node, "left_semi")
+            .join(
+                alive.select(F.col("node").alias("_dn")),
+                e.dst == F.col("_dn"),
+                "left_semi",
+            )
+            .persist()
+        )
+        # materialize the new round BEFORE dropping the old cache —
+        # unpersisting first would force e_new to recompute the whole
+        # lineage (back to the raw co-occurrence join) on next access
+        e_new.count()
+        e.unpersist()
+        e = e_new
+    out = (
+        deg.filter(F.col("core_degree") >= k)
+        .select(F.col("src").alias("node"), "core_degree")
+    )
+    # materialize before unpersisting the frame it reads from
+    out = out.localCheckpoint(eager=True)
+    e.unpersist()
+    return out

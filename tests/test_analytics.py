@@ -714,3 +714,21 @@ def test_ewma_matches_sequential_fold(spark):
             assert out[(uid, eid)] == s, (uid, eid)
             eid += 1
     assert len(out) == 7
+
+
+def test_k_core_peels_cascade_to_fixpoint(spark):
+    # triangle {1,2,3} + path 3-4, 4-5: with k=2 the path peels over
+    # TWO cascading rounds (5 first, then 4 whose degree only drops
+    # below k after 5 is gone); the triangle is the 2-core.
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)], "src: long, dst: long"
+    )
+    out = {r["node"]: r["core_degree"]
+           for r in analytics.k_core(edges, k=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+    # k=3: the triangle has degree 2 -> empty core
+    assert analytics.k_core(edges, k=3).count() == 0
+    # k=1: nothing peels, degrees are the raw degrees
+    out1 = {r["node"]: r["core_degree"]
+            for r in analytics.k_core(edges, k=1).collect()}
+    assert out1 == {1: 2, 2: 2, 3: 3, 4: 2, 5: 1}
