@@ -1168,3 +1168,62 @@ def substring_search(
         .select("doc_id", verify_pos.alias("first_pos"))
         .filter(F.col("first_pos") > 0)
     )
+
+
+def hashed_classifier_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    n_buckets: int = 1 << 20,
+    bias_milli: int = 0,
+    text_col: str = "text",
+) -> DataFrame:
+    """fastText-style linear classifier INFERENCE over hashed
+    bag-of-words features — the quality-filter shape used by CCNet /
+    LLaMA-style corpus pipelines (a linear model over hashed token
+    features deciding keep/drop per document).
+
+    ``weights`` is a (fid, w_milli) table: feature id = portable 60-bit
+    md5 hash of the token mod ``n_buckets``, weight as integer
+    MILLI-units — the score is Σ count(tok)·w_milli + bias, pure
+    BIGINT arithmetic, so the verdict for every document is exact on
+    any engine (no float dot product, no sigmoid; the sign of the
+    linear score IS the decision, monotone in the probability).
+
+    Scale shape (100 TB): token explode → ONE map-side-combined count
+    agg on (doc_id, fid) → BROADCAST join against the weights (even a
+    full 2²⁰-bucket model is a few MB — models ride to every executor,
+    documents never shuffle for the join) → one doc_id partial agg.
+    Unseen features weight 0 via the left join's coalesce.
+
+    Columns: (doc_id, n_tokens, score_milli, label)."""
+    from engine.spark.dedup import portable_hash60  # lazy: dedup imports text
+
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), WS)
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    feats = (
+        toks.withColumn(
+            "fid", portable_hash60(F.col("tok")) % F.lit(n_buckets)
+        )
+        .groupBy("doc_id", "fid")
+        .agg(F.count("*").alias("cnt"))
+    )
+    scored = feats.join(F.broadcast(weights), "fid", "left").withColumn(
+        "_w", F.coalesce(F.col("w_milli"), F.lit(0))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            (F.sum(F.col("cnt") * F.col("_w")) + bias_milli)
+            .cast("long")
+            .alias("score_milli"),
+        )
+        .withColumn("label", F.col("score_milli") > 0)
+    )

@@ -792,3 +792,28 @@ def test_sorted_neighborhood_window_and_boundaries(spark):
     assert all(pairs[(a, b)] == b - a for (a, b) in pairs)
     # no duplicate candidate rows from the two join legs
     assert out.count() == len(expect)
+
+
+def test_hashed_classifier_exact_dot_product(spark):
+    docs = spark.createDataFrame(
+        [(1, "good good bad"), (2, "bad"), (3, "unseen words only")],
+        "doc_id: long, text: string",
+    )
+    # tiny explicit model: good=+700, bad=-300; everything else absent
+    from engine.spark.dedup import portable_hash60
+    n_buckets = 1 << 20
+    lex = spark.createDataFrame(
+        [("good", 700), ("bad", -300)], "tok: string, w_milli: long"
+    )
+    weights = lex.select(
+        (portable_hash60(F.col("tok")) % n_buckets).alias("fid"), "w_milli"
+    )
+    out = {
+        r["doc_id"]: (r["score_milli"], r["label"], r["n_tokens"])
+        for r in etext.hashed_classifier_score(
+            docs, weights, n_buckets=n_buckets
+        ).collect()
+    }
+    assert out[1] == (2 * 700 - 300, True, 3)
+    assert out[2] == (-300, False, 1)
+    assert out[3] == (0, False, 3)  # unseen features weigh 0, kept row
