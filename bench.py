@@ -430,6 +430,13 @@ RELATIONAL = [
     "session_window",
     "substring_search",
     "sequence_gaps",
+    # round-5 session-3 additions
+    "q21_blame_supplier",
+    "line_dedup",
+    "sorted_neighborhood",
+    "ewma",
+    "k_core",
+    "classifier_score",
 ]
 
 

@@ -815,3 +815,72 @@ def test_column_profile_single_scan_and_hll_twin(spark):
         assert got[c]["n_nonnull"] + got[c]["n_null"] == 10000
         # HLL default rsd = 5%
         assert abs(approx[c]["ndv"] - got[c]["ndv"]) <= 0.2 * got[c]["ndv"]
+
+
+def test_line_dedup_fingerprint_keyed_no_cartesian(spark):
+    """line_dedup: the df-count join is keyed on the 60-bit line
+    fingerprint, never a cartesian; reassembly is one doc_id agg."""
+    from engine.spark import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = _plan(dedup.line_dedup(docs, min_df=3))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "lfp" in plan  # the join/agg key is the fingerprint column
+
+
+def test_classifier_score_broadcasts_model(spark):
+    """hashed_classifier_score: the weights join must be a broadcast
+    hash join — documents never shuffle to meet the model."""
+    from engine.spark import text as etext
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    weights = spark.createDataFrame(
+        [(1, 5), (2, -5)], "fid: long, w_milli: long"
+    )
+    plan = _plan(etext.hashed_classifier_score(docs, weights))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_single_fact_agg_decorrelation(spark):
+    """q21: the per-order supplier stats come from ONE aggregation over
+    lineitem joined back by orderkey — no correlated re-scan pair, no
+    cartesian."""
+    df = entry_mod.queries()["q21_blame_supplier"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_sorted_neighborhood_bounded_equi_joins(spark):
+    """sorted_neighborhood_pairs: candidate generation is equi-joins on
+    rank-bucket ids; the only unpartitioned window is the metadata-size
+    histogram offset window inside global_rank (<= shuffle-partitions
+    rows), never over fact rows."""
+    from engine.spark import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    df = dedup.sorted_neighborhood_pairs(docs, window=4)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # the rank-bucket join keys appear as equi-join keys
+    assert "_ba" in plan and "_bb" in plan
+
+
+def test_ewma_single_groupby_no_window_no_python(spark):
+    """ewma: one shuffle (groupBy key), fold stays JVM-side — no
+    ArrowEvalPython / BatchEvalPython, no window over fact rows."""
+    from engine.spark import analytics
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").filter(
+        F.col("user_id") < 30
+    )
+    plan = _plan(analytics.ewma(ev))
+    assert "EvalPython" not in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan  # agg exchange (+AQE read)
