@@ -6808,6 +6808,96 @@ GROUP BY f.doc_id
 """
 
 
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift vs the global corpus
+    (engine.spark.text.corpus_drift): exact DECIMAL total-variation
+    numerators with the missing-token mass folded in algebraically —
+    no outer join against the vocabulary."""
+    return etext.corpus_drift(
+        _t(spark, sf_dir, "documents").select("source", "text")
+    )
+
+
+SQL_CORPUS_DRIFT = r"""
+WITH tok AS (
+  SELECT source AS grp,
+         unnest(regexp_split_to_array(trim(lower(text)),
+                '[ \t\n\x0b\f\r]+')) AS tok
+  FROM documents
+), t2 AS (
+  SELECT grp, tok FROM tok WHERE tok <> ''
+), counts AS (
+  SELECT grp, tok, count(*) AS c FROM t2 GROUP BY 1, 2
+), gtok AS (
+  SELECT tok, sum(c)::BIGINT AS g FROM counts GROUP BY 1
+), n_grp AS (
+  SELECT grp, sum(c)::BIGINT AS n_g FROM counts GROUP BY 1
+), tot AS (
+  SELECT sum(n_g)::BIGINT AS G FROM n_grp
+), inner_sum AS (
+  SELECT c2.grp, n.n_g, t.G,
+         sum(abs(c2.c::DECIMAL(38,0) * t.G::DECIMAL(38,0)
+                 - gl.g::DECIMAL(38,0) * n.n_g::DECIMAL(38,0))
+             - gl.g::DECIMAL(38,0) * n.n_g::DECIMAL(38,0)) AS p
+  FROM counts c2
+  JOIN gtok gl ON c2.tok = gl.tok
+  JOIN n_grp n ON c2.grp = n.grp
+  CROSS JOIN tot t
+  GROUP BY 1, 2, 3
+)
+SELECT grp AS source, n_g AS n_tokens,
+       round((G::DECIMAL(38,0) * n_g::DECIMAL(38,0) + p)::DOUBLE
+             / (2.0 * n_g::DOUBLE * G::DOUBLE), 6) AS tv
+FROM inner_sum
+"""
+
+
+def q_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling of the events stream: per (event_type, hour),
+    open = value of the earliest event, close = latest, plus min/max/
+    count.  open/close are argmin/argmax by (ts, event_id) computed as
+    struct-min/struct-max PARTIAL aggregates — the scale-safe
+    first/last shape (mergeable map-side combine), never a per-group
+    window sort.  No arithmetic — every output is a selected input
+    value, so both engines agree bit-for-bit."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    return e.groupBy("event_type", "bucket").agg(
+        F.min(F.struct("ts", "event_id", "value"))
+        .getField("value")
+        .alias("open"),
+        F.max(F.struct("ts", "event_id", "value"))
+        .getField("value")
+        .alias("close"),
+        F.min("value").alias("low"),
+        F.max("value").alias("high"),
+        F.count("*").alias("n_obs"),
+    )
+
+
+SQL_VALUE_OHLC = r"""
+WITH e AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, ts, event_id, value,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, bucket,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       min(value) AS low, max(value) AS high,
+       count(*)::BIGINT AS n_obs
+FROM e GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples
     # the first 50 keys.  Per the r4 verdict ask #6 the 37 keys whose
@@ -6882,6 +6972,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma": q_ewma,
         "k_core": q_k_core,
         "classifier_score": q_classifier_score,
+        "corpus_drift": q_corpus_drift,
+        "value_ohlc": q_value_ohlc,
         "semantic_dedup": q_semantic_dedup,
         "value_trend": q_value_trend,
         "communities": q_communities,
@@ -7055,6 +7147,8 @@ def oracle_sql() -> dict[str, str]:
         "ewma": SQL_EWMA,
         "k_core": SQL_K_CORE,
         "classifier_score": SQL_CLASSIFIER_SCORE,
+        "corpus_drift": SQL_CORPUS_DRIFT,
+        "value_ohlc": SQL_VALUE_OHLC,
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "value_trend": SQL_VALUE_TREND,
         "communities": SQL_COMMUNITIES,

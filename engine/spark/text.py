@@ -1227,3 +1227,69 @@ def hashed_classifier_score(
         )
         .withColumn("label", F.col("score_milli") > 0)
     )
+
+
+def corpus_drift(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distribution drift of every corpus shard against the global
+    corpus: per group g, the EXACT total-variation distance between
+    the group's token distribution and the whole corpus's —
+    TV = ½·Σ_tok |c/N_g − glob/G| — the standard mixture-monitoring
+    signal when shards are crawl snapshots, sources, or time slices.
+
+    The sum runs over the FULL vocabulary, including tokens the group
+    never saw, but no outer join against the vocab is needed: the
+    missing-token mass folds in algebraically —
+    Σ_all |c·G − glob·N_g| = G·N_g + Σ_{tok∈g}(|c·G − glob·N_g| −
+    glob·N_g) — so only the group's own tokens are ever joined.  All
+    products/sums run in DECIMAL(38,0) (BIGINT-safe at 10¹² tokens);
+    only the final normalized tv is a rounded double.
+
+    Scale shape: one (group, tok) partial agg, the global per-token
+    counts derived FROM that agg (no second corpus scan), one
+    tok-keyed equi-join (each token meets exactly one global row),
+    the corpus total riding as a broadcast single-row literal.
+
+    Columns: (group, n_tokens, tv)."""
+    toks = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), WS)
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    counts = toks.groupBy("grp", "tok").agg(F.count("*").alias("c"))
+    glob = counts.groupBy("tok").agg(F.sum("c").alias("g"))
+    n_grp = counts.groupBy("grp").agg(F.sum("c").alias("n_g"))
+    # NB: Spark resolves identifiers case-insensitively by default, so
+    # the corpus total cannot be named "G" next to the per-token "g".
+    total = n_grp.agg(F.sum("n_g").alias("tot"))
+    dec = lambda c: c.cast("decimal(38,0)")
+    j = (
+        counts.join(glob, "tok")
+        .join(n_grp, "grp")
+        .crossJoin(F.broadcast(total))
+    )
+    inner = j.groupBy("grp", "n_g", "tot").agg(
+        F.sum(
+            F.abs(dec(F.col("c")) * dec(F.col("tot"))
+                  - dec(F.col("g")) * dec(F.col("n_g")))
+            - dec(F.col("g")) * dec(F.col("n_g"))
+        ).alias("_partial")
+    )
+    numer = dec(F.col("tot")) * dec(F.col("n_g")) + F.col("_partial")
+    return inner.select(
+        F.col("grp").alias(group_col),
+        F.col("n_g").alias("n_tokens"),
+        F.round(
+            numer.cast("double")
+            / (2.0 * F.col("n_g").cast("double")
+               * F.col("tot").cast("double")),
+            6,
+        ).alias("tv"),
+    )

@@ -817,3 +817,16 @@ def test_hashed_classifier_exact_dot_product(spark):
     assert out[1] == (2 * 700 - 300, True, 3)
     assert out[2] == (-300, False, 1)
     assert out[3] == (0, False, 3)  # unseen features weigh 0, kept row
+
+
+def test_corpus_drift_exact_tv(spark):
+    # group A: {a:2, b:2} N=4 ; group B: {a:1, c:3} N=4 ; global:
+    # {a:3, b:2, c:3} G=8.  TV(A) = 0.5*(|2/4-3/8| + |2/4-2/8| + 3/8)
+    # = 0.5*(1/8 + 2/8 + 3/8) = 0.375 ; TV(B) symmetric = 0.375.
+    docs = spark.createDataFrame(
+        [(1, "A", "a a b b"), (2, "B", "a c c c")],
+        "doc_id: long, source: string, text: string",
+    )
+    out = {r["source"]: (r["n_tokens"], r["tv"])
+           for r in etext.corpus_drift(docs).collect()}
+    assert out == {"A": (4, 0.375), "B": (4, 0.375)}
