@@ -6898,6 +6898,50 @@ FROM e GROUP BY 1, 2
 """
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (engine.spark.similarity.hard_negative_topk):
+    top-k similar vectors per query EXCLUDING near-duplicates.  The
+    corpus is augmented with exact clones of the first 50 vectors
+    (vec_id + 100000) — every query's clone scores cosine 1.0 and
+    would top plain brute-force top-k, so the dup exclusion (≥ 0.95)
+    is what this contract row actually verifies."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = e.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    out = similarity.hard_negative_topk(
+        e.unionByName(clones), n_queries=8, k=5, dup_threshold=0.95
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+SQL_HARD_NEGATIVES = """
+WITH raw AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), base AS (
+  SELECT vec_id, v FROM raw
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, v FROM raw WHERE vec_id < 50
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 8
+), scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         round(list_inner_product(q.qv, b.v) /
+               (sqrt(list_inner_product(q.qv, q.qv)) *
+                sqrt(list_inner_product(b.v, b.v))), 6) AS cosine_sim
+  FROM q JOIN base b ON b.vec_id != q.query_id
+), kept AS (
+  SELECT * FROM scored WHERE cosine_sim < 0.95
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM kept
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples
     # the first 50 keys.  Per the r4 verdict ask #6 the 37 keys whose
@@ -6977,6 +7021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_score": q_classifier_score,
         "corpus_drift": q_corpus_drift,
         "value_ohlc": q_value_ohlc,
+        "hard_negatives": q_hard_negatives,
         "semantic_dedup": q_semantic_dedup,
         "value_trend": q_value_trend,
         "communities": q_communities,
@@ -7152,6 +7197,7 @@ def oracle_sql() -> dict[str, str]:
         "classifier_score": SQL_CLASSIFIER_SCORE,
         "corpus_drift": SQL_CORPUS_DRIFT,
         "value_ohlc": SQL_VALUE_OHLC,
+        "hard_negatives": SQL_HARD_NEGATIVES,
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "value_trend": SQL_VALUE_TREND,
         "communities": SQL_COMMUNITIES,

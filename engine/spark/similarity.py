@@ -738,3 +738,52 @@ def semantic_dedup(
             F.col("_drop").isNull().alias("keep"),
         )
     )
+
+
+def hard_negative_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    dup_threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training: per query,
+    the top-k most similar vectors EXCLUDING near-duplicates — the
+    standard rule that negatives must be hard (high cosine) but not
+    positives in disguise (cosine ≥ ``dup_threshold``, the same
+    threshold family as ``embedding_near_dup_pairs``).  Without the
+    exclusion, mined "negatives" are dominated by unlabeled duplicates
+    and training collapses — this filter IS the operator.
+
+    The cut is applied to the ROUNDED cosine (6 places), the same
+    determinism device as brute_force_topk's ranking: both engines
+    agree on the rounded score, so both agree on which candidates are
+    excluded and on the final ranking (ties by neighbor_id).
+
+    Scale shape: identical to brute_force_topk (queries broadcast, one
+    corpus scan, per-query window over n_queries·corpus candidates —
+    the exact baseline; swap in ivf_topk candidate generation for the
+    10¹⁰-vector path, the exclusion predicate is unchanged).
+
+    Columns: (query_id, neighbor_id, cosine_sim, rank)."""
+    base = emb.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    )
+    q = base.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    joined = base.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine_sim"),
+    ).filter(F.col("cosine_sim") < dup_threshold)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

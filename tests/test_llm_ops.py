@@ -830,3 +830,25 @@ def test_corpus_drift_exact_tv(spark):
     out = {r["source"]: (r["n_tokens"], r["tv"])
            for r in etext.corpus_drift(docs).collect()}
     assert out == {"A": (4, 0.375), "B": (4, 0.375)}
+
+
+def test_hard_negative_topk_excludes_planted_dups(spark):
+    from engine.spark import similarity
+
+    base = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0]),
+            (100, [1.0, 0.0, 0.0]),   # exact clone of query 0
+            (101, [0.9, 0.1, 0.0]),   # near-dup of query 0 (cos ~0.994)
+            (102, [0.5, 0.5, 0.0]),   # hard negative (cos ~0.707)
+            (103, [0.0, 0.0, 1.0]),   # orthogonal
+        ],
+        "vec_id: long, embedding: array<double>",
+    )
+    out = similarity.hard_negative_topk(
+        base, n_queries=1, k=3, dup_threshold=0.95
+    ).collect()
+    got = [(r["neighbor_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])]
+    # clone (cos 1.0) and near-dup (cos .994) excluded; hard negative first
+    assert got == [(102, 1), (1, 2), (103, 3)]
