@@ -202,6 +202,8 @@ def run_with_resume(
     conv_curate: bool = False,
     conv_min_turns: int = 2,
     conv_max_repeat: float = 0.5,
+    line_dedup: bool = False,
+    line_dedup_min_df: int = 3,
     detect_changes: bool = False,
     run_id: str | None = None,
 ) -> dict[str, int]:
@@ -454,6 +456,77 @@ def run_with_resume(
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("part_hash")
                 .parquet(cur_out)
+            )
+
+    if line_dedup:
+        # Cross-document line dedup under lineage, split at the same
+        # seam as --dedup: (1) per-bucket line-fingerprint DOC-counts —
+        # the pass that touches document text — incremental +
+        # backfill-aware; (2) the global boilerplate-line table — a sum
+        # over the compact counts table only (8-byte keys + counts,
+        # never text) — wholesale-overwritten, cheap to recompute.  A
+        # consumer strips boilerplate by anti-joining exploded doc
+        # lines against boilerplate_lines on the fingerprint; the
+        # threshold is evaluated at READ time of the counts, so
+        # re-publishing with a different min_df needs no text re-scan.
+        # Summing per-bucket DISTINCT-conv counts is exact because a
+        # conversation never spans buckets (part_hash is a function of
+        # conv_id), so no conv is double-counted across bucket rows.
+        from engine.spark.dedup import portable_hash60
+
+        lc_out = os.path.join(output_dir, "line_counts")
+        docs_out_path = os.path.join(output_dir, "docs")
+        need = _stage_coverage(lc_out, turns_out, run_buckets)
+        if need and not os.path.exists(docs_out_path):
+            raise RuntimeError(
+                f"line-dedup stage needs counts for buckets "
+                f"{sorted(need)[:8]}{'…' if len(need) > 8 else ''} but "
+                f"{docs_out_path} is missing; re-run extraction first"
+            )
+        if need:
+            d = spark.read.parquet(docs_out_path).filter(
+                F.col("part_hash").isin(need)
+            )
+            # same id-blank normalization as --dedup: assembled markdown
+            # embeds conv_id in link paths/OCR stubs, which would make
+            # every such line unique per conversation and invisible to
+            # the cross-document frequency count
+            content = F.expr("replace(markdown, conv_id, '<conv>')")
+            lines = d.select(
+                "conv_id",
+                "part_hash",
+                F.explode(F.split(content, "\n")).alias("line"),
+            )
+            counts = (
+                lines.groupBy(
+                    "part_hash", portable_hash60(F.col("line")).alias("lfp")
+                )
+                .agg(F.countDistinct("conv_id").alias("n_docs"))
+            )
+            (
+                counts.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("part_hash")
+                .parquet(lc_out)
+            )
+        if os.path.exists(lc_out):
+            _missing = _partition_buckets(turns_out) - _partition_buckets(
+                lc_out
+            )
+            if _missing:
+                raise RuntimeError(
+                    "line-dedup counts are stale for buckets "
+                    f"{sorted(_missing)[:8]}; refusing to publish "
+                    "boilerplate_lines from a partial counts table"
+                )
+            bl = (
+                spark.read.parquet(lc_out)
+                .groupBy("lfp")
+                .agg(F.sum("n_docs").alias("line_df"))
+                .where(F.col("line_df") >= line_dedup_min_df)
+            )
+            bl.write.mode("overwrite").parquet(
+                os.path.join(output_dir, "boilerplate_lines")
             )
 
     if conv_curate:

@@ -79,6 +79,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--conv-max-repeat", type=float, default=0.5,
                     help="conv-curate gate: max run-collapse repeat "
                          "ratio for keep=true (default 0.5)")
+    ap.add_argument("--line-dedup", action="store_true",
+                    help="also write per-bucket line-fingerprint doc "
+                         "counts + the global boilerplate_lines table "
+                         "(C4/CCNet cross-document line dedup)")
+    ap.add_argument("--line-dedup-min-df", type=int, default=3,
+                    help="line-dedup: a line is boilerplate when it "
+                         "appears in >= this many distinct "
+                         "conversations (default 3)")
     args = ap.parse_args(argv)
 
     from engine.spark import lineage
@@ -137,6 +145,8 @@ def main(argv: list[str] | None = None) -> int:
         conv_curate=args.conv_curate,
         conv_min_turns=args.conv_min_turns,
         conv_max_repeat=args.conv_max_repeat,
+        line_dedup=args.line_dedup,
+        line_dedup_min_df=args.line_dedup_min_df,
         detect_changes=args.detect_changes,
     )
     dt = time.time() - t0

@@ -610,7 +610,7 @@ def test_all_stages_backfill_on_half_completed_resume(
     r2 = lineage.run_with_resume(
         spark, df, out, snapshot_id="s", n_buckets=8,
         spans=True, translate=True, dedup=True, near_dup=True,
-        quarantine=True, curate=True, conv_curate=True,
+        quarantine=True, curate=True, conv_curate=True, line_dedup=True,
     )
     assert 0 < r2["buckets_processed"] <= 4
 
@@ -626,7 +626,7 @@ def test_all_stages_backfill_on_half_completed_resume(
     # asserted by content below instead)
     for stage in (
         "spans", "docs_translated", "fingerprints", "signatures",
-        "curation", "conv_curation",
+        "curation", "conv_curation", "line_counts",
     ):
         t = spark.read.parquet(os.path.join(out, stage))
         got = {
@@ -818,3 +818,47 @@ def test_near_dup_stage(spark, transcripts_pdf, tmp_path):
     assert (
         spark.read.parquet(os.path.join(out, "signatures")).count() == n_sigs
     )
+
+
+def test_line_dedup_stage_finds_cross_conv_boilerplate(
+    spark, transcripts_pdf, tmp_path
+):
+    """--line-dedup: the per-bucket line-fingerprint counts must sum to
+    exact cross-corpus document frequencies (a conv never spans
+    buckets), and boilerplate_lines must contain the lines shared by
+    >= min_df conversations (the OCR stub header is in nearly every
+    assembled doc) while conv-unique content lines stay out."""
+    from engine.spark.dedup import portable_hash60
+
+    p = str(tmp_path / "t.parquet")
+    transcripts_pdf.to_parquet(p, index=False)
+    df = spark.read.parquet(p)
+    out = str(tmp_path / "out")
+    lineage.run_with_resume(
+        spark, df, out, snapshot_id="s", n_buckets=8, line_dedup=True,
+        line_dedup_min_df=3,
+    )
+    bl = spark.read.parquet(os.path.join(out, "boilerplate_lines"))
+    assert bl.filter(F.col("line_df") < 3).count() == 0
+    # reference df computed in one global pass over the docs table with
+    # the same id-blank normalization
+    docs = spark.read.parquet(os.path.join(out, "docs"))
+    ref = (
+        docs.select(
+            "conv_id",
+            F.explode(
+                F.split(F.expr("replace(markdown, conv_id, '<conv>')"), "\n")
+            ).alias("line"),
+        )
+        .groupBy(portable_hash60(F.col("line")).alias("lfp"))
+        .agg(F.countDistinct("conv_id").alias("line_df"))
+        .filter(F.col("line_df") >= 3)
+    )
+    got = {(r["lfp"], r["line_df"]) for r in bl.collect()}
+    want = {(r["lfp"], r["line_df"]) for r in ref.collect()}
+    assert got == want and len(want) > 0
+    # the OCR stub header line is cross-conv boilerplate by construction
+    stub_fp = docs.sparkSession.range(1).select(
+        portable_hash60(F.lit("> 📄 Image OCR Result:")).alias("v")
+    ).first()["v"]
+    assert any(fp == stub_fp for fp, _ in got)
