@@ -6942,6 +6942,69 @@ SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
 """
 
 
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (5%-trimmed-to-cap) robust mean per event_type — the
+    outlier-hardened aggregate a metrics pipeline uses instead of a raw
+    mean.  The caps come from the DISTRIBUTED ranking op (ntile-20
+    buckets via diagnose.distributed_ntile; cap_lo = max value of the
+    bottom bucket, cap_hi = min value of the top bucket) — the same
+    scale-safe composition as value_ntile, never an exact-percentile
+    single-reducer buffer.  Values clamp to the caps (least/greatest,
+    exact double selection) and only the final mean is a rounded
+    double over a DECIMAL sum."""
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    nt = diagnose.distributed_ntile(
+        e, part_col="event_type", value_col="value", id_col="event_id",
+        buckets=20,
+    )
+    j = e.join(nt.select("event_id", "bucket"), "event_id")
+    caps = j.groupBy("event_type").agg(
+        F.max(F.when(F.col("bucket") == 1, F.col("value"))).alias("cap_lo"),
+        F.min(F.when(F.col("bucket") == 20, F.col("value"))).alias("cap_hi"),
+    )
+    c = j.join(F.broadcast(caps), "event_type").withColumn(
+        "_w",
+        F.least(F.greatest(F.col("value"), F.col("cap_lo")), F.col("cap_hi")),
+    )
+    return c.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min("cap_lo").alias("cap_lo"),
+        F.min("cap_hi").alias("cap_hi"),
+        F.round(
+            F.sum(F.col("_w").cast("decimal(18,4)"))
+            .cast("decimal(20,4)")
+            .cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("winsorized_mean"),
+    )
+
+
+SQL_WINSORIZED_STATS = """
+WITH nt AS (
+  SELECT event_id, event_type, value,
+         ntile(20) OVER (PARTITION BY event_type
+                         ORDER BY value ASC, event_id ASC) AS bucket
+  FROM events
+), caps AS (
+  SELECT event_type,
+         max(CASE WHEN bucket = 1 THEN value END) AS cap_lo,
+         min(CASE WHEN bucket = 20 THEN value END) AS cap_hi
+  FROM nt GROUP BY 1
+), c AS (
+  SELECT nt.event_type,
+         least(greatest(nt.value, caps.cap_lo), caps.cap_hi) AS w,
+         caps.cap_lo, caps.cap_hi
+  FROM nt JOIN caps USING (event_type)
+)
+SELECT event_type, count(*)::BIGINT AS n,
+       min(cap_lo) AS cap_lo, min(cap_hi) AS cap_hi,
+       round(CAST(CAST(sum(CAST(w AS DECIMAL(18,4))) AS DECIMAL(20,4))
+             AS DOUBLE) / count(*)::DOUBLE, 6) AS winsorized_mean
+FROM c GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples
     # the first 50 keys.  Per the r4 verdict ask #6 the 37 keys whose
@@ -7022,6 +7085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_drift": q_corpus_drift,
         "value_ohlc": q_value_ohlc,
         "hard_negatives": q_hard_negatives,
+        "winsorized_stats": q_winsorized_stats,
         "semantic_dedup": q_semantic_dedup,
         "value_trend": q_value_trend,
         "communities": q_communities,
@@ -7198,6 +7262,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_drift": SQL_CORPUS_DRIFT,
         "value_ohlc": SQL_VALUE_OHLC,
         "hard_negatives": SQL_HARD_NEGATIVES,
+        "winsorized_stats": SQL_WINSORIZED_STATS,
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "value_trend": SQL_VALUE_TREND,
         "communities": SQL_COMMUNITIES,
