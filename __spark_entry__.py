@@ -7018,8 +7018,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # run — rotate to the head of the r6 sample, then the 50
     # re-verified in r04.  The 17 session-3 additions (TPC-H
     # Q4/Q6/Q7/Q8/Q9/Q15/Q19/Q21, line_dedup, sorted_neighborhood,
-    # ewma, k_core, classifier_score, corpus_drift, value_ohlc) sit at
-    # the registry tail and join that never-driver-checked pool.
+    # ewma, k_core, classifier_score, corpus_drift, value_ohlc,
+    # hard_negatives, winsorized_stats) sit at the registry tail and
+    # join that never-driver-checked pool.
     return {
         # -- last driver row is round 3 (stale-first)
         "ocr_insert": q_ocr_insert,
