@@ -7005,6 +7005,199 @@ FROM c GROUP BY 1
 """
 
 
+# ------------------------------------------------- session-4 additions
+
+
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO preference-pair construction (mix.preference_pairs): docs
+    grouped 4-per-prompt, score = text length; the per-prompt argmax
+    (struct-max, ties to the larger cand_id) is paired against every
+    other candidate.  The oracle reproduces the tie rule via an
+    encoded score*10^9+cand_id BIGINT max."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.floor(F.col("doc_id") / 4).cast("long").alias("prompt_id"),
+        F.col("doc_id").alias("cand_id"),
+        F.length("text").cast("long").alias("score"),
+    )
+    return mix.preference_pairs(d).orderBy("prompt_id", "rejected_id")
+
+
+SQL_PREFERENCE_PAIRS = """
+WITH cands AS (
+  SELECT doc_id // 4 AS prompt_id, doc_id AS cand_id,
+         length(text)::BIGINT AS score
+  FROM documents
+), best AS (
+  SELECT prompt_id,
+         max(score * 1000000000 + cand_id)::BIGINT AS bk
+  FROM cands GROUP BY prompt_id
+)
+SELECT c.prompt_id,
+       (b.bk % 1000000000)::BIGINT AS chosen_id,
+       c.cand_id AS rejected_id,
+       (b.bk // 1000000000 - c.score)::BIGINT AS margin
+FROM cands c JOIN best b USING (prompt_id)
+WHERE c.cand_id <> b.bk % 1000000000
+ORDER BY prompt_id, rejected_id
+"""
+
+# planted users for item_cooccurrence: 9500001 exceeds the max_group=5
+# cap (6 distinct types — dropped before pair generation, exercising
+# the cap path on a corpus where every natural user has exactly 5);
+# 9500002/9500003 add asymmetric pair counts and the 'refund' item.
+_COOC_FIXTURE = [
+    (9500001, t)
+    for t in ("click", "error", "purchase", "signup", "view", "refund")
+] + [
+    (9500002, "click"),
+    (9500002, "view"),
+    (9500003, "view"),
+    (9500003, "purchase"),
+    (9500003, "refund"),
+]
+
+
+def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association stats (analytics.item_cooccurrence)
+    over (user, event_type) baskets with max_group=5 — every natural
+    sf user holds exactly 5 distinct types, so the planted 6-type user
+    9500001 is the one the cap drops (FIXTURES.md)."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .unionByName(
+            spark.createDataFrame(
+                _COOC_FIXTURE, "user_id: long, event_type: string"
+            )
+        )
+    )
+    return analytics.item_cooccurrence(
+        ev, "user_id", "event_type", max_group=5
+    ).orderBy("item_a", "item_b")
+
+
+_SQL_COOC_FIXTURE = """
+  SELECT * FROM (VALUES
+    (9500001, 'click'), (9500001, 'error'), (9500001, 'purchase'),
+    (9500001, 'signup'), (9500001, 'view'), (9500001, 'refund'),
+    (9500002, 'click'), (9500002, 'view'),
+    (9500003, 'view'), (9500003, 'purchase'), (9500003, 'refund')
+  ) AS f(user_id, event_type)
+"""
+
+SQL_ITEM_COOCCURRENCE = f"""
+WITH b AS (
+  SELECT DISTINCT user_id, event_type FROM (
+    SELECT user_id, event_type FROM events
+    UNION ALL {_SQL_COOC_FIXTURE}
+  )
+), ok AS (
+  SELECT user_id FROM b GROUP BY user_id HAVING count(*) <= 5
+), capped AS (
+  SELECT b.user_id, b.event_type FROM b JOIN ok USING (user_id)
+), pairs AS (
+  SELECT a.event_type AS item_a, c.event_type AS item_b,
+         count(*)::BIGINT AS pair_n
+  FROM capped a JOIN capped c
+    ON a.user_id = c.user_id AND a.event_type < c.event_type
+  GROUP BY 1, 2
+), counts AS (
+  SELECT event_type, count(*)::BIGINT AS n FROM capped GROUP BY 1
+), tot AS (
+  SELECT count(*)::BIGINT AS n_groups FROM ok
+)
+SELECT item_a, item_b, pair_n, ca.n AS a_n, cb.n AS b_n, tot.n_groups,
+       pair_n::DOUBLE / ca.n::DOUBLE AS confidence,
+       (pair_n * tot.n_groups)::DOUBLE / (ca.n * cb.n)::DOUBLE AS lift
+FROM pairs
+JOIN counts ca ON ca.event_type = item_a
+JOIN counts cb ON cb.event_type = item_b
+CROSS JOIN tot
+ORDER BY item_a, item_b
+"""
+
+
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching stats (mix.length_buckets, bucket 32
+    tokens) plus two planted edges: an empty doc (0 tokens — the
+    blank-text guard) and an exactly-32-token doc (lower boundary of
+    bucket 1; FIXTURES.md)."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .unionByName(
+            spark.createDataFrame(
+                [(9600001, ""), (9600002, "tok " * 31 + "tok")],
+                "doc_id: long, text: string",
+            )
+        )
+    )
+    return mix.length_buckets(d, bucket_size=32).orderBy("bucket")
+
+
+SQL_LENGTH_BUCKETS = r"""
+WITH d AS (
+  SELECT text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    (''), ('{tok32}')
+  ) AS f(text)
+), t AS (
+  SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'))
+         END::BIGINT AS n
+  FROM d
+), bk AS (
+  SELECT ((n - n % 32) // 32)::BIGINT AS bucket, n FROM t
+)
+SELECT bucket, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS sum_tokens,
+       max(n)::BIGINT AS max_tokens,
+       (count(*) * max(n) - sum(n))::BIGINT AS pad_to_max,
+       (count(*) * (bucket + 1) * 32 - sum(n))::BIGINT AS pad_to_cap
+FROM bk GROUP BY bucket ORDER BY bucket
+""".replace(
+    "{tok32}", "tok " * 31 + "tok"
+)
+
+
+def q_contingency_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell chi-square contributions (diagnose.contingency_chi2)
+    for event_type x (user_id % 2) — every float is a short chain of
+    correctly-rounded IEEE ops on exact integers, identical per row in
+    both engines; no cross-row float sum exists in the result."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.pmod(F.col("user_id"), F.lit(2)).cast("long").alias("segment"),
+    )
+    return diagnose.contingency_chi2(ev, "event_type", "segment").orderBy(
+        "event_type", "segment"
+    )
+
+
+SQL_CONTINGENCY_CHI2 = """
+WITH o AS (
+  SELECT event_type, (user_id % 2)::BIGINT AS segment,
+         count(*)::BIGINT AS observed
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, sum(observed)::BIGINT AS row_n FROM o GROUP BY 1
+), c AS (
+  SELECT segment, sum(observed)::BIGINT AS col_n FROM o GROUP BY 1
+), tot AS (
+  SELECT sum(observed)::BIGINT AS n_total FROM o
+), cell AS (
+  SELECT o.event_type, o.segment, o.observed, r.row_n, c.col_n,
+         tot.n_total,
+         (r.row_n * c.col_n)::DOUBLE / tot.n_total::DOUBLE AS expected
+  FROM o JOIN r USING (event_type) JOIN c USING (segment) CROSS JOIN tot
+)
+SELECT event_type, segment, observed, row_n, col_n, n_total, expected,
+       (observed::DOUBLE - expected) * (observed::DOUBLE - expected)
+         / expected AS cell_chi2
+FROM cell ORDER BY event_type, segment
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples
     # the first 50 keys.  Per the r4 verdict ask #6 the 37 keys whose
@@ -7087,6 +7280,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_ohlc": q_value_ohlc,
         "hard_negatives": q_hard_negatives,
         "winsorized_stats": q_winsorized_stats,
+        "preference_pairs": q_preference_pairs,
+        "item_cooccurrence": q_item_cooccurrence,
+        "length_buckets": q_length_buckets,
+        "contingency_chi2": q_contingency_chi2,
         "semantic_dedup": q_semantic_dedup,
         "value_trend": q_value_trend,
         "communities": q_communities,
@@ -7264,6 +7461,10 @@ def oracle_sql() -> dict[str, str]:
         "value_ohlc": SQL_VALUE_OHLC,
         "hard_negatives": SQL_HARD_NEGATIVES,
         "winsorized_stats": SQL_WINSORIZED_STATS,
+        "preference_pairs": SQL_PREFERENCE_PAIRS,
+        "item_cooccurrence": SQL_ITEM_COOCCURRENCE,
+        "length_buckets": SQL_LENGTH_BUCKETS,
+        "contingency_chi2": SQL_CONTINGENCY_CHI2,
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "value_trend": SQL_VALUE_TREND,
         "communities": SQL_COMMUNITIES,

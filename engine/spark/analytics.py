@@ -562,3 +562,91 @@ def k_core(
     out = out.localCheckpoint(eager=True)
     e.unpersist()
     return out
+
+
+def item_cooccurrence(
+    df: DataFrame,
+    group_col: str = "user_id",
+    item_col: str = "event_type",
+    max_group: int = 64,
+) -> DataFrame:
+    """Association statistics over item pairs: for every unordered pair
+    of items co-occurring in the same group (user, basket, session),
+    the pair count plus support/confidence/lift — the
+    market-basket / co-click statistics behind "users who did A also
+    did B" recommendations.
+
+    Semantics (the cap is part of them): membership is the DISTINCT
+    (group, item) table; groups with more than ``max_group`` distinct
+    items are dropped BEFORE pair generation — pair fan-out is
+    quadratic in the group, and one viral group at 10^12 rows would
+    emit billions of pairs (same df-cap discipline as
+    ``cooccurrence_edges`` / ``dedup.ngram_jaccard_pairs``).  Item
+    counts and the group total are computed over the SAME capped
+    membership so the ratios are internally consistent.
+
+    Float parity: pair_n, a_n, b_n, n_groups are exact BIGINTs;
+    ``confidence`` (= pair_n/a_n) and ``lift``
+    (= pair_n*n_groups / (a_n*b_n)) are each ONE correctly-rounded
+    double division of exact integers — bit-identical in any IEEE-754
+    engine, no cross-row float accumulation anywhere.
+
+    Shape: distinct + cap = two partial-agg shuffles on the group key;
+    pair generation is an equi-join on the group key (never a
+    cartesian); pair counting one shuffle on the (bounded-cardinality)
+    pair key; the single-row group total rides along as a broadcast
+    literal.  a < b ordering halves the pair space.
+    """
+    b = df.select(group_col, item_col).distinct()
+    ok = (
+        b.groupBy(group_col)
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") <= max_group)
+        .drop("_n")
+    )
+    capped = b.join(ok, group_col)
+    pairs = (
+        capped.alias("a")
+        .join(
+            capped.alias("c"),
+            (F.col(f"a.{group_col}") == F.col(f"c.{group_col}"))
+            & (F.col(f"a.{item_col}") < F.col(f"c.{item_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{item_col}").alias("item_a"),
+            F.col(f"c.{item_col}").alias("item_b"),
+        )
+        .agg(F.count("*").alias("pair_n"))
+    )
+    counts = capped.groupBy(item_col).agg(F.count("*").alias("_in"))
+    tot = ok.agg(F.count("*").alias("n_groups"))
+    return (
+        pairs.join(
+            counts.select(
+                F.col(item_col).alias("item_a"), F.col("_in").alias("a_n")
+            ),
+            "item_a",
+        )
+        .join(
+            counts.select(
+                F.col(item_col).alias("item_b"), F.col("_in").alias("b_n")
+            ),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "item_a",
+            "item_b",
+            "pair_n",
+            "a_n",
+            "b_n",
+            "n_groups",
+            (
+                F.col("pair_n").cast("double") / F.col("a_n").cast("double")
+            ).alias("confidence"),
+            (
+                (F.col("pair_n") * F.col("n_groups")).cast("double")
+                / (F.col("a_n") * F.col("b_n")).cast("double")
+            ).alias("lift"),
+        )
+    )

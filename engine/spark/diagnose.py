@@ -707,3 +707,61 @@ def global_rank(
         .withColumn(out_col, F.col("_gr_off") + F.col("_gr_lrank"))
         .drop("_gr_pid", "_gr_lrank", "_gr_off")
     )
+
+
+def contingency_chi2(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """Per-cell chi-square contributions for a contingency table of two
+    categorical columns — the independence diagnostic you run before
+    trusting a stratified split or an A/B segment assignment.
+
+    Emits one row per observed (row, col) cell with the observed
+    count, marginals, expected count under independence, and the
+    cell's chi-square contribution (observed-expected)^2/expected.
+    The TOTAL chi-square statistic is deliberately NOT summed here:
+    summing doubles across rows is aggregation-order-dependent, while
+    every per-cell value is a short chain of correctly-rounded IEEE
+    ops on exact integers (products < 2^53, one subtraction, one
+    square, two divisions) — bit-identical in Spark and the DuckDB
+    oracle.  Callers wanting the scalar statistic sum the (few) cells
+    driver-side or via a DECIMAL round-then-sum.
+
+    Shape: one partial-agg shuffle builds the cell counts, and the
+    marginals are WINDOW sums over the already-reduced cell table —
+    Catalyst would re-expand marginal self-joins into three extra fact
+    scans, while windows reuse the reduced rows in place (plan-asserted
+    single fact scan).  The empty-partition grand-total window funnels
+    only |rows|x|cols| cells through one task — bounded by the
+    contingency table's definition, not the data size.  Marginal sums
+    are BIGINT — exact under any accumulation order.
+    """
+    o = df.groupBy(row_col, col_col).agg(F.count("*").alias("observed"))
+    cell = (
+        o.withColumn(
+            "row_n", F.sum("observed").over(Window.partitionBy(row_col))
+        )
+        .withColumn(
+            "col_n", F.sum("observed").over(Window.partitionBy(col_col))
+        )
+        .withColumn(
+            "n_total", F.sum("observed").over(Window.partitionBy())
+        )
+    )
+    e = (F.col("row_n") * F.col("col_n")).cast("double") / F.col(
+        "n_total"
+    ).cast("double")
+    d = F.col("observed").cast("double") - F.col("expected")
+    return (
+        cell.withColumn("expected", e)
+        .select(
+            row_col,
+            col_col,
+            "observed",
+            F.col("row_n").cast("long").alias("row_n"),
+            F.col("col_n").cast("long").alias("col_n"),
+            F.col("n_total").cast("long").alias("n_total"),
+            "expected",
+            ((d * d) / F.col("expected")).alias("cell_chi2"),
+        )
+    )

@@ -232,3 +232,108 @@ def token_budget_sample(
             F.col("cum_tokens").cast("long").alias("cum_tokens"),
         )
     )
+
+
+def preference_pairs(
+    cands: DataFrame,
+    prompt_col: str = "prompt_id",
+    cand_col: str = "cand_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Preference-pair (DPO/RLHF) construction: for each prompt, pair
+    the best-scoring candidate response with every other candidate.
+
+    Training a reward/DPO model needs (prompt, chosen, rejected)
+    triples.  Given a candidates table — several scored responses per
+    prompt (best-of-n sampling, multiple model snapshots, human
+    ratings) — the chosen response is the per-prompt argmax of
+    ``score_col`` with ties broken by the LARGER ``cand_col`` (the
+    struct-max rule, reproducible in any engine as the max of the
+    encoded (score, cand_id) key), and every other candidate becomes
+    the rejected side of one pair with its score margin.
+
+    Shape: ONE partial-aggregating shuffle on ``prompt_col`` computes
+    the argmax (struct-max — never a per-prompt window sort), then one
+    equi-join on ``prompt_col`` fans the winner back onto the
+    candidates.  Both sides hash-partition on the prompt key, which is
+    high-cardinality (one per prompt) — no hot reducer, no skew.  At
+    10^12 candidates this is a plain two-exchange plan; AQE may
+    broadcast the (much smaller, one-row-per-prompt) winner side.
+
+    Returns (prompt_col, chosen_id, rejected_id, margin) with
+    margin = chosen_score - rejected_score >= 0, one row per
+    non-chosen candidate.  Integer scores stay integer-exact.
+    """
+    best = (
+        cands.groupBy(prompt_col)
+        .agg(
+            F.max(F.struct(F.col(score_col), F.col(cand_col))).alias("_b")
+        )
+        .select(
+            prompt_col,
+            F.col(f"_b.{cand_col}").alias("chosen_id"),
+            F.col(f"_b.{score_col}").alias("chosen_score"),
+        )
+    )
+    return (
+        cands.join(best, prompt_col)
+        .where(F.col(cand_col) != F.col("chosen_id"))
+        .select(
+            prompt_col,
+            "chosen_id",
+            F.col(cand_col).alias("rejected_id"),
+            (F.col("chosen_score") - F.col(score_col)).alias("margin"),
+        )
+    )
+
+
+def length_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    bucket_size: int = 32,
+) -> DataFrame:
+    """Length-bucketed batching stats: bucket documents by whitespace
+    token count and measure the padding waste of batching each bucket.
+
+    Fixed-context inference/training batches pad every sequence to the
+    batch max, so batching by length is the standard way to cut wasted
+    FLOPs.  This operator quantifies it per bucket: ``pad_to_max`` is
+    the padding cost of dynamic batching (pad to the bucket's observed
+    max), ``pad_to_cap`` the cost of static batching (pad to the
+    bucket's upper boundary).
+
+    All arithmetic is integer-exact: the bucket index is
+    (n - n % bucket_size) / bucket_size — the numerator is divisible
+    by ``bucket_size`` so the double division is exact for ANY bucket
+    size (no floor-of-inexact-quotient hazard), identically in Spark
+    and the DuckDB oracle.
+
+    Shape: one scan with map-side partial aggregation into at most
+    max_tokens/bucket_size groups — the cheapest distributed shape
+    there is; no window, no join, no skew (bucket count is bounded).
+    """
+    from engine.spark.text import ws_token_count
+
+    n = ws_token_count(F.col(text_col))
+    bs = F.lit(bucket_size)
+    d = docs.select(
+        ((n - F.pmod(n, bs)) / bs).cast("long").alias("bucket"),
+        n.alias("n_tokens"),
+    )
+    return (
+        d.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+        .withColumn(
+            "pad_to_max",
+            F.col("n_docs") * F.col("max_tokens") - F.col("sum_tokens"),
+        )
+        .withColumn(
+            "pad_to_cap",
+            F.col("n_docs") * (F.col("bucket") + 1) * bucket_size
+            - F.col("sum_tokens"),
+        )
+    )

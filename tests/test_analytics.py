@@ -732,3 +732,50 @@ def test_k_core_peels_cascade_to_fixpoint(spark):
     out1 = {r["node"]: r["core_degree"]
             for r in analytics.k_core(edges, k=1).collect()}
     assert out1 == {1: 2, 2: 2, 3: 3, 4: 2, 5: 1}
+
+
+def test_item_cooccurrence_cap_and_ratios(spark):
+    """The df-cap drops a viral group BEFORE pair generation; counts
+    and the single-division ratios stay consistent with the capped
+    membership."""
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (2, "c"), (3, "a")]
+    # viral group 9: 4 distinct items > max_group=3 -> dropped entirely
+    rows += [(9, t) for t in ("a", "b", "c", "d")]
+    ev = spark.createDataFrame(rows, "user_id: long, event_type: string")
+    got = {
+        (r.item_a, r.item_b): r
+        for r in analytics.item_cooccurrence(
+            ev, "user_id", "event_type", max_group=3
+        ).collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = got[("a", "b")]
+    # capped universe: groups 1,2,3 -> a_n=3, b_n=2, pair ab in 1,2
+    assert (ab.pair_n, ab.a_n, ab.b_n, ab.n_groups) == (2, 3, 2, 3)
+    assert ab.confidence == 2.0 / 3.0
+    assert ab.lift == (2 * 3) / float(3 * 2)
+    assert "d" not in {k for pair in got for k in pair}
+
+
+def test_contingency_chi2_hand_computed(spark):
+    """2x2 hand check: observed/expected/cell_chi2 exact per cell, and
+    expected sums back to each row marginal."""
+    ev = spark.createDataFrame(
+        [("x", 0)] * 30 + [("x", 1)] * 10 + [("y", 0)] * 10
+        + [("y", 1)] * 10,
+        "k: string, seg: long",
+    )
+    from engine.spark import diagnose
+
+    cells = {
+        (r.k, r.seg): r
+        for r in diagnose.contingency_chi2(ev, "k", "seg").collect()
+    }
+    assert len(cells) == 4
+    c = cells[("x", 0)]
+    assert (c.observed, c.row_n, c.col_n, c.n_total) == (30, 40, 40, 60)
+    exp = 40 * 40 / 60.0
+    assert c.expected == exp
+    assert c.cell_chi2 == (30.0 - exp) ** 2 / exp
+    for k, row_n in (("x", 40), ("y", 20)):
+        assert sum(cells[(k, s)].expected for s in (0, 1)) == row_n

@@ -257,3 +257,56 @@ def test_stream_turn_dedup_split_invariance(spark, tmp_path):
     # emitted runs carry the collapse counts
     by = {(r.conv_id, r.turn_idx): r.n_repeats for r in a.itertuples()}
     assert by[("c00", 1)] == 3 and by[("c00", 0)] == 1
+
+
+def test_preference_pairs_argmax_ties_and_singletons(spark):
+    """Tie on score -> larger cand_id wins (the struct-max rule the
+    oracle reproduces via the encoded-key max); a single-candidate
+    prompt emits no pairs; margins are chosen - rejected, >= 0."""
+    cands = spark.createDataFrame(
+        [
+            (1, 10, 5),
+            (1, 11, 9),
+            (1, 12, 9),  # tie with 11 -> 12 chosen
+            (2, 20, 3),  # singleton prompt -> no pairs
+            (3, 30, 0),
+            (3, 31, 7),
+        ],
+        "prompt_id: long, cand_id: long, score: long",
+    )
+    got = {
+        (r.prompt_id, r.rejected_id): (r.chosen_id, r.margin)
+        for r in mix.preference_pairs(cands).collect()
+    }
+    assert got == {
+        (1, 10): (12, 4),
+        (1, 11): (12, 0),
+        (3, 30): (31, 7),
+    }
+
+
+def test_length_buckets_boundaries_and_padding(spark):
+    """Exactly-bucket_size tokens lands in bucket 1 (lower edge);
+    blank text is 0 tokens in bucket 0; both padding columns are
+    integer-exact."""
+    docs = spark.createDataFrame(
+        [
+            (1, ""),            # 0 tokens
+            (2, "a b c"),       # 3 tokens
+            (3, "x " * 3 + "x"),  # 4 tokens = bucket_size -> bucket 1
+            (4, "y " * 4 + "y"),  # 5 tokens -> bucket 1
+        ],
+        "doc_id: long, text: string",
+    )
+    rows = {
+        r.bucket: r
+        for r in mix.length_buckets(docs, bucket_size=4).collect()
+    }
+    assert set(rows) == {0, 1}
+    b0, b1 = rows[0], rows[1]
+    assert (b0.n_docs, b0.sum_tokens, b0.max_tokens) == (2, 3, 3)
+    assert b0.pad_to_max == 2 * 3 - 3
+    assert b0.pad_to_cap == 2 * 4 - 3
+    assert (b1.n_docs, b1.sum_tokens, b1.max_tokens) == (2, 9, 5)
+    assert b1.pad_to_max == 2 * 5 - 9
+    assert b1.pad_to_cap == 2 * 8 - 9

@@ -884,3 +884,49 @@ def test_ewma_single_groupby_no_window_no_python(spark):
     assert "EvalPython" not in plan, plan
     assert "Window" not in plan, plan
     assert plan.count("Exchange") <= 2, plan  # agg exchange (+AQE read)
+
+
+def test_preference_pairs_no_window_no_cartesian(spark):
+    """The argmax is a struct-max partial agg, never a per-prompt window
+    sort; winner fan-out is an equi-join on the prompt key."""
+    df = entry_mod.q_preference_pairs(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_item_cooccurrence_capped_equi_join(spark):
+    """Pair generation is an equi-join on the group key over the capped
+    membership; the single-row group total rides broadcast."""
+    df = entry_mod.q_item_cooccurrence(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
+        plan
+    )
+
+
+def test_length_buckets_single_shuffle_no_python(spark):
+    """One partial-agg shuffle over a bounded bucket key, and the token
+    count stays JVM-side (no Python eval anywhere)."""
+    df = entry_mod.q_length_buckets(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Python" not in plan, plan
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    # hashAggregate exchanges only: bucket agg + the orderBy range part
+    n_hash_ex = body.count("Exchange hashpartitioning")
+    assert n_hash_ex <= 1, plan
+
+
+def test_contingency_chi2_single_fact_scan(spark):
+    """Marginals are partial aggs over the already-reduced cell table:
+    the events fact table is scanned exactly once."""
+    df = entry_mod.q_contingency_chi2(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    scans = [
+        ln
+        for ln in plan.splitlines()
+        if "Scan parquet" in ln and "events" in ln
+    ]
+    assert len(scans) == 1, plan
