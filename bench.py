@@ -437,6 +437,11 @@ RELATIONAL = [
     "ewma",
     "k_core",
     "classifier_score",
+    # round-5 session-4 additions
+    "preference_pairs",
+    "item_cooccurrence",
+    "length_buckets",
+    "contingency_chi2",
 ]
 
 
