@@ -7198,6 +7198,133 @@ FROM cell ORDER BY event_type, segment
 """
 
 
+def q_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between event-type value series
+    aligned on hour buckets (diagnose.grouped_correlation): exact
+    DECIMAL sufficient statistics, final r as a fixed-order IEEE chain
+    — the cross-metric co-movement diagnostic."""
+    ev = _t(spark, sf_dir, "events")
+    return diagnose.grouped_correlation(
+        ev,
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long"),
+        "event_type",
+        F.col("value"),
+    ).orderBy("series_a", "series_b")
+
+
+SQL_CORR_PAIRS = """
+WITH per AS (
+  SELECT floor(epoch(ts) / 3600)::BIGINT AS b, event_type AS s,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), pairs AS (
+  SELECT x.s AS series_a, y.s AS series_b, x.v AS vx, y.v AS vy
+  FROM per x JOIN per y ON x.b = y.b AND x.s < y.s
+), agg AS (
+  SELECT series_a, series_b, count(*) AS n,
+         CAST(sum(vx) AS DECIMAL(38,6)) AS sx,
+         CAST(sum(vy) AS DECIMAL(38,6)) AS sy,
+         -- widen one operand past 18 digits so DuckDB multiplies on
+         -- the exact hugeint path (Spark's decimal product is exact)
+         CAST(sum(CAST(vx AS DECIMAL(19,6)) * vy) AS DECIMAL(38,6))
+           AS sxy,
+         CAST(sum(CAST(vx AS DECIMAL(19,6)) * vx) AS DECIMAL(38,6))
+           AS sxx,
+         CAST(sum(CAST(vy AS DECIMAL(19,6)) * vy) AS DECIMAL(38,6))
+           AS syy
+  FROM pairs GROUP BY 1, 2
+), d AS (
+  SELECT series_a, series_b, n,
+         n::DOUBLE AS nd, sx::DOUBLE AS sxd, sy::DOUBLE AS syd,
+         sxy::DOUBLE AS sxyd, sxx::DOUBLE AS sxxd, syy::DOUBLE AS syyd
+  FROM agg WHERE n >= 2
+)
+SELECT series_a, series_b, n,
+       round((nd * sxyd - sxd * syd)
+             / (sqrt(nd * sxxd - sxd * sxd)
+                * sqrt(nd * syyd - syd * syd)), 6) AS corr
+FROM d
+WHERE (nd * sxxd - sxd * sxd) > 0.0 AND (nd * syyd - syd * syd) > 0.0
+ORDER BY series_a, series_b
+"""
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth over 16 deterministic hash-ordered
+    shards (text.vocab_growth): new distinct tokens per shard +
+    cumulative vocabulary — reproducible across engines because shard
+    assignment is the portable md5 hash."""
+    return etext.vocab_growth(
+        _t(spark, sf_dir, "documents"), n_shards=16, seed="vg"
+    ).orderBy("shard")
+
+
+SQL_VOCAB_GROWTH = rf"""
+WITH t AS (
+  SELECT ({_H60.format(x="'vg:' || doc_id::VARCHAR")} % 16)::INT AS shard,
+         unnest(regexp_split_to_array(trim(lower(text)),
+                '[ \t\n\x0b\f\r]+')) AS tok
+  FROM documents
+), f AS (
+  SELECT tok, min(shard) AS shard FROM t WHERE length(tok) > 0
+  GROUP BY tok
+), g AS (
+  SELECT shard, count(*)::BIGINT AS new_tokens FROM f GROUP BY shard
+)
+SELECT shard, new_tokens,
+       sum(new_tokens) OVER (ORDER BY shard
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         AS cum_vocab
+FROM g ORDER BY shard
+"""
+
+
+def q_mad_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD outlier summary per event type (diagnose.mad_flags):
+    both medians via distributed exact ranking (grouped_median — never
+    a single-reducer percentile buffer or per-key window sort); the
+    DuckDB twin recomputes the identical rank/average arithmetic with
+    window functions (fine single-node, the shape Spark must avoid)."""
+    return diagnose.mad_flags(
+        _t(spark, sf_dir, "events"), "event_type", "value", "event_id"
+    ).orderBy("event_type")
+
+
+SQL_MAD_FLAGS = """
+WITH v AS (
+  SELECT event_type AS key, value AS val, event_id AS id
+  FROM events WHERE value IS NOT NULL
+), r AS (
+  SELECT key, val,
+         row_number() OVER (PARTITION BY key ORDER BY val, id) AS rk,
+         count(*) OVER (PARTITION BY key) AS n
+  FROM v
+), med AS (
+  SELECT key, max(n)::BIGINT AS n,
+         sum(val) / count(*)::DOUBLE AS median
+  FROM r WHERE rk = (n + 1) // 2 OR rk = n // 2 + 1 GROUP BY key
+), d AS (
+  SELECT v.key, abs(v.val - m.median) AS dev, v.id
+  FROM v JOIN med m ON v.key = m.key
+), r2 AS (
+  SELECT key, dev,
+         row_number() OVER (PARTITION BY key ORDER BY dev, id) AS rk,
+         count(*) OVER (PARTITION BY key) AS n
+  FROM d
+), mad AS (
+  SELECT key, sum(dev) / count(*)::DOUBLE AS mad
+  FROM r2 WHERE rk = (n + 1) // 2 OR rk = n // 2 + 1 GROUP BY key
+)
+SELECT v.key AS event_type, max(med.n) AS n,
+       round(max(med.median), 6) AS median,
+       round(max(mad.mad), 6) AS mad,
+       sum(CASE WHEN abs(v.val - med.median) > 3.0 * mad.mad
+           THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+FROM v JOIN med ON v.key = med.key JOIN mad ON v.key = mad.key
+GROUP BY v.key ORDER BY event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples
     # the first 50 keys.  Per the r4 verdict ask #6 the 37 keys whose
@@ -7284,6 +7411,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_cooccurrence": q_item_cooccurrence,
         "length_buckets": q_length_buckets,
         "contingency_chi2": q_contingency_chi2,
+        "corr_pairs": q_corr_pairs,
+        "vocab_growth": q_vocab_growth,
+        "mad_flags": q_mad_flags,
         "semantic_dedup": q_semantic_dedup,
         "value_trend": q_value_trend,
         "communities": q_communities,
@@ -7465,6 +7595,9 @@ def oracle_sql() -> dict[str, str]:
         "item_cooccurrence": SQL_ITEM_COOCCURRENCE,
         "length_buckets": SQL_LENGTH_BUCKETS,
         "contingency_chi2": SQL_CONTINGENCY_CHI2,
+        "corr_pairs": SQL_CORR_PAIRS,
+        "vocab_growth": SQL_VOCAB_GROWTH,
+        "mad_flags": SQL_MAD_FLAGS,
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "value_trend": SQL_VALUE_TREND,
         "communities": SQL_COMMUNITIES,

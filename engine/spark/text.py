@@ -1293,3 +1293,61 @@ def corpus_drift(
             6,
         ).alias("tv"),
     )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    seed: str = "vg",
+) -> DataFrame:
+    """Heaps-law vocabulary growth curve: how many NEW distinct tokens
+    each successive corpus shard contributes, and the cumulative
+    vocabulary after it — the diagnostic for "is more data still
+    buying vocabulary coverage?" when sizing a tokenizer corpus.
+
+    Shard order is the deterministic portable-hash order (same family
+    as ``mix.shard_shuffle``), so the curve is reproducible across
+    reruns, cluster sizes, and engines.  A token's first shard is
+    simply min(shard) over its occurrences — ONE partial-agg shuffle
+    on the token (high-cardinality, no skewed reducer), then a
+    partial-agg rollup to n_shards rows and a tiny cumulative window
+    over those rows only (never over token- or doc-grain data).
+    Shards contributing zero new tokens don't emit a row.
+
+    Returns (shard, new_tokens, cum_vocab), tokens = lowercased
+    whitespace split (the shared explicit ASCII class — Java/RE2
+    parity).
+    """
+    from engine.spark.dedup import portable_hash60
+
+    shard = F.pmod(
+        portable_hash60(
+            F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
+        ),
+        F.lit(n_shards),
+    ).cast("int")
+    toks = (
+        docs.select(
+            shard.alias("shard"),
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), WS)
+            ).alias("tok"),
+        )
+        .where(F.length("tok") > 0)
+    )
+    first = toks.groupBy("tok").agg(F.min("shard").alias("shard"))
+    growth = first.groupBy("shard").agg(
+        F.count("*").alias("new_tokens")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return growth.select(
+        "shard",
+        "new_tokens",
+        F.sum("new_tokens").over(w).cast("long").alias("cum_vocab"),
+    )

@@ -779,3 +779,47 @@ def test_contingency_chi2_hand_computed(spark):
     assert c.cell_chi2 == (30.0 - exp) ** 2 / exp
     for k, row_n in (("x", 40), ("y", 20)):
         assert sum(cells[(k, s)].expected for s in (0, 1)) == row_n
+
+
+def test_grouped_correlation_perfect_and_pairwise_complete(spark):
+    """y=2x over shared buckets -> r=1; z=-x -> r=-1; a bucket where
+    one series is absent is excluded (pairwise-complete); a
+    zero-variance series never emits a pair."""
+    rows = []
+    for b in range(1, 6):
+        rows.append((b, "x", float(b)))
+        rows.append((b, "y", 2.0 * b))
+        rows.append((b, "z", float(-b)))
+        rows.append((b, "flat", 7.0))
+    rows.append((99, "x", 100.0))  # bucket 99 lacks y/z -> excluded
+    df = spark.createDataFrame(rows, "b: long, s: string, v: double")
+    from engine.spark import diagnose
+
+    got = {
+        (r.series_a, r.series_b): r
+        for r in diagnose.grouped_correlation(df, "b", "s", "v").collect()
+    }
+    assert got[("x", "y")].corr == 1.0 and got[("x", "y")].n == 5
+    assert got[("x", "z")].corr == -1.0
+    assert got[("y", "z")].corr == -1.0
+    assert not any("flat" in k for k in got)
+
+
+def test_vocab_growth_invariants(spark):
+    """Shard-wise new-token counts partition the vocabulary: they sum
+    to the total distinct-token count, the cumulative column is the
+    running sum, and the curve is deterministic across runs."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i} w{i % 7} gamma") for i in range(40)],
+        "doc_id: long, text: string",
+    )
+    out = etext.vocab_growth(docs, n_shards=8, seed="t").collect()
+    total_vocab = 3 + 40  # alpha/beta/gamma + w0..w39 (w{i%7} repeats)
+    assert sum(r.new_tokens for r in out) == total_vocab
+    cum = 0
+    for r in sorted(out, key=lambda r: r.shard):
+        cum += r.new_tokens
+        assert r.cum_vocab == cum
+    assert cum == total_vocab
+    again = etext.vocab_growth(docs, n_shards=8, seed="t").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))

@@ -930,3 +930,43 @@ def test_contingency_chi2_single_fact_scan(spark):
         if "Scan parquet" in ln and "events" in ln
     ]
     assert len(scans) == 1, plan
+
+
+def test_corr_pairs_single_fact_scan_no_window(spark):
+    """Sufficient statistics come from partial aggs on the reduced
+    (bucket, series) grain — the self-join re-reads that grain, never
+    the fact table twice at full width... Spark will still rescan the
+    parquet for each join side (the grain reduction happens per side),
+    so the assertable invariants are: no cartesian, no Window, and the
+    scan is column-pruned to (ts, event_type, value)."""
+    df = entry_mod.q_corr_pairs(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+    for ln in plan.splitlines():
+        if "ReadSchema" in ln:
+            assert "event_id" not in ln and "props" not in ln, ln
+
+
+def test_vocab_growth_tiny_window_only(spark):
+    """The only window runs over the n_shards-row rollup (empty
+    partitionBy is safe there); the token-grain work is partial aggs."""
+    df = entry_mod.q_vocab_growth(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_mad_flags_no_perkey_fact_sort(spark):
+    """Every window in the plan is keyed by (_pid, key) blocks or runs
+    over metadata-scale rows — no window partitioned by the bare
+    low-cardinality key over fact-grain rows, no exact-percentile
+    single-reducer buffer."""
+    df = entry_mod.q_mad_flags(spark, SF_DIR)
+    plan = _plan(df)
+    assert "percentile" not in plan.lower(), plan
+    assert "CartesianProduct" not in plan, plan
+    # fact-grain windows must include the range-partition id in the key
+    for ln in plan.splitlines():
+        if "Window" in ln and "row_number" in ln:
+            assert "_gm_pid" in ln, ln

@@ -260,3 +260,51 @@ def test_weighted_sample_plans_take_ordered(spark, docs):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_grouped_median_matches_definition(spark):
+    """Odd n -> exact middle; even n -> mean of the two middles; ties
+    broken by id (no effect on the value, only on which rows feed the
+    average); per-key independence."""
+    import random
+
+    from engine.spark import diagnose
+
+    rng = random.Random(7)
+    rows = []
+    for key, n in (("a", 101), ("b", 100), ("c", 1)):
+        for i in range(n):
+            rows.append((key, rng.uniform(-50, 50), i))
+    df = spark.createDataFrame(rows, "k: string, v: double, id: long")
+    got = {
+        r.k: (r.n, r.median)
+        for r in diagnose.grouped_median(df, "k", "v", "id").collect()
+    }
+    import statistics
+
+    by_key = {}
+    for k, v, _ in rows:
+        by_key.setdefault(k, []).append(v)
+    for k, vals in by_key.items():
+        assert got[k][0] == len(vals)
+        assert got[k][1] == statistics.median(vals), k
+
+
+def test_mad_flags_hand_computed(spark):
+    """Values 1..9 plus one wild outlier: median/MAD by hand, the
+    outlier flagged, nothing else."""
+    from engine.spark import diagnose
+
+    vals = list(range(1, 10)) + [1000]
+    df = spark.createDataFrame(
+        [("k", float(v), i) for i, v in enumerate(vals)],
+        "k: string, v: double, id: long",
+    )
+    row = diagnose.mad_flags(df, "k", "v", "id").collect()[0]
+    # sorted: 1..9,1000; n=10 -> median = (5+6)/2 = 5.5
+    assert row.median == 5.5
+    # deviations: 4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,994.5
+    # sorted devs: .5 .5 1.5 1.5 2.5 2.5 3.5 3.5 4.5 994.5 -> mad 2.5
+    assert row.mad == 2.5
+    # threshold 3*2.5=7.5: only |1000-5.5| exceeds it
+    assert row.n_outliers == 1 and row.n == 10
