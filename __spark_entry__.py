@@ -7325,6 +7325,44 @@ GROUP BY v.key ORDER BY event_type
 """
 
 
+def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid confusion matrix over the labeled embeddings
+    (similarity.centroid_classify): per-label centroids as 6-dp-rounded
+    per-dim means, fold-cosine assignment, argmax per vector — the
+    embedding-separability audit."""
+    return similarity.centroid_classify(
+        _t(spark, sf_dir, "embeddings")
+    ).orderBy("true_label", "pred_label")
+
+
+SQL_CENTROID_CLASSIFY = """
+WITH base AS (
+  SELECT vec_id, label AS true_label, embedding::DOUBLE[] AS v
+  FROM embeddings
+), dims AS (
+  SELECT true_label AS lbl, i AS d, v[i] AS x
+  FROM base, UNNEST(range(1, len(v) + 1)) r(i)
+), cent AS (
+  SELECT lbl AS pred_label, list(m ORDER BY d) AS cv
+  FROM (SELECT lbl, d, round(avg(x), 6) AS m FROM dims GROUP BY 1, 2)
+  GROUP BY lbl
+), scored AS (
+  SELECT b.vec_id, b.true_label, c.pred_label,
+         round(list_inner_product(b.v, c.cv)
+               / (sqrt(list_inner_product(b.v, b.v))
+                  * sqrt(list_inner_product(c.cv, c.cv))), 6) AS cos
+  FROM base b, cent c
+), pick AS (
+  SELECT vec_id, true_label, pred_label,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, pred_label) AS rn
+  FROM scored
+)
+SELECT true_label, pred_label, count(*)::BIGINT AS n
+FROM pick WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples
     # the first 50 keys.  Per the r4 verdict ask #6 the 37 keys whose
@@ -7414,6 +7452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_pairs": q_corr_pairs,
         "vocab_growth": q_vocab_growth,
         "mad_flags": q_mad_flags,
+        "centroid_classify": q_centroid_classify,
         "semantic_dedup": q_semantic_dedup,
         "value_trend": q_value_trend,
         "communities": q_communities,
@@ -7598,6 +7637,7 @@ def oracle_sql() -> dict[str, str]:
         "corr_pairs": SQL_CORR_PAIRS,
         "vocab_growth": SQL_VOCAB_GROWTH,
         "mad_flags": SQL_MAD_FLAGS,
+        "centroid_classify": SQL_CENTROID_CLASSIFY,
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "value_trend": SQL_VALUE_TREND,
         "communities": SQL_COMMUNITIES,

@@ -787,3 +787,69 @@ def hard_negative_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def centroid_classify(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid classification audit over a labeled embedding
+    table: how separable are the label clusters?  Returns the confusion
+    matrix (true_label, pred_label, n) of assigning every vector to its
+    nearest per-label centroid by cosine — the quality gate you run on
+    embedding exports before trusting them for retrieval or dedup.
+
+    Centroids are per-dim means rounded to 6 dp (the same cross-engine
+    convention as the IVF oracle: the rounding collapses sub-1e-6
+    accumulation-order noise).  Shape: posexplode + partial agg on
+    (label, dim) — |labels|×dim rows cross the wire, never vectors;
+    the centroid table broadcasts back; scoring is a broadcast
+    cross-join of vecs × |labels| with the JVM fold cosine; the argmax
+    is a row_number over each vector's |labels| candidate rows
+    (partition key = vec id, high cardinality — thousands of tiny
+    window groups per task, no hot reducer); the confusion matrix is
+    one final partial-agg shuffle on (true, pred).
+    """
+    dims = emb.select(
+        F.col(label_col).alias("lbl"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "d", "x"
+        ),
+    )
+    cent = (
+        dims.groupBy("lbl", "d")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .groupBy("lbl")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm")
+        )
+        .select(
+            F.col("lbl").alias("pred_label"),
+            F.transform("dm", lambda s: s["m"]).alias("cv"),
+        )
+    )
+    scored = (
+        emb.select(
+            id_col,
+            F.col(label_col).alias("true_label"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .crossJoin(F.broadcast(cent))
+        .select(
+            id_col,
+            "true_label",
+            "pred_label",
+            F.round(cosine(F.col("v"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cos").desc(), F.col("pred_label").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("true_label", "pred_label")
+        .agg(F.count("*").alias("n"))
+    )

@@ -823,3 +823,27 @@ def test_vocab_growth_invariants(spark):
     assert cum == total_vocab
     again = etext.vocab_growth(docs, n_shards=8, seed="t").collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_centroid_classify_separable_clusters(spark):
+    """Two well-separated synthetic clusters -> diagonal confusion
+    matrix; a vector planted on the other cluster's centroid ->
+    exactly one off-diagonal count."""
+    from engine.spark import similarity
+
+    rows = []
+    for i in range(20):
+        rows.append((i, [10.0 + (i % 3), 0.1, 0.0], "a"))
+        rows.append((100 + i, [0.1, 10.0 + (i % 3), 0.0], "b"))
+    rows.append((999, [0.1, 10.0, 0.0], "a"))  # labeled a, sits in b
+    df = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>, label: string"
+    )
+    got = {
+        (r.true_label, r.pred_label): r.n
+        for r in similarity.centroid_classify(df).collect()
+    }
+    assert got[("a", "a")] == 20
+    assert got[("b", "b")] == 20
+    assert got[("a", "b")] == 1
+    assert ("b", "a") not in got

@@ -970,3 +970,13 @@ def test_mad_flags_no_perkey_fact_sort(spark):
     for ln in plan.splitlines():
         if "Window" in ln and "row_number" in ln:
             assert "_gm_pid" in ln, ln
+
+
+def test_centroid_classify_broadcast_centroids(spark):
+    """The |labels|xdim centroid table broadcasts; the only fact-grain
+    window is the per-vector argmax (partition key = vec id, high
+    cardinality)."""
+    df = entry_mod.q_centroid_classify(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan

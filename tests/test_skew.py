@@ -61,3 +61,32 @@ def test_skewed_conversation_byte_parity(spark, tmp_path):
     # giant turn survives intact
     giant = docs.set_index("conv_id").loc["conv-giant", "markdown"]
     assert len(giant) > 900_000
+
+
+def test_grouped_median_hot_key_spans_partitions(spark):
+    """One key holding ~95% of the rows must span many range partitions
+    (that is the point of the distributed ranking) and still produce
+    the exact median; the small keys around it stay correct."""
+    import statistics
+
+    from engine.spark import diagnose
+
+    rows = [("hot", float((i * 7919) % 10007), i) for i in range(20000)]
+    rows += [("cold1", float(i), 100000 + i) for i in range(11)]
+    rows += [("cold2", float(-i), 200000 + i) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "k: string, v: double, id: long"
+    ).repartition(16)
+    got = {
+        r.k: (r.n, r.median)
+        for r in diagnose.grouped_median(df, "k", "v", "id").collect()
+    }
+    assert got["hot"] == (
+        20000,
+        statistics.median(v for k, v, _ in rows if k == "hot"),
+    )
+    assert got["cold1"] == (11, 5.0)
+    assert got["cold2"] == (4, -1.5)
+    # the hot key really was split across range partitions
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert nparts >= 8  # precondition for the claim to mean anything
