@@ -1351,3 +1351,106 @@ def vocab_growth(
         "new_tokens",
         F.sum("new_tokens").over(w).cast("long").alias("cum_vocab"),
     )
+
+
+def bpe_train(
+    docs: DataFrame,
+    rounds: int = 4,
+    text_col: str = "text",
+) -> "list":
+    """Distributed BPE tokenizer training — ``rounds`` true merge
+    iterations, returned as the learned merge table
+    [(rnd, left_tok, right_tok, merged, cnt), ...].
+
+    The scale insight (the reason BPE trains fine at 10^12 turns): the
+    corpus is touched ONCE, to build the word-frequency table (vocab-
+    sized — millions of rows, not trillions); every merge round then
+    runs on that compact table: one partial-aggregating pair count
+    weighted by word frequency, a TakeOrdered(1) argmax (never a global
+    sort), and a JVM fold applying the merge.  Words are held as
+    space-joined symbol strings; the merge is a LEFT FOLD over the
+    symbol array — merge the accumulator's last symbol with the current
+    one when they form the pair, else append — which IS greedy leftmost
+    non-overlapping merging (after a merge the new last symbol is the
+    longer merged token, so it can't re-trigger as the pair's left
+    side against the element that fed it).  A delimiter-based string
+    ``replace`` is NOT equivalent: consecutive occurrences share a
+    boundary space the replace consumes ("banana" with merge (a,n)
+    under-merges to [b,an,a,n,a]); the fold handles runs correctly
+    ([a,a,a,a] + (a,a) -> [aa,aa]), pinned in tests.  The DuckDB twin
+    reproduces the fold with ``list_reduce`` over a string accumulator
+    (an independent mechanism that must land identical merge tables).
+
+    The one driver round-trip per round is the argmax pair (a single
+    row — same metadata-only discipline as connected-components'
+    convergence check).  Each round's word table is persisted and the
+    previous round's released AFTER materialization (the k_core
+    discipline), so lineage stays one projection deep.
+
+    Ties on the argmax break (cnt DESC, left ASC, right ASC) —
+    deterministic for ASCII symbols in both engines.
+    """
+    words = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.array_join(
+                F.regexp_extract_all(F.col("w"), F.lit(r"."), 0), " "
+            ).alias("seq"),
+            "freq",
+        )
+    )
+    words = words.persist()
+    words.count()
+    merges = []
+    for rnd in range(1, rounds + 1):
+        toks = F.split(F.col("seq"), " ")
+        n = F.greatest(F.size(toks) - 1, F.lit(0))
+        top = (
+            words.select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(toks, 1, n).alias("l"),
+                        F.slice(toks, 2, n).alias("r"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] is None:
+            break
+        left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merged = left + right
+        merges.append((rnd, left, right, merged, cnt))
+        arr = F.split(F.col("seq"), " ")
+        folded = F.aggregate(
+            F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+            F.slice(arr, 1, 1),
+            lambda acc, x: F.when(
+                (F.element_at(acc, -1) == F.lit(left))
+                & (x == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.lit(merged)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        nxt = words.select(
+            F.array_join(folded, " ").alias("seq"),
+            "freq",
+        ).persist()
+        nxt.count()
+        words.unpersist()
+        words = nxt
+    words.unpersist()
+    return merges

@@ -852,3 +852,39 @@ def test_hard_negative_topk_excludes_planted_dups(spark):
     got = [(r["neighbor_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])]
     # clone (cos 1.0) and near-dup (cos .994) excluded; hard negative first
     assert got == [(102, 1), (1, 2), (103, 3)]
+
+
+def test_bpe_train_hand_computed_merges(spark):
+    """Tiny corpus with known statistics: the four learned merges and
+    their weighted counts match a hand trace (at=10, th=6, the=4,
+    cat=3), and greedy-leftmost merging is what the counts reflect."""
+    from engine.spark import text as etext
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat ate the rat"),
+            (3, "that hat that cat"),
+        ],
+        "doc_id: long, text: string",
+    )
+    merges = etext.bpe_train(docs, rounds=4)
+    assert merges == [
+        (1, "a", "t", "at", 10),
+        (2, "t", "h", "th", 6),
+        (3, "th", "e", "the", 4),
+        (4, "c", "at", "cat", 3),
+    ]
+
+
+def test_bpe_train_greedy_leftmost_on_runs(spark):
+    """'aaaa' with merge (a,a): greedy leftmost gives [aa, aa] — the
+    second round must therefore find (aa, aa), not (a, a) again."""
+    from engine.spark import text as etext
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa aaaa")], "doc_id: long, text: string"
+    )
+    merges = etext.bpe_train(docs, rounds=2)
+    assert merges[0][1:4] == ("a", "a", "aa")
+    assert merges[1][1:4] == ("aa", "aa", "aaaa")
