@@ -7382,7 +7382,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rnd")
 
 
-def _bpe_sql(rounds: int = 4) -> str:
+def _bpe_sql(rounds: int = 4, encode: bool = False) -> str:
     bpe_re = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]"
     parts = [
         f"""
@@ -7408,7 +7408,7 @@ WITH words1 AS (
   SELECT l, r2, cnt FROM pairs{r} ORDER BY cnt DESC, l, r2 LIMIT 1
 )"""
         )
-        if r < rounds:
+        if r < rounds or encode:
             # greedy-leftmost fold (same semantics as the Spark array
             # fold): acc is the space-joined merged prefix; merge when
             # its LAST symbol is l (suffix equals l and the char before
@@ -7428,6 +7428,13 @@ WITH words1 AS (
   FROM words{r}, top{r} t
 )"""
             )
+    if encode:
+        sel = (
+            "SELECT symbol, sum(freq)::BIGINT AS cnt FROM ("
+            f"SELECT unnest(string_split(seq, ' ')) AS symbol, freq "
+            f"FROM words{rounds + 1}) GROUP BY symbol ORDER BY symbol"
+        )
+        return "".join(parts) + "\n" + sel
     sel = "\nUNION ALL\n".join(
         f"SELECT {r} AS rnd, l AS left_tok, r2 AS right_tok,"
         f" l || r2 AS merged, cnt FROM top{r}"
@@ -7437,6 +7444,21 @@ WITH words1 AS (
 
 
 SQL_BPE_TRAIN = _bpe_sql(4)
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer ENCODE: train 4 merges, then apply them to the corpus
+    (text.bpe_encode — merges composed as greedy folds over the
+    DISTINCT word table, weighted by word frequency) and return the
+    symbol-frequency table.  The oracle re-derives the merges AND the
+    encoding entirely in SQL (the same unrolled CTEs as bpe_train plus
+    one more fold stage)."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = etext.bpe_train(docs, rounds=4)
+    return etext.bpe_encode(docs, merges).orderBy("symbol")
+
+
+SQL_BPE_ENCODE = _bpe_sql(4, encode=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -7530,6 +7552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_flags": q_mad_flags,
         "centroid_classify": q_centroid_classify,
         "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
         "semantic_dedup": q_semantic_dedup,
         "value_trend": q_value_trend,
         "communities": q_communities,
@@ -7716,6 +7739,7 @@ def oracle_sql() -> dict[str, str]:
         "mad_flags": SQL_MAD_FLAGS,
         "centroid_classify": SQL_CENTROID_CLASSIFY,
         "bpe_train": SQL_BPE_TRAIN,
+        "bpe_encode": SQL_BPE_ENCODE,
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "value_trend": SQL_VALUE_TREND,
         "communities": SQL_COMMUNITIES,

@@ -1454,3 +1454,68 @@ def bpe_train(
         words = nxt
     words.unpersist()
     return merges
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: "list",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned BPE merge table (``bpe_train`` output) to the
+    corpus and return the resulting symbol-frequency table
+    (symbol, cnt) — the encode half of the tokenizer, and the
+    compression audit (post-merge symbol count vs raw chars).
+
+    Same scale insight as training: merges are applied to the DISTINCT
+    word table (vocab-sized), never the corpus; the corpus contributes
+    only word frequencies.  Each merge is the greedy-leftmost fold from
+    ``bpe_train``, composed in merge order as nested Catalyst
+    expressions — fine for the tens-of-merges scale this trains; a
+    production encoder with thousands of merges would loop
+    fold-per-round over a persisted word table instead (the bpe_train
+    iteration shape) rather than nest expressions.
+
+    Output counts are exact BIGINTs: cnt = Σ word_freq × multiplicity.
+    """
+    def _merge_step(left: str, right: str, merged: str):
+        # bind per-merge constants in a closure: pyspark introspects the
+        # lambda's arity, so default-arg binding would be rejected
+        def step(acc, x):
+            return F.when(
+                (F.element_at(acc, -1) == F.lit(left))
+                & (x == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.lit(merged)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return step
+
+    seq = F.array_join(
+        F.regexp_extract_all(F.col("w"), F.lit(r"."), 0), " "
+    )
+    for _rnd, left, right, merged, _cnt in merges:
+        arr = F.split(seq, " ")
+        seq = F.array_join(
+            F.aggregate(
+                F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+                F.slice(arr, 1, 1),
+                _merge_step(left, right, merged),
+            ),
+            " ",
+        )
+    words = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (
+        words.select(F.explode(F.split(seq, " ")).alias("symbol"), "freq")
+        .groupBy("symbol")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+    )
