@@ -442,6 +442,11 @@ RELATIONAL = [
     "item_cooccurrence",
     "length_buckets",
     "contingency_chi2",
+    "corr_pairs",
+    "vocab_growth",
+    "mad_flags",
+    "centroid_classify",
+    "bpe_train",
 ]
 
 
@@ -484,11 +489,16 @@ def main(argv=None) -> int:
             # or the timer misses the real work
             # bloom_semi_join collects its bitmap words and
             # substring_search its rarest-gram dfs at construction time
+            # bpe_train's merge rounds and mad_flags' ranked-median
+            # persists run during DataFrame construction — rebuild
+            # inside the timed job or the timer misses the real work
             construct_heavy = {
                 "dup_clusters",
                 "ivf_quantized",
                 "bloom_semi_join",
                 "substring_search",
+                "bpe_train",
+                "mad_flags",
             }
             for name in RELATIONAL:
                 if name in construct_heavy:

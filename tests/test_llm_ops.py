@@ -926,3 +926,67 @@ def test_bpe_encode_compression_and_counts(spark):
     # cnt recorded at training time ONLY for that round's table, so just
     # assert the compression direction and exact totals via raw count
     assert total_symbols < raw_chars
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    """Randomized differential test: the distributed trainer must land
+    the exact merge table of an independent pure-Python reference BPE
+    (greedy-leftmost application, cnt-desc/left-asc/right-asc argmax)
+    on corpora with heavy symbol runs — the regime where replace-based
+    shortcuts diverge."""
+    import random
+    import re
+
+    from engine.spark import text as etext
+
+    bpe_re = re.compile(etext.BPE_RE)
+
+    def ref_bpe(texts, rounds):
+        freqs = {}
+        for t in texts:
+            for w in bpe_re.findall(t):
+                freqs[w] = freqs.get(w, 0) + 1
+        words = {}
+        for w, f in freqs.items():
+            key = tuple(w)
+            words[key] = words.get(key, 0) + f
+        merges = []
+        for rnd in range(1, rounds + 1):
+            counts = {}
+            for sym, f in words.items():
+                for i in range(len(sym) - 1):
+                    p = (sym[i], sym[i + 1])
+                    counts[p] = counts.get(p, 0) + f
+            if not counts:
+                break
+            (l, r), c = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((rnd, l, r, l + r, c))
+            nxt = {}
+            for sym, f in words.items():
+                out = []
+                for s in sym:
+                    if out and out[-1] == l and s == r:
+                        out[-1] = l + r
+                    else:
+                        out.append(s)
+                key = tuple(out)
+                nxt[key] = nxt.get(key, 0) + f
+            words = nxt
+        return merges
+
+    rng = random.Random(20260818)
+    for trial in range(3):
+        texts = [
+            " ".join(
+                "".join(rng.choice("ab") for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(3, 10))
+            )
+            for _ in range(12)
+        ]
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id: long, text: string"
+        )
+        got = etext.bpe_train(docs, rounds=3)
+        assert got == ref_bpe(texts, 3), (trial, texts)
