@@ -7461,6 +7461,80 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_BPE_ENCODE = _bpe_sql(4, encode=True)
 
 
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point estimates (diagnose.cms_estimate) for the
+    per-user event counts, users < 40 as the query keys — the
+    mergeable frequency sketch completing the sketch family; the
+    wrapping universal hash family is the portable md5 prefix, so the
+    whole sketch is byte-reproducible in the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    keys = ev.select("user_id").where(F.col("user_id") < 40).distinct()
+    return diagnose.cms_estimate(
+        ev, keys, "user_id", depth=4, width=256
+    ).orderBy("key")
+
+
+SQL_CMS_COUNTS = f"""
+WITH h AS (
+  SELECT {_H60.format(x="user_id::VARCHAR")} AS hh FROM events
+), probes AS (
+  SELECT d, (((hh * (2 * d + 1) + d * d) % 2147483647) % 256)::INT
+           AS bucket
+  FROM h, UNNEST([0, 1, 2, 3]) t(d)
+), sk AS (
+  SELECT d, bucket, count(*)::BIGINT AS cnt FROM probes GROUP BY 1, 2
+), qk AS (
+  SELECT DISTINCT user_id AS key FROM events WHERE user_id < 40
+), qp AS (
+  SELECT key, d,
+         ((({_H60.format(x="key::VARCHAR")} * (2 * d + 1) + d * d)
+           % 2147483647) % 256)::INT AS bucket
+  FROM qk, UNNEST([0, 1, 2, 3]) t(d)
+)
+SELECT key, min(coalesce(cnt, 0))::BIGINT AS est
+FROM qp LEFT JOIN sk USING (d, bucket)
+GROUP BY key ORDER BY key
+"""
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch conversion attribution
+    (analytics.conversion_attribution): one user-keyed window carries
+    the running first/last touch struct; the oracle is the independent
+    inequality-join + arg_min/arg_max formulation (fine single-node,
+    quadratic-per-user — the shape Spark avoids)."""
+    return analytics.conversion_attribution(
+        _t(spark, sf_dir, "events")
+    ).orderBy("conversion_id")
+
+
+SQL_ATTRIBUTION = """
+WITH t AS (
+  -- floor(epoch()): Spark's unix_timestamp TRUNCATES sub-second parts,
+  -- a bare ::BIGINT cast would round and drift gaps by one second
+  SELECT user_id, event_id AS tid, event_type AS ttype,
+         floor(epoch(ts))::BIGINT AS sec
+  FROM events WHERE event_type IN ('view', 'click')
+), c AS (
+  SELECT user_id, event_id AS conversion_id,
+         floor(epoch(ts))::BIGINT AS sec
+  FROM events WHERE event_type = 'purchase'
+), j AS (
+  SELECT c.conversion_id, c.user_id, c.sec AS csec,
+         t.tid, t.ttype, t.sec,
+         t.sec * 1000000000 + t.tid AS k
+  FROM c LEFT JOIN t ON t.user_id = c.user_id AND t.sec <= c.sec
+)
+SELECT conversion_id, user_id,
+       arg_min(tid, k) AS first_touch_id,
+       arg_min(ttype, k) AS first_touch_type,
+       arg_max(tid, k) AS last_touch_id,
+       arg_max(ttype, k) AS last_touch_type,
+       (max(csec) - arg_max(sec, k))::BIGINT AS last_touch_gap_s
+FROM j GROUP BY 1, 2 ORDER BY conversion_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples
     # the first 50 keys.  Per the r4 verdict ask #6 the 37 keys whose
@@ -7556,6 +7630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_classify": q_centroid_classify,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
+        "cms_counts": q_cms_counts,
+        "attribution": q_attribution,
         "semantic_dedup": q_semantic_dedup,
         "value_trend": q_value_trend,
         "communities": q_communities,
@@ -7743,6 +7819,8 @@ def oracle_sql() -> dict[str, str]:
         "centroid_classify": SQL_CENTROID_CLASSIFY,
         "bpe_train": SQL_BPE_TRAIN,
         "bpe_encode": SQL_BPE_ENCODE,
+        "cms_counts": SQL_CMS_COUNTS,
+        "attribution": SQL_ATTRIBUTION,
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "value_trend": SQL_VALUE_TREND,
         "communities": SQL_COMMUNITIES,

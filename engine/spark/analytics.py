@@ -650,3 +650,65 @@ def item_cooccurrence(
             ).alias("lift"),
         )
     )
+
+
+def conversion_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple = ("view", "click"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Marketing-style conversion attribution: each conversion event is
+    credited to the user's FIRST touch (first-touch model) and the
+    LAST touch at-or-before the conversion (last-touch model), in one
+    pass.
+
+    Shape: touches and conversions stay in ONE stream tagged by kind;
+    a single user-keyed window (high-cardinality key — never a global
+    or low-cardinality sort) carries the running first/last touch
+    struct via first/last(ignorenulls) over an unbounded-preceding
+    frame; conversion rows then read both attributions from the carry.
+    Equal-timestamp ties order touches BEFORE conversions (a same-
+    second touch attributes), then by event id — total order, engine-
+    deterministic.  Unattributed conversions (no prior touch) keep
+    NULL touch columns.  Gaps are integer epoch-second arithmetic.
+    """
+    is_touch = F.col(type_col).isin(*touch_types)
+    is_conv = F.col(type_col) == conversion_type
+    base = events.where(is_touch | is_conv).select(
+        user_col,
+        F.col(id_col).alias("event_id"),
+        F.col(type_col).alias("etype"),
+        F.unix_timestamp(ts_col).alias("sec"),
+        F.when(is_touch, 0).otherwise(1).alias("kind"),
+        F.when(
+            is_touch,
+            F.struct(
+                F.unix_timestamp(ts_col).alias("sec"),
+                F.col(id_col).alias("tid"),
+                F.col(type_col).alias("ttype"),
+            ),
+        ).alias("touch"),
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy("sec", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = base.withColumn(
+        "first_touch", F.first("touch", ignorenulls=True).over(w)
+    ).withColumn("last_touch", F.last("touch", ignorenulls=True).over(w))
+    return carried.where(F.col("kind") == 1).select(
+        F.col("event_id").alias("conversion_id"),
+        user_col,
+        F.col("first_touch.tid").alias("first_touch_id"),
+        F.col("first_touch.ttype").alias("first_touch_type"),
+        F.col("last_touch.tid").alias("last_touch_id"),
+        F.col("last_touch.ttype").alias("last_touch_type"),
+        (F.col("sec") - F.col("last_touch.sec"))
+        .cast("long")
+        .alias("last_touch_gap_s"),
+    )

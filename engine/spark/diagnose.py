@@ -1005,3 +1005,92 @@ def mad_flags(
             .alias("n_outliers"),
         )
     )
+
+
+CMS_MOD = 2147483647  # 2^31-1, same wrapping family as dedup's minhash
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch over a key column — the mergeable frequency
+    sketch completing this engine's sketch family (HLL distinct, GK
+    quantiles, Misra–Gries heavy hitters, MinHash/SimHash, Bloom).
+
+    The sketch is a (depth × width) counter table built as ONE
+    partial-aggregating shuffle over depth·width ≤ a few thousand
+    buckets — each input row contributes to ``depth`` counters via
+    independent rows of the wrapping universal hash family
+    h_d(x) = ((2d+1)·H(x) + d²) mod (2³¹−1) mod width, H = the
+    portable md5-prefix hash, so the whole sketch (and therefore every
+    estimate) is byte-reproducible in DuckDB.  Per-row cost is a
+    codegen projection; the counter table is metadata-sized at ANY
+    corpus size — that is the point of the sketch.
+
+    Returns (d, bucket, cnt).
+    """
+    probes = _cms_probes(key_col, depth, width)
+    return (
+        df.select(F.explode(probes).alias("p"))
+        .select("p.d", "p.bucket")
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def _cms_probes(key_col: str, depth: int, width: int):
+    """Array of (d, bucket) probe structs for one key — a single
+    codegen'd projection, so sketch build and query each scan their
+    input exactly once (a per-depth union would rescan the fact table
+    ``depth`` times)."""
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(
+                    F.pmod(
+                        h * (2 * d + 1) + F.lit(d * d), F.lit(CMS_MOD)
+                    ),
+                    F.lit(width),
+                )
+                .cast("int")
+                .alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+
+
+def cms_estimate(
+    df: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates from a count-min sketch: for each key
+    in ``keys``, min over the sketch's depth rows of its counter —
+    the classic CMS upper-biased estimate (est ≥ true count always;
+    est ≤ true + 2N/width with prob ≥ 1 − 2^-depth per query).
+
+    Shape: the sketch is built once (metadata-sized), broadcast, and
+    each query key probes ``depth`` counters via the same hash
+    projection + a broadcast equi-join — no corpus rescans per key.
+    Returns (key, est).
+    """
+    sk = cms_build(df, key_col, depth, width)
+    probe = keys.select(
+        F.col(key_col).alias("key"),
+        F.explode(_cms_probes(key_col, depth, width)).alias("p"),
+    ).select("key", "p.d", "p.bucket")
+    return (
+        probe.join(F.broadcast(sk), ["d", "bucket"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

@@ -980,3 +980,38 @@ def test_centroid_classify_broadcast_centroids(spark):
     plan = _plan(df)
     assert "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_cms_single_scan_broadcast_sketch(spark):
+    """The sketch build explodes probes from ONE events scan (a
+    per-depth union would rescan depth times); the sketch broadcasts
+    into the probe join."""
+    df = entry_mod.q_cms_counts(spark, SF_DIR)
+    plan = _plan(df)
+    scans = [
+        ln
+        for ln in plan.splitlines()
+        if "Scan parquet" in ln and "events" in ln
+    ]
+    # one scan for the sketch, one for the (distinct) query keys
+    assert len(scans) <= 2, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_attribution_user_keyed_window_single_scan(spark):
+    """One fact scan; the carry window partitions on user_id (never an
+    empty partition-by over the fact stream); no inequality join on the
+    Spark side (that shape is the oracle's)."""
+    df = entry_mod.q_attribution(spark, SF_DIR)
+    plan = _plan(df)
+    scans = [
+        ln
+        for ln in plan.splitlines()
+        if "Scan parquet" in ln and "events" in ln
+    ]
+    assert len(scans) == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    for ln in plan.splitlines():
+        if "Window" in ln and "first(" in ln:
+            assert "user_id" in ln, ln

@@ -308,3 +308,70 @@ def test_mad_flags_hand_computed(spark):
     assert row.mad == 2.5
     # threshold 3*2.5=7.5: only |1000-5.5| exceeds it
     assert row.n_outliers == 1 and row.n == 10
+
+
+def test_cms_overestimates_never_under(spark):
+    """CMS guarantee: est >= true count for every key; with a width
+    large enough that collisions are impossible for the key set, the
+    estimate is exact; the counter table stays bounded."""
+    from engine.spark import diagnose
+
+    rows = [(f"k{i % 17}",) for i in range(2000)] + [("hot",)] * 500
+    df = spark.createDataFrame(rows, "k: string")
+    keys = df.select("k").distinct()
+    true = {
+        r.k: r.cnt
+        for r in df.groupBy("k").agg(F.count("*").alias("cnt")).collect()
+    }
+    est_narrow = {
+        r.key: r.est
+        for r in diagnose.cms_estimate(df, keys, "k", 4, 32).collect()
+    }
+    for k, t in true.items():
+        assert est_narrow[k] >= t, (k, est_narrow[k], t)
+    est_wide = {
+        r.key: r.est
+        for r in diagnose.cms_estimate(df, keys, "k", 4, 65536).collect()
+    }
+    assert est_wide == true
+    sk = diagnose.cms_build(df, "k", 4, 32)
+    assert sk.count() <= 4 * 32
+
+
+def test_conversion_attribution_hand_timeline(spark):
+    """One user with view -> click -> purchase -> view -> purchase:
+    first purchase credits view(first)/click(last); second credits
+    view(first)/the later view(last).  A same-second touch attributes.
+    A user with no prior touch yields NULL attribution."""
+    from datetime import datetime
+
+    from engine.spark import analytics
+
+    def ev(uid, eid, etype, sec):
+        return (eid, datetime.fromtimestamp(1700000000 + sec), uid, etype)
+
+    rows = [
+        ev(1, 10, "view", 0),
+        ev(1, 11, "click", 60),
+        ev(1, 12, "purchase", 120),
+        ev(1, 13, "view", 180),
+        ev(1, 14, "purchase", 240),
+        # same-second touch attributes
+        ev(2, 20, "click", 500),
+        ev(2, 21, "purchase", 500),
+        # no prior touch
+        ev(3, 30, "purchase", 900),
+        ev(3, 31, "view", 950),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id: long, ts: timestamp, user_id: long, event_type: string"
+    )
+    got = {
+        r.conversion_id: r
+        for r in analytics.conversion_attribution(df).collect()
+    }
+    assert (got[12].first_touch_id, got[12].last_touch_id) == (10, 11)
+    assert got[12].last_touch_gap_s == 60
+    assert (got[14].first_touch_id, got[14].last_touch_id) == (10, 13)
+    assert got[21].last_touch_id == 20 and got[21].last_touch_gap_s == 0
+    assert got[30].first_touch_id is None and got[30].last_touch_id is None
