@@ -7028,16 +7028,19 @@ WITH cands AS (
          length(text)::BIGINT AS score
   FROM documents
 ), best AS (
+  -- encoded (score, cand_id) max in HUGEINT: the 2^62 radix exceeds
+  -- any BIGINT id, so the struct-max tie rule is reproduced without a
+  -- magnitude bound on cand_id
   SELECT prompt_id,
-         max(score * 1000000000 + cand_id)::BIGINT AS bk
+         max(score::HUGEINT * 4611686018427387904 + cand_id) AS bk
   FROM cands GROUP BY prompt_id
 )
 SELECT c.prompt_id,
-       (b.bk % 1000000000)::BIGINT AS chosen_id,
+       (b.bk % 4611686018427387904)::BIGINT AS chosen_id,
        c.cand_id AS rejected_id,
-       (b.bk // 1000000000 - c.score)::BIGINT AS margin
+       (b.bk // 4611686018427387904 - c.score)::BIGINT AS margin
 FROM cands c JOIN best b USING (prompt_id)
-WHERE c.cand_id <> b.bk % 1000000000
+WHERE c.cand_id <> (b.bk % 4611686018427387904)::BIGINT
 ORDER BY prompt_id, rejected_id
 """
 
@@ -7417,15 +7420,20 @@ WITH words1 AS (
             parts.append(
                 f"""
 , words{r + 1} AS (
-  SELECT list_reduce(string_split(seq, ' '), (acc, x) ->
+  -- LEFT JOIN ON TRUE: when pair counts exhaust before the last round,
+  -- top{r} is empty and a plain cross join would annihilate the word
+  -- table (emptying the ENCODE oracle while Spark's early-broken train
+  -- still encodes); identity-fold when no merge exists
+  SELECT CASE WHEN t.l IS NULL THEN seq
+         ELSE list_reduce(string_split(seq, ' '), (acc, x) ->
     CASE WHEN x = t.r2
            AND substr(acc, length(acc) - length(t.l) + 1) = t.l
            AND (length(acc) = length(t.l)
                 OR substr(acc, length(acc) - length(t.l), 1) = ' ')
          THEN substr(acc, 1, length(acc) - length(t.l))
               || t.l || t.r2
-         ELSE acc || ' ' || x END) AS seq, freq
-  FROM words{r}, top{r} t
+         ELSE acc || ' ' || x END) END AS seq, freq
+  FROM words{r} LEFT JOIN top{r} t ON TRUE
 )"""
             )
     if encode:
@@ -7522,7 +7530,9 @@ WITH t AS (
 ), j AS (
   SELECT c.conversion_id, c.user_id, c.sec AS csec,
          t.tid, t.ttype, t.sec,
-         t.sec * 1000000000 + t.tid AS k
+         -- HUGEINT radix 2^62 > any BIGINT tid: (sec, tid) order is
+         -- exact at any id scale, not just below 1e9
+         t.sec::HUGEINT * 4611686018427387904 + t.tid AS k
   FROM c LEFT JOIN t ON t.user_id = c.user_id AND t.sec <= c.sec
 )
 SELECT conversion_id, user_id,
@@ -7552,8 +7562,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hard_negatives, winsorized_stats) and the 12 session-4 additions
     # (preference_pairs, item_cooccurrence, length_buckets,
     # contingency_chi2, corr_pairs, vocab_growth, mad_flags,
-    # centroid_classify, bpe_train, bpe_encode) sit at the registry
-    # tail and join that never-driver-checked pool.
+    # centroid_classify, bpe_train, bpe_encode, cms_counts,
+    # attribution) sit AFTER the first-50 sample window (inserted
+    # mid-registry after winsorized_stats, position ~65+) and join the
+    # never-driver-checked pool that heads the r6 rotation.
     return {
         # -- last driver row is round 3 (stale-first)
         "ocr_insert": q_ocr_insert,

@@ -124,6 +124,26 @@ _NTILE_CACHE: list = []
 _NTILE_MAX_CACHE = 4
 
 
+def _ntile_cache_put(keyed: DataFrame) -> DataFrame:
+    """Persist a range-partitioned frame under the bounded-cache
+    discipline shared by distributed_ntile / global_rank /
+    grouped_median: evict a same-semantics predecessor first
+    (CacheManager plan-dedup would otherwise drop the NEW entry —
+    code-review r5), then LRU-evict beyond the bound.  The persist is
+    correctness-critical: every branch of a query must observe the
+    same sampled range boundaries."""
+    for old in list(_NTILE_CACHE):
+        if old.sameSemantics(keyed):
+            old.unpersist()
+            _NTILE_CACHE.remove(old)
+    while len(_NTILE_CACHE) >= _NTILE_MAX_CACHE:
+        _NTILE_CACHE.pop(0).unpersist()
+    keyed = keyed.persist()
+    _NTILE_CACHE.append(keyed)
+    return keyed
+
+
+
 def distributed_ntile(
     df: DataFrame,
     part_col: str,
@@ -184,14 +204,7 @@ def distributed_ntile(
     # boundary-sample divergence the persist exists to prevent.  Other
     # (distinct-plan) frames are kept up to the bound so one query can
     # compose several ntile calls with every frame still materialized.
-    for old in list(_NTILE_CACHE):
-        if old.sameSemantics(keyed):
-            old.unpersist()
-            _NTILE_CACHE.remove(old)
-    while len(_NTILE_CACHE) >= _NTILE_MAX_CACHE:
-        _NTILE_CACHE.pop(0).unpersist()
-    keyed = keyed.persist()
-    _NTILE_CACHE.append(keyed)
+    keyed = _ntile_cache_put(keyed)
     ranked = keyed.withColumn(
         "lrank",
         F.row_number().over(Window.partitionBy("pid").orderBy(*order)),
@@ -677,14 +690,7 @@ def global_rank(
     keyed = df.repartitionByRange(nparts, *order).withColumn(
         "_gr_pid", F.spark_partition_id()
     )
-    for old in list(_NTILE_CACHE):
-        if old.sameSemantics(keyed):
-            old.unpersist()
-            _NTILE_CACHE.remove(old)
-    while len(_NTILE_CACHE) >= _NTILE_MAX_CACHE:
-        _NTILE_CACHE.pop(0).unpersist()
-    keyed = keyed.persist()
-    _NTILE_CACHE.append(keyed)
+    keyed = _ntile_cache_put(keyed)
     ranked = keyed.withColumn(
         "_gr_lrank",
         F.row_number().over(Window.partitionBy("_gr_pid").orderBy(*order)),
@@ -890,14 +896,7 @@ def grouped_median(
         .repartitionByRange(nparts, *order)
         .withColumn("_gm_pid", F.spark_partition_id())
     )
-    for old in list(_NTILE_CACHE):
-        if old.sameSemantics(keyed):
-            old.unpersist()
-            _NTILE_CACHE.remove(old)
-    while len(_NTILE_CACHE) >= _NTILE_MAX_CACHE:
-        _NTILE_CACHE.pop(0).unpersist()
-    keyed = keyed.persist()
-    _NTILE_CACHE.append(keyed)
+    keyed = _ntile_cache_put(keyed)
 
     local = keyed.withColumn(
         "_gm_lr",
@@ -1045,10 +1044,17 @@ def _cms_probes(key_col: str, depth: int, width: int):
     """Array of (d, bucket) probe structs for one key — a single
     codegen'd projection, so sketch build and query each scan their
     input exactly once (a per-depth union would rescan the fact table
-    ``depth`` times)."""
-    h = F.conv(
-        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    ``depth`` times).
+
+    The 60-bit hash is reduced mod 2³¹−1 BEFORE the per-row multiply:
+    h·(2d+1) on the raw hash overflows int64 (an ANSI
+    ARITHMETIC_OVERFLOW crash) from depth 5 up — the reduced value
+    keeps every product under 2³⁵ at any depth."""
+    from engine.spark.dedup import portable_hash60
+
+    h = F.pmod(
+        portable_hash60(F.col(key_col).cast("string")), F.lit(CMS_MOD)
+    )
     return F.array(
         *[
             F.struct(

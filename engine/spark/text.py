@@ -1432,6 +1432,10 @@ def bpe_train(
         left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
         merged = left + right
         merges.append((rnd, left, right, merged, cnt))
+        if rnd == rounds:
+            # the last merge is recorded — folding it into a word table
+            # nobody reads would be a wasted full pass (code-review r5)
+            break
         arr = F.split(F.col("seq"), " ")
         folded = F.aggregate(
             F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),

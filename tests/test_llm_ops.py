@@ -891,9 +891,10 @@ def test_bpe_train_greedy_leftmost_on_runs(spark):
 
 
 def test_bpe_encode_compression_and_counts(spark):
-    """Encoding with the learned merges compresses: total symbol count
-    drops by exactly the weighted number of merge applications, and the
-    learned merged symbols appear with their expected frequencies."""
+    """Encoding with the learned merges compresses (strictly fewer
+    symbols than raw characters), the learned merged symbols appear
+    with their hand-counted frequencies, and an EMPTY merge list
+    encodes to exactly the raw per-character counts."""
     from engine.spark import text as etext
 
     docs = spark.createDataFrame(
@@ -914,18 +915,23 @@ def test_bpe_encode_compression_and_counts(spark):
     # 'ate' = at + e
     assert enc["th"] == 2 and enc["at"] == 2 + 4 + 1
     assert enc["e"] == 1  # the trailing e of 'ate'
-    raw_chars = sum(
-        len(w) for t in ("the cat sat on the mat",
-                         "the cat ate the rat",
-                         "that hat that cat")
-        for w in t.split()
+    texts = (
+        "the cat sat on the mat",
+        "the cat ate the rat",
+        "that hat that cat",
     )
-    total_symbols = sum(enc.values())
-    merged_savings = sum(len(m[3]) - 1 for m in merges)  # per application
-    # each merge application reduces symbol count by 1; applications =
-    # cnt recorded at training time ONLY for that round's table, so just
-    # assert the compression direction and exact totals via raw count
-    assert total_symbols < raw_chars
+    raw_chars = sum(len(w) for t in texts for w in t.split())
+    assert sum(enc.values()) < raw_chars
+    # identity path: no merges -> exact per-character counts
+    raw = {
+        r.symbol: r.cnt
+        for r in etext.bpe_encode(docs, []).collect()
+    }
+    assert sum(raw.values()) == raw_chars
+    from collections import Counter
+
+    expect = Counter(c for t in texts for w in t.split() for c in w)
+    assert raw == dict(expect)
 
 
 def test_bpe_train_matches_reference_implementation(spark):
@@ -990,3 +996,18 @@ def test_bpe_train_matches_reference_implementation(spark):
         )
         got = etext.bpe_train(docs, rounds=3)
         assert got == ref_bpe(texts, 3), (trial, texts)
+
+
+def test_bpe_encode_oracle_survives_early_merge_exhaustion():
+    """Regression: when pair counts exhaust before the last round, the
+    encode oracle's empty top{r} must identity-fold (LEFT JOIN ON TRUE)
+    instead of cross-join-annihilating the word table."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT 'aa aa a' AS text")
+    got = dict(con.execute(entry_mod._bpe_sql(4, encode=True)).fetchall())
+    # round 1 merges (a,a); rounds 2-4 find no pairs; words survive
+    assert got == {"aa": 2, "a": 1}

@@ -375,3 +375,19 @@ def test_conversion_attribution_hand_timeline(spark):
     assert (got[14].first_touch_id, got[14].last_touch_id) == (10, 13)
     assert got[21].last_touch_id == 20 and got[21].last_touch_gap_s == 0
     assert got[30].first_touch_id is None and got[30].last_touch_id is None
+
+
+def test_cms_depth_five_no_ansi_overflow(spark):
+    """Regression: the probe hash must reduce mod 2^31-1 BEFORE the
+    per-depth multiply — the raw 60-bit hash times (2d+1) overflows
+    int64 under ANSI mode from depth 5 up."""
+    from engine.spark import diagnose
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(50)], "k: string")
+    keys = df.select("k").distinct()
+    est = {
+        r.key: r.est
+        for r in diagnose.cms_estimate(df, keys, "k", depth=6, width=64)
+        .collect()
+    }
+    assert len(est) == 50 and all(v >= 1 for v in est.values())
