@@ -7545,6 +7545,38 @@ FROM j GROUP BY 1, 2 ORDER BY conversion_id
 """
 
 
+def q_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (lineage.agg_merge): the
+    per-(user, event_type) rollup maintained as base(first half of the
+    month) merged with delta(rest) — at 10^12 rows the history is
+    never rescanned, only the |keys|-sized aggregate table joins the
+    new batch's aggregate.  The oracle IS the from-scratch aggregate
+    over the union: the mergeability invariance
+    merge(agg(A), agg(B)) == agg(A ∪ B)."""
+    ev = _t(spark, sf_dir, "events")
+    cut = F.dayofmonth("ts") <= 15
+    base = lineage.agg_snapshot(
+        ev.where(cut), ["user_id", "event_type"], "value"
+    )
+    delta = lineage.agg_snapshot(
+        ev.where(~cut), ["user_id", "event_type"], "value"
+    )
+    return (
+        lineage.agg_merge(base, delta, ["user_id", "event_type"])
+        .withColumn("sum_value", F.round(F.col("sum_value").cast("double"), 4))
+        .orderBy("user_id", "event_type")
+    )
+
+
+SQL_AGG_MERGE = """
+SELECT user_id, event_type, count(*)::BIGINT AS n,
+       round(CAST(CAST(sum(CAST(value AS DECIMAL(18,6)))
+             AS DECIMAL(38,6)) AS DOUBLE), 4) AS sum_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY 1, 2 ORDER BY user_id, event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples
     # the first 50 keys.  Per the r4 verdict ask #6 the 37 keys whose
@@ -7644,6 +7676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "cms_counts": q_cms_counts,
         "attribution": q_attribution,
+        "agg_merge": q_agg_merge,
         "semantic_dedup": q_semantic_dedup,
         "value_trend": q_value_trend,
         "communities": q_communities,
@@ -7833,6 +7866,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": SQL_BPE_ENCODE,
         "cms_counts": SQL_CMS_COUNTS,
         "attribution": SQL_ATTRIBUTION,
+        "agg_merge": SQL_AGG_MERGE,
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "value_trend": SQL_VALUE_TREND,
         "communities": SQL_COMMUNITIES,

@@ -873,3 +873,71 @@ def apply_changeset(
             for v in vals
         ],
     )
+
+
+def agg_merge(
+    base: DataFrame,
+    delta: DataFrame,
+    key_cols: list,
+) -> DataFrame:
+    """Incremental aggregate maintenance — the materialized-view
+    delta-merge: combine a persisted per-key aggregate table with the
+    aggregate of a NEW batch, without rescanning history.
+
+    At 10^12 accumulated rows the daily rollup cannot recompute from
+    scratch; the production shape is agg(today's batch) + one
+    key-equi-join merge against yesterday's (much smaller) aggregate
+    table.  This works exactly when every maintained statistic is
+    MERGEABLE: count/sum (add), min/max (min/max).  Averages derive
+    from (sum, count) at read time; non-mergeable exact statistics
+    (median, distinct) need their sketch twins (HLL, GK, CMS — all
+    present in this engine).
+
+    Both inputs must carry the same schema: key_cols + n(long) +
+    sum_value + min_value + max_value.  The merge is ONE full-outer
+    equi-join on the key (both sides hash-partition; the base is
+    key-grain so it is |keys|-sized, not history-sized) with
+    NULL-safe combination.  Invariance `merge(agg(A), agg(B)) ==
+    agg(A ∪ B)` is the oracle contract.
+    """
+    # qualified string columns over the aliases: base and delta often
+    # derive from the same source (the self-join-ambiguity trap)
+    b, d = base.alias("mb"), delta.alias("md")
+    bc = lambda c: F.col(f"mb.{c}")
+    dc = lambda c: F.col(f"md.{c}")
+    cond = [bc(k).eqNullSafe(dc(k)) for k in key_cols]
+    keys = [F.coalesce(bc(k), dc(k)).alias(k) for k in key_cols]
+    return b.join(d, cond, "full_outer").select(
+        *keys,
+        (
+            F.coalesce(bc("n"), F.lit(0)) + F.coalesce(dc("n"), F.lit(0))
+        ).alias("n"),
+        (
+            F.coalesce(bc("sum_value"), F.lit(0).cast("decimal(38,6)"))
+            + F.coalesce(dc("sum_value"), F.lit(0).cast("decimal(38,6)"))
+        ).cast("decimal(38,6)").alias("sum_value"),
+        F.least(
+            F.coalesce(bc("min_value"), dc("min_value")),
+            F.coalesce(dc("min_value"), bc("min_value")),
+        ).alias("min_value"),
+        F.greatest(
+            F.coalesce(bc("max_value"), dc("max_value")),
+            F.coalesce(dc("max_value"), bc("max_value")),
+        ).alias("max_value"),
+    )
+
+
+def agg_snapshot(
+    df: DataFrame, key_cols: list, value_col: str
+) -> DataFrame:
+    """The aggregate-table schema agg_merge maintains: per-key count /
+    DECIMAL-exact sum / min / max over ``value_col`` — one
+    partial-aggregating shuffle, mergeable by construction."""
+    return df.groupBy(*key_cols).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col(value_col).cast("decimal(18,6)"))
+        .cast("decimal(38,6)")
+        .alias("sum_value"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+    )

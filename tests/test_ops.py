@@ -1208,3 +1208,30 @@ def test_sequence_gaps_no_global_window_over_facts(spark):
     assert plan.index("Window") < plan.index("LeftAnti"), (
         "window must sit above (before, in top-down print) the anti-joins"
     )
+
+
+def test_agg_merge_invariance_and_disjoint_keys(spark):
+    """merge(agg(A), agg(B)) == agg(A ∪ B) row-for-row, including keys
+    present in only one side (full-outer NULL-safe combination)."""
+    from engine.spark import lineage
+
+    rows_a = [(1, "x", 2.5), (1, "x", -1.0), (2, "y", 4.0)]
+    rows_b = [(1, "x", 10.0), (3, "z", 0.5), (None, "x", 7.0)]
+    a = spark.createDataFrame(rows_a, "k: long, t: string, value: double")
+    b = spark.createDataFrame(rows_b, "k: long, t: string, value: double")
+    merged = {
+        (r.k, r.t): (r.n, float(r.sum_value), r.min_value, r.max_value)
+        for r in lineage.agg_merge(
+            lineage.agg_snapshot(a, ["k", "t"], "value"),
+            lineage.agg_snapshot(b, ["k", "t"], "value"),
+            ["k", "t"],
+        ).collect()
+    }
+    scratch = {
+        (r.k, r.t): (r.n, float(r.sum_value), r.min_value, r.max_value)
+        for r in lineage.agg_snapshot(
+            a.unionByName(b), ["k", "t"], "value"
+        ).collect()
+    }
+    assert merged == scratch
+    assert (3, "z") in merged and (None, "x") in merged  # one-sided keys
