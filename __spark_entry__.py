@@ -7591,11 +7591,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-verified in r04.  The 17 session-3 additions (TPC-H
     # Q4/Q6/Q7/Q8/Q9/Q15/Q19/Q21, line_dedup, sorted_neighborhood,
     # ewma, k_core, classifier_score, corpus_drift, value_ohlc,
-    # hard_negatives, winsorized_stats) and the 12 session-4 additions
+    # hard_negatives, winsorized_stats) and the 13 session-4 additions
     # (preference_pairs, item_cooccurrence, length_buckets,
     # contingency_chi2, corr_pairs, vocab_growth, mad_flags,
     # centroid_classify, bpe_train, bpe_encode, cms_counts,
-    # attribution) sit AFTER the first-50 sample window (inserted
+    # attribution, agg_merge) sit AFTER the first-50 sample window (inserted
     # mid-registry after winsorized_stats, position ~65+) and join the
     # never-driver-checked pool that heads the r6 rotation.
     return {

@@ -447,6 +447,9 @@ RELATIONAL = [
     "mad_flags",
     "centroid_classify",
     "bpe_train",
+    "cms_counts",
+    "attribution",
+    "agg_merge",
 ]
 
 
