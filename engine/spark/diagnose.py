@@ -795,13 +795,16 @@ def grouped_correlation(
     (same discipline as ``grouped_regression`` — two engines computing
     from identical exact sums agree bit-for-bit; r rounded to 6 dp).
 
-    Shape: one partial-agg shuffle to the (bucket, series) grain, one
-    equi-join on the bucket key (series_col is bounded-cardinality —
-    metric names, event types — so per-bucket pair fan-out is C(k,2),
-    never data-sized), one partial-agg shuffle on the pair key.  The
-    fact table crosses the wire once; no window, no sort, no
-    cartesian.  Pairs without x- and y-variance are dropped (r is
-    undefined there).
+    Shape: ONE fact scan — a partial-agg shuffle to the (bucket,
+    series) grain, a regroup to per-bucket arrays (series_col is
+    bounded-cardinality — metric names, event types — so each array
+    holds ≤ k entries), pairs generated IN the array with nested
+    higher-order transforms (a self-join would make Catalyst re-expand
+    the grain subtree into a second full fact scan — the duplicated-
+    subtree trap transition_matrix documents), then a partial-agg
+    shuffle on the pair key.  The two post-grain exchanges move
+    metadata-sized rows.  No window, no sort, no cartesian.  Pairs
+    without x- and y-variance are dropped (r is undefined there).
     """
     d6 = lambda c: c.cast("decimal(18,6)")
     per = (
@@ -815,16 +818,27 @@ def grouped_correlation(
         .groupBy("b", "s")
         .agg(F.sum("v").cast("decimal(18,6)").alias("v"))
     )
-    x, y = per.alias("x"), per.alias("y")
-    pairs = x.join(
-        y,
-        (F.col("x.b") == F.col("y.b")) & (F.col("x.s") < F.col("y.s")),
-    ).select(
-        F.col("x.s").alias("series_a"),
-        F.col("y.s").alias("series_b"),
-        F.col("x.v").alias("vx"),
-        F.col("y.v").alias("vy"),
+    sv = per.groupBy("b").agg(
+        F.collect_list(F.struct("s", "v")).alias("sv")
     )
+    pairs = sv.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "sv",
+                    lambda x: F.transform(
+                        F.filter("sv", lambda y: y["s"] > x["s"]),
+                        lambda y: F.struct(
+                            x["s"].alias("series_a"),
+                            y["s"].alias("series_b"),
+                            x["v"].alias("vx"),
+                            y["v"].alias("vy"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.series_a", "p.series_b", "p.vx", "p.vy")
     agg = pairs.groupBy("series_a", "series_b").agg(
         F.count("*").alias("n"),
         F.sum("vx").cast("decimal(38,6)").alias("sx"),

@@ -933,16 +933,21 @@ def test_contingency_chi2_single_fact_scan(spark):
 
 
 def test_corr_pairs_single_fact_scan_no_window(spark):
-    """Sufficient statistics come from partial aggs on the reduced
-    (bucket, series) grain — the self-join re-reads that grain, never
-    the fact table twice at full width... Spark will still rescan the
-    parquet for each join side (the grain reduction happens per side),
-    so the assertable invariants are: no cartesian, no Window, and the
-    scan is column-pruned to (ts, event_type, value)."""
+    """Pairs are generated INSIDE per-bucket arrays (nested HOF
+    transforms) instead of a grain self-join — Catalyst would re-expand
+    a self-joined grain subtree into a second full fact scan.  Exactly
+    ONE events scan, column-pruned to (ts, event_type, value); no
+    cartesian, no Window."""
     df = entry_mod.q_corr_pairs(spark, SF_DIR)
     plan = _plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "Window" not in plan, plan
+    scans = [
+        ln
+        for ln in plan.splitlines()
+        if "Scan parquet" in ln and "events" in ln
+    ]
+    assert len(scans) == 1, plan
     for ln in plan.splitlines():
         if "ReadSchema" in ln:
             assert "event_id" not in ln and "props" not in ln, ln
