@@ -7577,6 +7577,42 @@ FROM events GROUP BY 1, 2 ORDER BY user_id, event_type
 """
 
 
+def q_stream_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous materialized-view maintenance
+    (streaming.stream_agg_merge): the events table streamed in
+    multiple micro-batches, each batch's per-key aggregate written as
+    its own delta partition; the serving read re-merges the deltas.
+    The store's serving read must equal the from-scratch aggregate —
+    so this shares SQL_AGG_MERGE verbatim (split invariance IS the
+    oracle)."""
+    import shutil
+
+    from engine.spark import streaming
+
+    ev = _t(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="sam_src_")
+    # two files => availableNow splits into micro-batches
+    ev.where(F.dayofmonth("ts") <= 15).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    ev.where(F.dayofmonth("ts") > 15).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    ckpt = tempfile.mkdtemp(prefix="sam_ckpt_")
+    store = tempfile.mkdtemp(prefix="sam_store_")
+    shutil.rmtree(store)
+    streaming.stream_agg_merge(
+        spark, src, ckpt, store, ["user_id", "event_type"], "value"
+    )
+    return (
+        streaming.read_agg_store(spark, store, ["user_id", "event_type"])
+        .withColumn(
+            "sum_value", F.round(F.col("sum_value").cast("double"), 4)
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples
     # the first 50 keys.  Per the r4 verdict ask #6 the 37 keys whose
@@ -7677,6 +7713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counts": q_cms_counts,
         "attribution": q_attribution,
         "agg_merge": q_agg_merge,
+        "stream_agg_merge": q_stream_agg_merge,
         "semantic_dedup": q_semantic_dedup,
         "value_trend": q_value_trend,
         "communities": q_communities,
@@ -7867,6 +7904,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_counts": SQL_CMS_COUNTS,
         "attribution": SQL_ATTRIBUTION,
         "agg_merge": SQL_AGG_MERGE,
+        "stream_agg_merge": SQL_AGG_MERGE,
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "value_trend": SQL_VALUE_TREND,
         "communities": SQL_COMMUNITIES,

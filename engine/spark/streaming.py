@@ -1074,3 +1074,79 @@ def stream_trending(
         .filter(F.col("rank") <= k)
         .select("window_start", "event_type", "n_events", "rank")
     )
+
+
+def stream_agg_merge(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    agg_store: str,
+    key_cols: list,
+    value_col: str = "value",
+) -> None:
+    """Continuous materialized-view maintenance — the streaming twin of
+    ``lineage.agg_merge``: each arriving micro-batch's per-key
+    aggregate merges into a persisted aggregate store; accumulated
+    history is NEVER rescanned (the store is |keys|-sized, the batch
+    is batch-sized — at 10^12 accumulated rows that asymmetry is the
+    whole design).
+
+    Retry idempotence without MERGE: foreachBatch is at-least-once on
+    retry, and a blind read-merge-overwrite would double-count a
+    re-delivered batch.  The store is therefore partitioned by
+    ``ingest_batch``: each batch writes ONLY its own delta partition
+    (dynamic-partition overwrite — a retry replaces exactly itself),
+    and the serving read re-merges the (few, metadata-sized) batch
+    partitions with one partial agg.  Compaction of old partitions
+    into a consolidated ``ingest_batch=-1`` seed follows the
+    ``lineage.compact_turns`` discipline; a table format with MERGE
+    INTO would collapse this to one upsert.
+
+    A run split across any number of micro-batches produces a store
+    whose serving read equals the from-scratch aggregate — pinned by
+    the split-invariance test; that is why this shares the batch
+    oracle.
+    """
+    from engine.spark import lineage
+
+    schema = (
+        spark.read.parquet(events_path).schema
+    )
+
+    def _merge(batch_df, batch_id):
+        (
+            lineage.agg_snapshot(batch_df, key_cols, value_col)
+            .withColumn("ingest_batch", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .partitionBy("ingest_batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(agg_store)
+        )
+
+    (
+        # one file per micro-batch: availableNow would otherwise drain
+        # the whole backlog into a single batch, collapsing the
+        # delta-partition layout (and the split-invariance guarantee)
+        # to one partition
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_path)
+        .writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_agg_store(spark: SparkSession, agg_store: str, key_cols: list):
+    """Serving read of the stream_agg_merge store: re-merge the batch
+    delta partitions with one partial agg over the metadata-sized
+    store (count/sum add, min/min, max/max — the mergeable contract)."""
+    s = spark.read.parquet(agg_store)
+    return s.groupBy(*key_cols).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sum_value").cast("decimal(38,6)").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )

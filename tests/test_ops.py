@@ -1235,3 +1235,50 @@ def test_agg_merge_invariance_and_disjoint_keys(spark):
     }
     assert merged == scratch
     assert (3, "z") in merged and (None, "x") in merged  # one-sided keys
+
+
+def test_stream_agg_merge_split_invariant_and_retry_idempotent(
+    spark, tmp_path
+):
+    """The store's serving read equals the from-scratch aggregate no
+    matter how the stream was micro-batched, and a re-delivered batch
+    (at-least-once foreachBatch retry) replaces exactly its own delta
+    partition, leaving the serving read byte-identical."""
+    from pyspark.sql import functions as SF
+
+    from engine.spark import lineage, streaming
+
+    rows = [(i, "t" + str(i % 3), float(i % 7) - 3.0) for i in range(300)]
+    df = spark.createDataFrame(rows, "k: long, t: string, value: double")
+    src = str(tmp_path / "src")
+    df.where("k < 100").coalesce(1).write.mode("append").parquet(src)
+    df.where("k >= 100").coalesce(1).write.mode("append").parquet(src)
+    store = str(tmp_path / "store")
+    streaming.stream_agg_merge(
+        spark, src, str(tmp_path / "ckpt"), store, ["k", "t"], "value"
+    )
+
+    def serving():
+        return sorted(
+            map(
+                tuple,
+                streaming.read_agg_store(spark, store, ["k", "t"])
+                .collect(),
+            )
+        )
+
+    scratch = sorted(
+        map(tuple, lineage.agg_snapshot(df, ["k", "t"], "value").collect())
+    )
+    got = serving()
+    assert got == scratch
+    # simulate an at-least-once retry of batch 0: identical delta write
+    (
+        lineage.agg_snapshot(df.where("k < 100"), ["k", "t"], "value")
+        .withColumn("ingest_batch", SF.lit(0).cast("long"))
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(store)
+    )
+    assert serving() == got
