@@ -337,3 +337,53 @@ def length_buckets(
             - F.col("sum_tokens"),
         )
     )
+
+
+def export_manifest(path: str) -> dict:
+    """Dataset-snapshot manifest for an ``export_jsonl`` directory: one
+    entry per shard file with its row count, byte size, and sha256 —
+    written as ``_manifest.json`` beside the shards.
+
+    Training runs pin their data by this manifest: a resumed or
+    re-provisioned job verifies each shard's checksum before trusting
+    a cached copy, and two exports are byte-identical iff their
+    manifests are.  Driver-side cost is hashing the shard FILES (the
+    export is already on local/disaggregated storage — at cluster
+    scale this runs as a follow-up job over the file list; here the
+    shard count is bounded by the writer's maxRecordsPerFile rolling).
+
+    Returns the manifest dict (also written to disk):
+    {"shards": [{"name", "rows", "bytes", "sha256"}...],
+     "total_rows": N, "total_bytes": B}.
+    """
+    import hashlib
+    import json as _json
+    import os as _os
+
+    shards = []
+    for name in sorted(_os.listdir(path)):
+        if not name.endswith(".json") or name.startswith("_"):
+            continue
+        fp = _os.path.join(path, name)
+        h = hashlib.sha256()
+        rows = 0
+        with open(fp, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+                rows += chunk.count(b"\n")
+        shards.append(
+            {
+                "name": name,
+                "rows": rows,
+                "bytes": _os.path.getsize(fp),
+                "sha256": h.hexdigest(),
+            }
+        )
+    manifest = {
+        "shards": shards,
+        "total_rows": sum(s["rows"] for s in shards),
+        "total_bytes": sum(s["bytes"] for s in shards),
+    }
+    with open(_os.path.join(path, "_manifest.json"), "w") as f:
+        _json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest

@@ -310,3 +310,39 @@ def test_length_buckets_boundaries_and_padding(spark):
     assert (b1.n_docs, b1.sum_tokens, b1.max_tokens) == (2, 9, 5)
     assert b1.pad_to_max == 2 * 5 - 9
     assert b1.pad_to_cap == 2 * 8 - 9
+
+
+def test_export_manifest_counts_and_checksums(spark, tmp_path):
+    """The manifest's per-shard row counts sum to the corpus size,
+    checksums change iff content changes, and a re-export of identical
+    data yields an identical manifest (snapshot reproducibility)."""
+    import json as _json
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)], "doc_id: long, text: string"
+    )
+    out = str(tmp_path / "exp")
+    mix.export_jsonl(docs.orderBy("doc_id"), out, max_records_per_file=30)
+    m1 = mix.export_manifest(out)
+    assert m1["total_rows"] == 100
+    assert all(s["rows"] > 0 and len(s["sha256"]) == 64 for s in m1["shards"])
+    with open(f"{out}/_manifest.json") as f:
+        assert _json.load(f)["total_rows"] == 100
+    # reproducibility: identical re-export -> identical checksums
+    mix.export_jsonl(docs.orderBy("doc_id"), out, max_records_per_file=30)
+    m2 = mix.export_manifest(out)
+    assert [s["sha256"] for s in m1["shards"]] == [
+        s["sha256"] for s in m2["shards"]
+    ]
+    # content change -> checksum change
+    mix.export_jsonl(
+        docs.withColumn("text", F.concat("text", F.lit("!"))).orderBy(
+            "doc_id"
+        ),
+        out,
+        max_records_per_file=30,
+    )
+    m3 = mix.export_manifest(out)
+    assert [s["sha256"] for s in m3["shards"]] != [
+        s["sha256"] for s in m1["shards"]
+    ]
