@@ -7613,6 +7613,41 @@ def q_stream_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join-size estimation (diagnose.join_cardinality):
+    exact |views ⋈ purchases on user_id| with the top-10 contributing
+    users — the would-this-join-explode check run before committing a
+    100 TB join strategy."""
+    ev = _t(spark, sf_dir, "events")
+    return diagnose.join_cardinality(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "purchase"),
+        "user_id",
+        k=10,
+    ).orderBy("rank")
+
+
+SQL_JOIN_CARDINALITY = """
+WITH ca AS (
+  SELECT user_id AS key, count(*)::BIGINT AS a_n FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), cb AS (
+  SELECT user_id AS key, count(*)::BIGINT AS b_n FROM events
+  WHERE event_type = 'purchase' GROUP BY 1
+), prod AS (
+  SELECT key, a_n, b_n, (a_n * b_n)::BIGINT AS out_rows
+  FROM ca JOIN cb USING (key)
+), tot AS (
+  SELECT sum(out_rows)::BIGINT AS join_rows FROM prod
+)
+SELECT key, a_n, b_n, out_rows, tot.join_rows,
+       round(out_rows::DOUBLE / tot.join_rows::DOUBLE, 6) AS share,
+       row_number() OVER (ORDER BY out_rows DESC, key) AS rank
+FROM prod, tot
+QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples
     # the first 50 keys.  Per the r4 verdict ask #6 the 37 keys whose
@@ -7714,6 +7749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "agg_merge": q_agg_merge,
         "stream_agg_merge": q_stream_agg_merge,
+        "join_cardinality": q_join_cardinality,
         "semantic_dedup": q_semantic_dedup,
         "value_trend": q_value_trend,
         "communities": q_communities,
@@ -7905,6 +7941,7 @@ def oracle_sql() -> dict[str, str]:
         "attribution": SQL_ATTRIBUTION,
         "agg_merge": SQL_AGG_MERGE,
         "stream_agg_merge": SQL_AGG_MERGE,
+        "join_cardinality": SQL_JOIN_CARDINALITY,
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "value_trend": SQL_VALUE_TREND,
         "communities": SQL_COMMUNITIES,

@@ -450,6 +450,8 @@ RELATIONAL = [
     "cms_counts",
     "attribution",
     "agg_merge",
+    # round-5 session-5 additions
+    "join_cardinality",
 ]
 
 

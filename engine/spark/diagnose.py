@@ -1114,3 +1114,63 @@ def cms_estimate(
         .groupBy("key")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+def join_cardinality(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Pre-flight join-size estimation: the EXACT output cardinality of
+    an inner equi-join on ``key_col`` and its top-k contributing keys —
+    the check you run BEFORE a 100 TB join to decide broadcast vs
+    sort-merge vs salting (one viral key contributing 10^10 output
+    rows is visible here for the cost of two count aggregations).
+
+    |A ⋈ B| = Σ_k cA(k)·cB(k): both sides reduce to per-key counts
+    (partial-agg shuffles, |keys|-sized), the count tables equi-join,
+    and per-key products are exact BIGINTs.  The key_profile
+    discipline keeps every post-reduction step bounded: the grand
+    total is a single-row partial agg riding back as a broadcast (an
+    empty-partition window here would funnel ALL matching keys through
+    one reducer — the trap this module exists to catch), top-k plans
+    as TakeOrderedAndProject, and the rank window runs on the
+    already-limited k rows.
+
+    The fact tables are scanned once each; nothing data-sized crosses
+    a join.  ``share`` is one correctly-rounded division of exact
+    integers.
+    """
+    ca = left.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("a_n")
+    )
+    cb = right.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("b_n")
+    )
+    prod = ca.join(cb, "key").select(
+        "key", "a_n", "b_n", (F.col("a_n") * F.col("b_n")).alias("out_rows")
+    )
+    total = prod.agg(F.sum("out_rows").cast("long").alias("join_rows"))
+    topk = prod.orderBy(F.col("out_rows").desc(), F.col("key").asc()).limit(
+        k
+    )
+    rank = F.row_number().over(
+        Window.orderBy(F.col("out_rows").desc(), F.col("key").asc())
+    )
+    return (
+        topk.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "a_n",
+            "b_n",
+            "out_rows",
+            "join_rows",
+            F.round(
+                F.col("out_rows").cast("double")
+                / F.col("join_rows").cast("double"),
+                6,
+            ).alias("share"),
+            rank.cast("long").alias("rank"),
+        )
+    )

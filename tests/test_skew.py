@@ -90,3 +90,27 @@ def test_grouped_median_hot_key_spans_partitions(spark):
     # the hot key really was split across range partitions
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     assert nparts >= 8  # precondition for the claim to mean anything
+
+
+def test_join_cardinality_exact_and_viral_key(spark):
+    """The estimated total equals the ACTUAL inner-join row count, and
+    a planted viral key tops the contributor list with the right
+    share."""
+    from engine.spark import diagnose
+
+    left = spark.createDataFrame(
+        [(1, "x")] * 100 + [(2, "x")] * 3 + [(3, "x")] * 2 + [(9, "x")],
+        "k: long, pad: string",
+    )
+    right = spark.createDataFrame(
+        [(1, "y")] * 50 + [(2, "y")] * 4 + [(4, "y")] * 7,
+        "k: long, pad: string",
+    )
+    out = diagnose.join_cardinality(left, right, "k", k=5).collect()
+    actual = left.join(right, "k").count()
+    assert out[0].join_rows == actual == 100 * 50 + 3 * 4
+    top = out[0]
+    assert (top.key, top.a_n, top.b_n, top.out_rows) == (1, 100, 50, 5000)
+    assert top.share == round(5000 / actual, 6)
+    # keys present on only one side contribute nothing
+    assert all(r.key in (1, 2) for r in out)
