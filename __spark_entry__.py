@@ -7648,6 +7648,118 @@ QUALIFY rank <= 10 ORDER BY rank
 """
 
 
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-D skyline (analytics.pareto_frontier): orders not
+    dominated on (maximize o_totalprice, minimize o_orderdate) — the
+    biggest-order-earliest frontier.  The classic sequential algorithm
+    is a global running min over a total sort; the operator splits it
+    into per-range-partition windows plus a broadcast prefix-min of
+    partition boundary minima, so no single reducer ever sees the
+    whole table."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    return analytics.pareto_frontier(
+        o, "o_totalprice", "o_orderdate"
+    ).orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+
+
+SQL_PARETO_FRONTIER = """
+WITH g AS (
+  SELECT o_totalprice AS x, min(o_orderdate) AS gy
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT x, gy,
+         min(gy) OVER (ORDER BY x DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS mgt
+  FROM g
+)
+SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+FROM orders o JOIN s ON o.o_totalprice = s.x
+WHERE o.o_orderdate = s.gy AND (s.mgt IS NULL OR s.gy < s.mgt)
+ORDER BY o_totalprice DESC, o_orderkey
+"""
+
+
+def q_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded multi-source BFS (analytics.bfs_distance) over the same
+    supplier↔customer trade graph as q_pagerank (customer ids offset
+    by 100000), seeded at suppliers 1-5, 3 hops — the blast-radius
+    query.  Each round is one frontier⋈edges join plus one anti-join
+    against the settled set; the DuckDB twin is a recursive CTE capped
+    at the same hop count."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_suppkey").cast("long").alias("s"),
+        (F.col("o_custkey") + 100000).cast("long").alias("c"),
+    )
+    edges = j.select(F.col("s").alias("src"), F.col("c").alias("dst")).union(
+        j.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+    seeds = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") <= 5)
+        .select(F.col("s_suppkey").cast("long").alias("node"))
+    )
+    return analytics.bfs_distance(edges, seeds, max_hops=3).orderBy(
+        "node"
+    )
+
+
+SQL_BFS_DISTANCE = """
+WITH RECURSIVE trade AS (
+  SELECT DISTINCT l_suppkey::BIGINT AS s,
+         (o_custkey + 100000)::BIGINT AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), e AS (
+  SELECT s AS src, c AS dst FROM trade
+  UNION
+  SELECT c AS src, s AS dst FROM trade
+), bfs(node, dist) AS (
+  SELECT s_suppkey::BIGINT AS node, 0 AS dist
+  FROM supplier WHERE s_suppkey <= 5
+  UNION
+  SELECT e.dst, b.dist + 1
+  FROM bfs b JOIN e ON b.node = e.src
+  WHERE b.dist < 3
+)
+SELECT node, min(dist)::INT AS dist FROM bfs GROUP BY node
+ORDER BY node
+"""
+
+
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average value (analytics.twap): each
+    event's value holds until the user's next event, weights are exact
+    BIGINT microseconds, value sums are DECIMAL(18,4) — one
+    correctly-rounded division at the end, bit-identical to the DuckDB
+    lead() twin."""
+    ev = _t(spark, sf_dir, "events")
+    return analytics.twap(ev).orderBy("user_id")
+
+
+SQL_TWAP = """
+WITH base AS (
+  SELECT user_id,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id))
+           - epoch_us(ts) AS dur,
+         CAST(value AS DECIMAL(18,4)) AS v
+  FROM events WHERE value IS NOT NULL
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_intervals,
+       sum(dur)::BIGINT AS span_us,
+       round(CAST(sum(v * dur) AS DOUBLE)
+             / CAST(sum(dur) AS DOUBLE), 4) AS twap
+FROM base WHERE dur IS NOT NULL
+GROUP BY user_id HAVING sum(dur) > 0
+ORDER BY user_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples
     # the first 50 keys.  Per the r4 verdict ask #6 the 37 keys whose
@@ -7750,6 +7862,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_merge": q_agg_merge,
         "stream_agg_merge": q_stream_agg_merge,
         "join_cardinality": q_join_cardinality,
+        "pareto_frontier": q_pareto_frontier,
+        "bfs_distance": q_bfs_distance,
+        "twap": q_twap,
         "semantic_dedup": q_semantic_dedup,
         "value_trend": q_value_trend,
         "communities": q_communities,
@@ -7942,6 +8057,9 @@ def oracle_sql() -> dict[str, str]:
         "agg_merge": SQL_AGG_MERGE,
         "stream_agg_merge": SQL_AGG_MERGE,
         "join_cardinality": SQL_JOIN_CARDINALITY,
+        "pareto_frontier": SQL_PARETO_FRONTIER,
+        "bfs_distance": SQL_BFS_DISTANCE,
+        "twap": SQL_TWAP,
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "value_trend": SQL_VALUE_TREND,
         "communities": SQL_COMMUNITIES,

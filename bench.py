@@ -452,6 +452,9 @@ RELATIONAL = [
     "agg_merge",
     # round-5 session-5 additions
     "join_cardinality",
+    "pareto_frontier",
+    "bfs_distance",
+    "twap",
 ]
 
 

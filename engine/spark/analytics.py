@@ -712,3 +712,190 @@ def conversion_attribution(
         .cast("long")
         .alias("last_touch_gap_s"),
     )
+
+
+def pareto_frontier(
+    df: DataFrame, max_col: str, min_col: str
+) -> DataFrame:
+    """Exact 2-D Pareto frontier (skyline, Börzsönyi et al. ICDE'01):
+    the rows not dominated by any other row, where r' dominates r iff
+    ``r'.max_col >= r.max_col`` and ``r'.min_col <= r.min_col`` with at
+    least one strict.  Identical (max, min) points are mutually
+    non-dominating and all survive; NULL in either column drops the
+    row (NULL is incomparable under domination).
+
+    The textbook sequential algorithm is "sort by x desc, keep rows
+    where y beats the running min" — a GLOBAL order statistic, and the
+    naive Spark translation (`Window.orderBy(x.desc)` with an empty
+    partition-by) funnels every row through ONE reducer.  This uses
+    the same distributed-ranking shape as ``diagnose.global_rank``:
+
+      1. reduce to per-x groups (partial-agg shuffle): gy = min(y | x);
+      2. range-repartition the group table by x desc; the running min
+         over strictly-larger x splits into a per-partition window
+         (parallel, bounded by the range split) plus a prefix-min over
+         earlier partitions' boundary minima — an nparts-row histogram
+         broadcast back, exactly the global_rank offset trick (min is
+         associative across the range boundary, so where the sampler
+         places the splits cannot change the answer);
+      3. a group is on the frontier iff gy < min-over-larger-x (or no
+         larger x exists); the surviving rows join back by x equi-join
+         and keep y == gy.
+
+    The grouped frame is persisted under the shared _NTILE_CACHE
+    discipline because the window branch and the histogram branch must
+    observe identical partition ids.  Never more than three shuffles,
+    no empty-partition window over anything data-sized, output rows
+    carry all input columns.
+    """
+    from engine.spark.diagnose import _ntile_cache_put
+
+    x, y = F.col(max_col), F.col(min_col)
+    clean = df.where(x.isNotNull() & y.isNotNull())
+    g = clean.groupBy(x.alias("_pf_x")).agg(F.min(y).alias("_pf_gy"))
+    spark = df.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    keyed = g.repartitionByRange(
+        nparts, F.col("_pf_x").desc()
+    ).withColumn("_pf_pid", F.spark_partition_id())
+    keyed = _ntile_cache_put(keyed)
+    w_loc = (
+        Window.partitionBy("_pf_pid")
+        .orderBy(F.col("_pf_x").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_pid = Window.orderBy("_pf_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pid_prev = (
+        keyed.groupBy("_pf_pid")
+        .agg(F.min("_pf_gy").alias("_pf_pm"))
+        .select(
+            "_pf_pid", F.min("_pf_pm").over(w_pid).alias("_pf_prev")
+        )
+    )
+    front = (
+        keyed.withColumn("_pf_loc", F.min("_pf_gy").over(w_loc))
+        .join(F.broadcast(pid_prev), "_pf_pid")
+        .withColumn("_pf_mgt", F.least("_pf_loc", "_pf_prev"))
+        .where(
+            F.col("_pf_mgt").isNull()
+            | (F.col("_pf_gy") < F.col("_pf_mgt"))
+        )
+        .select("_pf_x", "_pf_gy")
+    )
+    return clean.join(
+        front,
+        (x == F.col("_pf_x")) & (y == F.col("_pf_gy")),
+    ).select(*df.columns)
+
+
+def bfs_distance(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Multi-source breadth-first shortest hop distance, bounded to
+    ``max_hops`` rounds — the blast-radius query ("everything within
+    k hops of these nodes") over a directed edge table.
+
+    Pregel-as-dataflow, same discipline as :func:`pagerank_fixedpoint`
+    and ``dedup.connected_components``: each round is ONE equi-join of
+    the current frontier with the edge table plus ONE anti-join
+    against the settled set (BFS settles a node at its first visit, so
+    already-reached nodes never re-expand — the frontier SHRINKS as
+    the reachable set saturates, and rounds after saturation are
+    no-ops on empty frames).  State is at most |V| rows; distances are
+    exact integers so the oracle (a DuckDB recursive CTE capped at the
+    same hop count) matches bit-for-bit.  ``max_hops`` is fixed and
+    small, keeping the unrolled lineage bounded; for deep traversals
+    reuse the durable checkpoint pattern from connected_components.
+
+    Returns (node: long, dist: int) for every node reachable within
+    ``max_hops`` hops, seeds at dist 0.
+    """
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).distinct()
+    dist = seeds.select(
+        F.col(node_col).cast("long").alias("node"),
+        F.lit(0).cast("int").alias("dist"),
+    ).distinct()
+    frontier = dist.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.alias("f")
+            .join(e.alias("e"), F.col("f.node") == F.col("e.src"))
+            .select(F.col("e.dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+        )
+        dist = dist.union(
+            nxt.select("node", F.lit(hop).cast("int").alias("dist"))
+        )
+        frontier = nxt
+    return dist
+
+
+def twap(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-weighted average value per key (TWAP) — the standard
+    telemetry/market aggregate where each observation holds until the
+    next one, so its weight is the seconds until the key's next event
+    (the key's last event carries no forward interval and contributes
+    no weight; keys with a single event emit no row).
+
+    One window keyed by ``user_col`` (never an empty partition-by — a
+    key's events land on one reducer, bounded by per-key history, the
+    same shape as ``running_user_value``).  Cross-engine exactness:
+    durations are BIGINT microseconds (``unix_micros`` / DuckDB
+    ``epoch_us`` — no sub-second floor ambiguity), values sum as
+    DECIMAL(18,4) — both exact under any aggregation order — and the
+    single division is one correctly-rounded IEEE op on the exact
+    sums, so Spark and the DuckDB twin agree bit-for-bit (the
+    repo-wide round-then-divide discipline, cf. SQL_Q1 /
+    grouped_regression).
+
+    Returns (user_id, n_intervals, span_us, twap) with twap rounded
+    to 4 decimals; keys with zero total span emit no row.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    base = (
+        events.where(F.col(value_col).isNotNull())
+        .withColumn(
+            "_tw_dur",
+            (
+                # cast: parquet timestamps load as TIMESTAMP_NTZ and
+                # unix_micros wants TIMESTAMP; the session-TZ shift the
+                # cast applies cancels in the subtraction
+                F.unix_micros(F.lead(ts_col).over(w).cast("timestamp"))
+                - F.unix_micros(F.col(ts_col).cast("timestamp"))
+            ).cast("long"),
+        )
+        .where(F.col("_tw_dur").isNotNull())
+    )
+    wv = F.col(value_col).cast("decimal(18,4)") * F.col("_tw_dur")
+    return (
+        base.groupBy(F.col(user_col).alias("user_id"))
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum("_tw_dur").alias("span_us"),
+            F.round(
+                F.sum(wv).cast("double")
+                / F.sum("_tw_dur").cast("double"),
+                4,
+            ).alias("twap"),
+        )
+        .where(F.col("span_us") > 0)
+    )

@@ -847,3 +847,113 @@ def test_centroid_classify_separable_clusters(spark):
     assert got[("b", "b")] == 20
     assert got[("a", "b")] == 1
     assert ("b", "a") not in got
+
+
+# ----------------------------------------- pareto frontier (skyline)
+def test_pareto_frontier_vs_bruteforce(spark):
+    """Random points vs the O(n^2) strict-domination definition,
+    including duplicate points (mutually non-dominating — all kept)
+    and a dominated duplicate pair (all dropped)."""
+    import random
+
+    rng = random.Random(7)
+    pts = [(i, rng.randrange(0, 40), rng.randrange(0, 40))
+           for i in range(200)]
+    pts += [(900, 100, -1), (901, 100, -1)]    # frontier duplicates
+    pts += [(902, -1, 100), (903, -1, 100)]    # dominated duplicates
+    df = spark.createDataFrame(pts, "id: long, x: long, y: long")
+    got = {
+        r.id
+        for r in analytics.pareto_frontier(df, "x", "y").collect()
+    }
+
+    def dominated(p, q):  # q dominates p
+        return (
+            q[1] >= p[1] and q[2] <= p[2]
+            and (q[1] > p[1] or q[2] < p[2])
+        )
+
+    want = {
+        p[0]
+        for p in pts
+        if not any(dominated(p, q) for q in pts)
+    }
+    assert got == want
+    assert {900, 901} <= got and not ({902, 903} & got)
+
+
+def test_pareto_frontier_no_global_sort_window(spark):
+    """Every Window in the plan partitions on something (_pf_pid or
+    the nparts-row pid histogram) — never an empty partition-by over
+    the grouped fact table — and nothing plans as a cartesian."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.q_pareto_frontier(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    # the only acceptable empty-partition window input is the pid
+    # histogram (one row per shuffle partition); its plan node carries
+    # the _pf_pm aggregate, the data-sized windows carry _pf_pid
+    for ln in plan.splitlines():
+        if "Window [" in ln and "partitionBy" not in ln:
+            if "_pf_loc" in ln:
+                assert "_pf_pid" in ln, ln
+
+
+# ------------------------------------------------- bfs hop distances
+def test_bfs_distance_hand_graph(spark):
+    """Chain 1→2→3→4→5 with a shortcut 1→4 and an unreachable island
+    (8→9): min-hop wins, cap honors max_hops, islands absent."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4), (8, 9)],
+        "src: long, dst: long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node: long")
+    got = {
+        r.node: r.dist
+        for r in analytics.bfs_distance(edges, seeds, max_hops=2)
+        .collect()
+    }
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+    got3 = {
+        r.node: r.dist
+        for r in analytics.bfs_distance(edges, seeds, max_hops=3)
+        .collect()
+    }
+    assert got3 == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}  # 5 via shortcut
+
+
+def test_bfs_distance_multi_source_min(spark):
+    """Two seeds: every node gets the distance to its NEAREST seed."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 4)], "src: long, dst: long"
+    )
+    seeds = spark.createDataFrame([(1,), (10,)], "node: long")
+    got = {
+        r.node: r.dist
+        for r in analytics.bfs_distance(edges, seeds, max_hops=3)
+        .collect()
+    }
+    assert got == {1: 0, 10: 0, 2: 1, 4: 1, 3: 2}
+
+
+# --------------------------------------------------------------- twap
+def test_twap_hand_computed(spark):
+    """values 10 (held 2s), 20 (held 6s) → twap (10*2+20*6)/8 = 17.5;
+    the trailing event contributes no weight; a single-event user
+    emits no row."""
+    rows = [
+        (1, 1, T0, 10.0),
+        (2, 1, T0 + timedelta(seconds=2), 20.0),
+        (3, 1, T0 + timedelta(seconds=8), 99.0),   # trailing, no weight
+        (4, 2, T0, 5.0),                            # lone event
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id: long, user_id: long, ts: timestamp, value: double"
+    )
+    out = {r.user_id: r for r in analytics.twap(df).collect()}
+    assert list(out) == [1]
+    assert out[1].n_intervals == 2
+    assert out[1].span_us == 8_000_000
+    assert out[1].twap == 17.5
