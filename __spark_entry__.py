@@ -7760,6 +7760,55 @@ ORDER BY user_id
 """
 
 
+WINDOW_FUNNEL_US = 7 * 24 * 3600 * 1_000_000  # 7 days
+
+
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-capped funnel (analytics.window_funnel — the ClickHouse
+    windowFunnel analog, EXACT exists-chain semantics): users reaching
+    view→click→purchase at strictly increasing timestamps within 7
+    days of the chain's first view.  The Spark side is a max-start DP
+    folded over per-timestamp stage sets (one pass, JVM higher-order
+    aggregate); the oracle is the independent k-way inequality-join
+    EXISTS formulation."""
+    ev = _t(spark, sf_dir, "events")
+    return analytics.window_funnel(
+        ev, ["view", "click", "purchase"], WINDOW_FUNNEL_US
+    ).orderBy("level")
+
+
+SQL_WINDOW_FUNNEL = f"""
+WITH f AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+l1 AS (SELECT DISTINCT user_id FROM f WHERE event_type = 'view'),
+l2 AS (
+  SELECT DISTINCT a.user_id
+  FROM f a JOIN f b ON a.user_id = b.user_id
+  WHERE a.event_type = 'view' AND b.event_type = 'click'
+    AND b.ts > a.ts
+    AND epoch_us(b.ts) - epoch_us(a.ts) <= {WINDOW_FUNNEL_US}
+),
+l3 AS (
+  SELECT DISTINCT a.user_id
+  FROM f a JOIN f b ON a.user_id = b.user_id
+           JOIN f c ON a.user_id = c.user_id
+  WHERE a.event_type = 'view' AND b.event_type = 'click'
+    AND c.event_type = 'purchase'
+    AND b.ts > a.ts AND c.ts > b.ts
+    AND epoch_us(c.ts) - epoch_us(a.ts) <= {WINDOW_FUNNEL_US}
+)
+SELECT 1 AS level, 'view' AS event_type,
+       (SELECT count(*) FROM l1)::BIGINT AS users
+UNION ALL
+SELECT 2, 'click', (SELECT count(*) FROM l2)::BIGINT
+UNION ALL
+SELECT 3, 'purchase', (SELECT count(*) FROM l3)::BIGINT
+ORDER BY level
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples
     # the first 50 keys.  Per the r4 verdict ask #6 the 37 keys whose
@@ -7865,6 +7914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_frontier": q_pareto_frontier,
         "bfs_distance": q_bfs_distance,
         "twap": q_twap,
+        "window_funnel": q_window_funnel,
         "semantic_dedup": q_semantic_dedup,
         "value_trend": q_value_trend,
         "communities": q_communities,
@@ -8060,6 +8110,7 @@ def oracle_sql() -> dict[str, str]:
         "pareto_frontier": SQL_PARETO_FRONTIER,
         "bfs_distance": SQL_BFS_DISTANCE,
         "twap": SQL_TWAP,
+        "window_funnel": SQL_WINDOW_FUNNEL,
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "value_trend": SQL_VALUE_TREND,
         "communities": SQL_COMMUNITIES,

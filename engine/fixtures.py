@@ -17,6 +17,7 @@ cases (empty / whitespace / CJK / duplicate image ids / giant paragraph).
 
 from __future__ import annotations
 
+import os
 import zlib
 from datetime import datetime, timedelta, timezone
 
@@ -197,5 +198,7 @@ def make_transcripts(
 def write_transcripts_parquet(path: str, n_convs: int, seed: int = SEED,
                               skew_giant: bool = True) -> str:
     df = make_transcripts(n_convs, seed, skew_giant)
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)
     df.to_parquet(path, index=False)
     return path

@@ -899,3 +899,127 @@ def twap(
         )
         .where(F.col("span_us") > 0)
     )
+
+
+def window_funnel(
+    events: DataFrame,
+    stages: Sequence[str],
+    window_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Gap-capped funnel (the ClickHouse ``windowFunnel`` analog) under
+    EXACT exists-chain semantics: a user reaches level k iff they have
+    events of types ``stages[0..k-1]`` at STRICTLY increasing
+    timestamps with ``t_k − t_1 <= window_us``.  Unlike first-touch
+    anchoring (:func:`event_funnel`, which can under-count when the
+    earliest stage-1 event times out but a later one would have
+    chained), this is the exact maximum over ALL chains.
+
+    Exactness from a single per-user pass: events collapse to per-
+    timestamp stage sets, sorted, and a fold keeps ONE value per level
+    — the maximum chain-start time over chains of that level whose
+    last event is before the current timestamp.  Max-start dominates:
+    a future event at t' can extend any chain with last < t' (true for
+    every recorded chain, because same-timestamp events read the
+    PRE-group state — strictness is structural, not checked) and
+    start >= t' − window, so if any chain qualifies the max-start one
+    does.  The fold is a pure Catalyst higher-order AGGREGATE over the
+    sorted array — JVM-side, no Python.
+
+    Scale notes: one groupBy (user, ts) + one groupBy user; per-user
+    state is the event-time list (bounded by per-key history — the
+    same collect discipline as the SFT/context-window ops) and the DP
+    accumulator is |stages| longs.  The oracle is the independent
+    k-way inequality-join EXISTS formulation — tractable at test SF,
+    exactly the shape this operator exists to avoid at 10^12 rows.
+
+    ``stages`` must be distinct.  Returns one row per level:
+    (level, event_type, users = count of users reaching that level).
+    """
+    if len(stages) < 2:
+        raise ValueError("a funnel needs at least 2 stages")
+    if len(set(stages)) != len(stages):
+        raise ValueError("stages must be distinct")
+    k = len(stages)
+    idx = (
+        F.array_position(
+            F.array(*[F.lit(s) for s in stages]), F.col(type_col)
+        )
+        - 1
+    )
+    ev = events.select(
+        F.col(user_col).alias("user_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_wf_t"),
+        idx.cast("int").alias("_wf_i"),
+    ).where(F.col("_wf_i") >= 0)
+    grp = ev.groupBy("user_id", "_wf_t").agg(
+        F.collect_set("_wf_i").alias("_wf_s")
+    )
+    per_user = grp.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("_wf_t", "_wf_s"))).alias(
+            "_wf_g"
+        )
+    )
+    init = F.array(*[F.lit(None).cast("long") for _ in range(k)])
+
+    def step(acc, g):
+        t, s = g["_wf_t"], g["_wf_s"]
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda j: F.when(
+                ~F.array_contains(s, j.cast("int")),
+                F.element_at(acc, j + 1),
+            ).otherwise(
+                F.when(j == 0, F.greatest(F.element_at(acc, 1), t))
+                .otherwise(
+                    # greatest() skips NULLs: keeps the old anchor when
+                    # the predecessor chain is absent or out of window
+                    F.greatest(
+                        F.element_at(acc, j + 1),
+                        F.when(
+                            F.element_at(acc, j)
+                            >= t - F.lit(int(window_us)),
+                            F.element_at(acc, j),
+                        ),
+                    )
+                )
+            ),
+        )
+
+    levels = per_user.select(
+        F.size(
+            F.filter(
+                F.aggregate("_wf_g", init, step), lambda a: a.isNotNull()
+            )
+        ).alias("_wf_level")
+    )
+    counts = levels.groupBy("_wf_level").agg(
+        F.count("*").alias("_wf_n")
+    )
+    stage_rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("int").alias("level"),
+                F.lit(s).alias("event_type"),
+            )
+            for i, s in enumerate(stages)
+        ]
+    )
+    tiers = (
+        counts.sparkSession.range(1)
+        .select(F.explode(stage_rows).alias("r"))
+        .select("r.level", "r.event_type")
+    )
+    return tiers.join(
+        F.broadcast(
+            counts.select(
+                F.col("_wf_level").alias("lv"), F.col("_wf_n")
+            )
+        ),
+        F.col("lv") >= F.col("level"),
+        "left",
+    ).groupBy("level", "event_type").agg(
+        F.coalesce(F.sum("_wf_n"), F.lit(0)).cast("long").alias("users")
+    )

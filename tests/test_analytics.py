@@ -957,3 +957,92 @@ def test_twap_hand_computed(spark):
     assert out[1].n_intervals == 2
     assert out[1].span_us == 8_000_000
     assert out[1].twap == 17.5
+
+
+# ------------------------------------------- gap-capped window funnel
+def test_window_funnel_vs_bruteforce(spark):
+    """Random event streams vs the O(n^3) exists-chain definition,
+    including the case first-touch anchoring gets wrong (early stage-1
+    that times out, later stage-1 that chains) and same-timestamp
+    events (strictness: can't chain at equal ts)."""
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    stages = ["a", "b", "c"]
+    W = 10_000_000  # 10 s in micros
+    rows = []
+    for u in range(40):
+        n = rng.randrange(3, 12)
+        for _ in range(n):
+            rows.append(
+                (
+                    u,
+                    T0 + timedelta(seconds=rng.randrange(0, 40)),
+                    rng.choice(stages + ["x"]),
+                )
+            )
+    # planted: first-touch trap — a@0 times out (b@20s), but a@15 chains
+    rows += [
+        (100, T0, "a"),
+        (100, T0 + timedelta(seconds=15), "a"),
+        (100, T0 + timedelta(seconds=20), "b"),
+        (100, T0 + timedelta(seconds=24), "c"),
+    ]
+    # planted: equal-ts pair must NOT chain
+    rows += [
+        (101, T0, "a"),
+        (101, T0, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id: long, ts: timestamp, event_type: string"
+    )
+    got = {
+        (r.level, r.event_type): r.users
+        for r in analytics.window_funnel(df, stages, W).collect()
+    }
+
+    by_user = {}
+    for u, ts, t in rows:
+        if t in stages:
+            by_user.setdefault(u, []).append((ts, stages.index(t)))
+    us = int(W)
+
+    def max_level(evs):
+        best = 0
+        for k in (1, 2, 3):
+            for chain in itertools.permutations(evs, k):
+                if [c[1] for c in chain] != list(range(k)):
+                    continue
+                ts_list = [c[0] for c in chain]
+                if all(
+                    ts_list[i] < ts_list[i + 1] for i in range(k - 1)
+                ) and (
+                    (ts_list[-1] - ts_list[0]).total_seconds() * 1e6
+                    <= us
+                ):
+                    best = max(best, k)
+                    break
+        return best
+
+    levels = [max_level(v) for v in by_user.values()]
+    want = {
+        (i + 1, s): sum(1 for lv in levels if lv >= i + 1)
+        for i, s in enumerate(stages)
+    }
+    assert got == want
+    # the planted first-touch trap reached level 3
+    assert max_level(by_user[100]) == 3
+    # the equal-ts user stalled at level 1
+    assert max_level(by_user[101]) == 1
+
+
+def test_window_funnel_no_python_no_cartesian(spark):
+    """The DP stays JVM-side (no Arrow/Python eval nodes) and the
+    stage-tier assembly never plans as a data-sized nested loop."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.q_window_funnel(spark, SF_DIR)
+    plan = _plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan, plan
