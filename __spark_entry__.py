@@ -6529,6 +6529,343 @@ ORDER BY numwait DESC, s.s_name
 """
 
 
+def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: no partsupp table in this corpus, so
+    the supply cost is the minimum observed unit price in lineitem) —
+    for each STANDARD part of size ≤ 15, the EUROPE supplier(s)
+    offering the minimum unit price.  Q2's signature is the correlated
+    min-subquery; here it is decorrelated: per-(part, supplier) min
+    unit price in one partial agg, then the per-part global min as a
+    window over that ALREADY-REDUCED table — partitioned by the
+    high-cardinality part key (bounded suppliers per part, no skew),
+    so the fact is scanned exactly once and never re-derived for the
+    subquery side.  Both dimensions (scoped parts, scoped suppliers)
+    broadcast into the fact scan, so the only full-data exchange is
+    the agg's shuffle — at 10^12 lineitem rows nothing else moves.
+    Unit price is IEEE double division computed identically by both
+    engines, so the min/equality/round pipeline is cross-engine
+    exact."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15))
+        .select("p_partkey", "p_name")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(
+                    F.col("r_name") == "EUROPE"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("_unit"),
+    )
+    cost = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            "l_partkey", "l_suppkey", "p_name", "s_name", "s_acctbal",
+            "n_name",
+        )
+        .agg(F.min("_unit").alias("unit_cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        cost.withColumn("_min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("_min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            F.round(F.col("unit_cost"), 4).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+    )
+
+
+SQL_Q2_MIN_COST_SUPPLIER = r"""
+WITH scope_part AS (
+  SELECT p_partkey, p_name FROM part
+  WHERE p_type = 'STANDARD' AND p_size <= 15
+),
+scope_supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+cost AS (
+  SELECT l_partkey, l_suppkey, p_name, s_name, s_acctbal, n_name,
+         min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem
+  JOIN scope_part ON l_partkey = p_partkey
+  JOIN scope_supp ON l_suppkey = s_suppkey
+  GROUP BY l_partkey, l_suppkey, p_name, s_name, s_acctbal, n_name
+),
+best AS (
+  SELECT l_partkey AS _bk, min(unit_cost) AS _min_cost
+  FROM cost GROUP BY l_partkey
+)
+SELECT c.s_acctbal, c.s_name, c.n_name, c.l_partkey AS p_partkey,
+       c.p_name, round(c.unit_cost, 4) AS unit_cost
+FROM cost c
+JOIN best b ON c.l_partkey = b._bk AND c.unit_cost = b._min_cost
+ORDER BY c.s_acctbal DESC, c.n_name, c.s_name, p_partkey
+"""
+
+
+def q_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: shipped value sum(extendedprice ×
+    quantity) stands in for ps_supplycost × ps_availqty) — parts whose
+    shipped value from NATION_7's suppliers exceeds 0.1% of that
+    nation's total.  The signature is the scalar HAVING subquery: one
+    per-part partial-agg shuffle over the (nation-restricted) fact,
+    then the grand total rides back as a broadcast single-row
+    aggregate — no second pass over the fact, no window.  All
+    arithmetic DECIMAL-exact on both engines (the 0.001 literal is a
+    decimal, never a float)."""
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_7"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") * F.col("l_quantity"))
+        .cast("decimal(18,4)")
+        .alias("_val"),
+    )
+    v = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum("_val").alias("part_value"))
+    )
+    thr = v.agg(
+        (
+            F.sum("part_value").cast("decimal(38,4)")
+            * F.expr("CAST(0.001 AS DECIMAL(4,3))")
+        ).alias("_thr")
+    )
+    return (
+        v.crossJoin(F.broadcast(thr))
+        .filter(F.col("part_value") > F.col("_thr"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("part_value").cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+SQL_Q11_IMPORTANT_PARTS = r"""
+WITH v AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4)))
+           AS part_value
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, CAST(part_value AS DOUBLE) AS part_value
+FROM v
+WHERE part_value > (SELECT CAST(sum(part_value) AS DECIMAL(38,4))
+                           * CAST(0.001 AS DECIMAL(4,3)) FROM v)
+ORDER BY part_value DESC, p_partkey
+"""
+
+
+def q_q12_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: l_returnflag stands in for
+    l_shipmode, ship-lag > 90 days after the order date stands in for
+    the receipt/commit-date lateness predicate this corpus lacks) —
+    late 1996 shipments split into high-/low-priority line counts per
+    flag.  The shape under test is conditional aggregation over a
+    fact-fact equi-join: the ship-date range prunes the lineitem scan
+    BEFORE the join (pushed to parquet), the lateness predicate
+    evaluates post-join inside codegen, and the CASE pair folds in one
+    partial agg — one joint shuffle on orderkey, one tiny agg
+    exchange."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .select("l_orderkey", "l_returnflag", "l_shipdate")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_Q12_PRIORITY_LATENESS = r"""
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: distinct (part, supplier) pairs
+    observed in lineitem stand in for partsupp; suppliers with
+    negative balance stand in for the complaint-comment NOT IN) —
+    how many distinct suppliers ship each surviving (brand, type,
+    size) descriptor.  The NOT IN decorrelates to a broadcast
+    left-anti join on the fact scan; the part dimension broadcasts;
+    COUNT(DISTINCT) runs as Spark's two-phase expand/partial-agg — no
+    pre-distinct materialization, one logical shuffle."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    pf = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        li.join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+SQL_Q16_SUPPLIER_VARIETY = r"""
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1,5,9,13,17,21,25,29)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_q20_excess_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: 'blue%' part-name prefix stands in
+    for 'forest%'; the availqty > half-of-shipped correlated
+    comparison becomes window-share-of-total on the same shipped
+    quantities, keeping the agg-vs-agg-per-key signature) — suppliers
+    whose 1995–96 shipped quantity of blue parts exceeds 30% of their
+    all-time total.  Both aggregates fold in ONE pass over the
+    prefix-filtered fact (conditional partial agg), the threshold
+    compare is integer-scaled DECIMAL (exact on both engines), and the
+    winners semi-join back to the supplier dimension."""
+    pf = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("blue"))
+        .select("p_partkey")
+    )
+    qty = F.col("l_quantity").cast("decimal(18,4)")
+    in_window = (F.col("l_shipdate") >= F.lit("1995-01-01")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01")
+    )
+    q = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.when(in_window, qty).otherwise(F.lit(0))).alias(
+                "_qty_window"
+            ),
+            F.sum(qty).alias("_qty_total"),
+        )
+        .filter(
+            F.col("_qty_window") * F.lit(10)
+            > F.col("_qty_total") * F.lit(3)
+        )
+        .select("l_suppkey")
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(q, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_Q20_EXCESS_SHARE = r"""
+WITH q AS (
+  SELECT l_suppkey,
+    sum(CASE WHEN l_shipdate >= '1995-01-01'
+              AND l_shipdate < '1997-01-01'
+             THEN CAST(l_quantity AS DECIMAL(18,4)) ELSE 0 END)
+      AS qty_window,
+    sum(CAST(l_quantity AS DECIMAL(18,4))) AS qty_total
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'blue%'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM q
+                    WHERE qty_window * 10 > qty_total * 3)
+ORDER BY s_suppkey
+"""
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/CCNet-style cross-document line dedup (engine.spark.dedup.
     line_dedup): lines occurring in ≥3 distinct documents are removed
@@ -7829,7 +8166,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # centroid_classify, bpe_train, bpe_encode, cms_counts,
     # attribution, agg_merge) sit AFTER the first-50 sample window (inserted
     # mid-registry after winsorized_stats, position ~65+) and join the
-    # never-driver-checked pool that heads the r6 rotation.
+    # never-driver-checked pool that heads the r6 rotation, as do the
+    # session-5 additions (window_funnel plus the TPC-H-completion five:
+    # q2_min_cost_supplier, q11_important_parts, q12_priority_lateness,
+    # q16_supplier_variety, q20_excess_share — every TPC-H query shape
+    # Q1-Q22 expressible on this corpus's columns is now registered).
     return {
         # -- last driver row is round 3 (stale-first)
         "ocr_insert": q_ocr_insert,
@@ -7887,6 +8228,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": q_q15_top_supplier,
         "q19_disjunctive": q_q19_disjunctive,
         "q21_blame_supplier": q_q21_blame_supplier,
+        "q2_min_cost_supplier": q_q2_min_cost_supplier,
+        "q11_important_parts": q_q11_important_parts,
+        "q12_priority_lateness": q_q12_priority_lateness,
+        "q16_supplier_variety": q_q16_supplier_variety,
+        "q20_excess_share": q_q20_excess_share,
         "line_dedup": q_line_dedup,
         "sorted_neighborhood": q_sorted_neighborhood,
         "ewma": q_ewma,
@@ -8083,6 +8429,11 @@ def oracle_sql() -> dict[str, str]:
         "q15_top_supplier": SQL_Q15_TOP_SUPPLIER,
         "q19_disjunctive": SQL_Q19_DISJUNCTIVE,
         "q21_blame_supplier": SQL_Q21_BLAME_SUPPLIER,
+        "q2_min_cost_supplier": SQL_Q2_MIN_COST_SUPPLIER,
+        "q11_important_parts": SQL_Q11_IMPORTANT_PARTS,
+        "q12_priority_lateness": SQL_Q12_PRIORITY_LATENESS,
+        "q16_supplier_variety": SQL_Q16_SUPPLIER_VARIETY,
+        "q20_excess_share": SQL_Q20_EXCESS_SHARE,
         "line_dedup": SQL_LINE_DEDUP,
         "sorted_neighborhood": SQL_SORTED_NEIGHBORHOOD,
         "ewma": SQL_EWMA,

@@ -455,6 +455,13 @@ RELATIONAL = [
     "pareto_frontier",
     "bfs_distance",
     "twap",
+    "window_funnel",
+    # round-5 session-5: TPC-H completion (every Q1-Q22 shape now in)
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q12_priority_lateness",
+    "q16_supplier_variety",
+    "q20_excess_share",
 ]
 
 

@@ -1039,3 +1039,75 @@ def test_join_cardinality_takeordered_broadcast_total(spark):
     win_idx = plan.find("Window")
     take_idx = plan.find("TakeOrderedAndProject")
     assert win_idx != -1 and take_idx != -1 and win_idx < take_idx, plan
+
+
+# ---------------------------------------- TPC-H completion five (r5 s5)
+def test_q2_broadcast_dims_single_fact_shuffle(spark):
+    """q2: both scoped dimensions broadcast into the fact scan, the
+    min-subquery decorrelates to a window over the already-reduced
+    (part, supplier) cost table partitioned by the high-cardinality
+    part key — the fact is scanned exactly once and the agg shuffle is
+    the only full-data exchange."""
+    df = entry_mod.queries()["q2_min_cost_supplier"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    scans = [
+        ln for ln in plan.splitlines()
+        if "Scan parquet" in ln and "lineitem" in ln
+    ]
+    assert len(scans) == 1, plan
+    # the window partitions by the part key, never unpartitioned
+    for ln in plan.splitlines():
+        if ln.strip().startswith("Window "):
+            assert "l_partkey" in ln, ln
+
+
+def test_q11_threshold_reuses_fact_agg_exchange(spark):
+    """q11: the HAVING-total is a single-row aggregate over the SAME
+    per-part agg subplan — statically the subquery branch re-derives
+    it (the q15 pattern), but AQE exchange reuse must replace the
+    second derivation with a ReusedExchange at runtime so the
+    nation-restricted fact is shuffled once."""
+    df = entry_mod.queries()["q11_important_parts"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    df.collect()
+    final = _plan(df)
+    assert "ReusedExchange" in final or "ReusedQueryStage" in final, final
+
+
+def test_q12_shipdate_range_pushed_to_scan(spark):
+    """q12: the 1996 ship-date range prunes the lineitem parquet scan
+    before the join; the lateness predicate is post-join codegen."""
+    df = entry_mod.queries()["q12_priority_lateness"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_q16_anti_join_and_expand_distinct(spark):
+    """q16: NOT IN decorrelates to a broadcast left-anti join on the
+    fact scan; COUNT(DISTINCT) plans as the two-phase expand — no
+    pre-distinct materialization of the pair table."""
+    df = entry_mod.queries()["q16_supplier_variety"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "Expand" in plan or "distinct" in plan.lower(), plan
+
+
+def test_q20_one_pass_conditional_agg_semi_join(spark):
+    """q20: both window/total quantities fold in ONE agg over the
+    prefix-filtered fact (a single lineitem scan), winners return to
+    the supplier dimension via a semi join."""
+    df = entry_mod.queries()["q20_excess_share"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftSemi" in plan, plan
+    scans = [
+        ln for ln in plan.splitlines()
+        if "Scan parquet" in ln and "lineitem" in ln
+    ]
+    assert len(scans) == 1, plan
