@@ -3595,6 +3595,109 @@ FROM i
 """
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-artifact cleanup (etext.text_normalize — the ftfy-lite
+    pre-tokenization pass): CR/CRLF→LF, NBSP→space, zero-width chars
+    and non-whitespace controls removed, ≥4-runs of sentence
+    punctuation collapsed to three.  Zero-shuffle codegen projection;
+    planted rows fire every branch (ZW/NBSP, punct runs, control+CR,
+    and an untouched row proving changed=false).  Patterns shared
+    verbatim with the oracle (Java ∩ RE2, no backreferences)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(
+        [
+            (
+                9100001,
+                "soft\u00a0space and\u200bzero\u200cwidth\u200d"
+                " marks\ufeff",
+            ),
+            (9100002, "dots..... bangs!!!!! what????? fine... ok!!"),
+            (9100003, "ctrl\x01chars\x1fhere\r\nwindows\rline"),
+            (9100004, "clean text unchanged"),
+        ],
+        "doc_id: long, text: string",
+    )
+    return etext.text_normalize(d.unionByName(planted))
+
+
+SQL_TEXT_NORMALIZE = f"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    (9100001, 'soft' || chr(160) || 'space and' || chr(8203) || 'zero'
+              || chr(8204) || 'width' || chr(8205) || ' marks'
+              || chr(65279)),
+    (9100002, 'dots..... bangs!!!!! what????? fine... ok!!'),
+    (9100003, 'ctrl' || chr(1) || 'chars' || chr(31) || 'here'
+              || chr(13) || chr(10) || 'windows' || chr(13) || 'line'),
+    (9100004, 'clean text unchanged')
+  ) v(doc_id, text)
+), n AS (
+  SELECT doc_id, text,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(text, '{etext.NORM_CR}', chr(10), 'g'),
+                '{etext.NORM_NBSP}', ' ', 'g'),
+              '{etext.NORM_ZERO_WIDTH}', '', 'g'),
+            '{etext.NORM_CTRL}', '', 'g'),
+          '{etext.NORM_DOT_RUN}', '...', 'g'),
+        '{etext.NORM_BANG_RUN}', '!!!', 'g'),
+      '{etext.NORM_QMARK_RUN}', '???', 'g') AS norm_text
+  FROM src
+)
+SELECT doc_id, norm_text,
+       len(regexp_extract_all(text, '{etext.NORM_ZERO_WIDTH}'))::BIGINT
+         AS n_zero_width,
+       len(regexp_extract_all(text, '{etext.NORM_CTRL}'))::BIGINT
+         AS n_ctrl,
+       norm_text != text AS changed
+FROM n
+"""
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy release audit (diagnose.k_anonymity): k-anonymity +
+    l-diversity per quasi-identifier combination (hour-of-day ×
+    value band) over the events table, individuals = user_id,
+    sensitive attribute = event_type.  ONE groupBy with the
+    multi-COUNT(DISTINCT) planned as a single Expand — no joins, no
+    windows, no second pass; output bounded by QI cardinality."""
+    e = _t(spark, sf_dir, "events").select(
+        F.hour("ts").alias("hour_of_day"),
+        (F.floor(F.col("value") / 10) * 10)
+        .cast("long")
+        .alias("value_band"),
+        "user_id",
+        "event_type",
+    )
+    return diagnose.k_anonymity(
+        e,
+        ["hour_of_day", "value_band"],
+        id_col="user_id",
+        sensitive_col="event_type",
+        k=5,
+        l=2,
+    )
+
+
+SQL_K_ANONYMITY = """
+SELECT hour(ts) AS hour_of_day,
+       (floor(value / 10) * 10)::BIGINT AS value_band,
+       count(*)::BIGINT AS n_rows,
+       count(DISTINCT user_id)::BIGINT AS n_individuals,
+       count(DISTINCT event_type)::BIGINT AS n_sensitive,
+       count(DISTINCT user_id) >= 5 AS k_anonymous,
+       count(DISTINCT event_type) >= 2 AS l_diverse
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style repetition quality signals: duplicate-token and
     duplicate-bigram fractions + heaviest-token share, per document."""
@@ -8167,10 +8270,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # attribution, agg_merge) sit AFTER the first-50 sample window (inserted
     # mid-registry after winsorized_stats, position ~65+) and join the
     # never-driver-checked pool that heads the r6 rotation, as do the
-    # session-5 additions (window_funnel plus the TPC-H-completion five:
-    # q2_min_cost_supplier, q11_important_parts, q12_priority_lateness,
-    # q16_supplier_variety, q20_excess_share — every TPC-H query shape
-    # Q1-Q22 expressible on this corpus's columns is now registered).
+    # session-5 additions (window_funnel, text_normalize, k_anonymity,
+    # plus the TPC-H-completion five: q2_min_cost_supplier,
+    # q11_important_parts, q12_priority_lateness, q16_supplier_variety,
+    # q20_excess_share — every TPC-H query shape Q1-Q22 expressible on
+    # this corpus's columns is now registered).
     return {
         # -- last driver row is round 3 (stale-first)
         "ocr_insert": q_ocr_insert,
@@ -8261,6 +8365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_distance": q_bfs_distance,
         "twap": q_twap,
         "window_funnel": q_window_funnel,
+        "text_normalize": q_text_normalize,
+        "k_anonymity": q_k_anonymity,
         "semantic_dedup": q_semantic_dedup,
         "value_trend": q_value_trend,
         "communities": q_communities,
@@ -8462,6 +8568,8 @@ def oracle_sql() -> dict[str, str]:
         "bfs_distance": SQL_BFS_DISTANCE,
         "twap": SQL_TWAP,
         "window_funnel": SQL_WINDOW_FUNNEL,
+        "text_normalize": SQL_TEXT_NORMALIZE,
+        "k_anonymity": SQL_K_ANONYMITY,
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "value_trend": SQL_VALUE_TREND,
         "communities": SQL_COMMUNITIES,

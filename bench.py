@@ -456,6 +456,8 @@ RELATIONAL = [
     "bfs_distance",
     "twap",
     "window_funnel",
+    "text_normalize",
+    "k_anonymity",
     # round-5 session-5: TPC-H completion (every Q1-Q22 shape now in)
     "q2_min_cost_supplier",
     "q11_important_parts",

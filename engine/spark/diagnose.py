@@ -1174,3 +1174,48 @@ def join_cardinality(
             rank.cast("long").alias("rank"),
         )
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    qi_cols: list[str],
+    id_col: str,
+    sensitive_col: str,
+    k: int = 5,
+    l: int = 2,
+) -> DataFrame:
+    """Privacy audit before a data release: k-anonymity + l-diversity
+    per quasi-identifier combination.
+
+    A released table is k-anonymous when every combination of the
+    quasi-identifier columns (the attributes an attacker can link
+    externally) covers at least ``k`` distinct individuals, and
+    l-diverse when each such group carries at least ``l`` distinct
+    values of the sensitive attribute (Machanavajjhala et al., ICDE
+    2006 — k-anonymity alone fails under homogeneity attacks).
+
+    Returns one row per QI combination: the QI columns, ``n_rows``,
+    ``n_individuals`` (distinct ``id_col``), ``n_sensitive`` (distinct
+    ``sensitive_col``), and the two boolean verdicts.
+
+    Scale shape: ONE groupBy over the fact with two COUNT(DISTINCT)s —
+    Spark plans the multi-distinct as a single Expand (3× row fan-out
+    map-side, still one logical shuffle, partial aggregation on both
+    phases).  No joins, no windows, no second pass; at 10^12 rows the
+    reduced output is bounded by the QI-combination cardinality."""
+    return (
+        df.groupBy(*qi_cols)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct(id_col).alias("n_individuals"),
+            F.countDistinct(sensitive_col).alias("n_sensitive"),
+        )
+        .select(
+            *qi_cols,
+            "n_rows",
+            "n_individuals",
+            "n_sensitive",
+            (F.col("n_individuals") >= F.lit(int(k))).alias("k_anonymous"),
+            (F.col("n_sensitive") >= F.lit(int(l))).alias("l_diverse"),
+        )
+    )

@@ -348,6 +348,56 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Text-normalization patterns: Java-regex ∩ RE2 only.  Code points above
+# 0xFF use \x{...} (both engines); control chars use \xhh ranges so the
+# pattern string itself stays ASCII (safe to embed in oracle SQL text).
+# No backreferences anywhere — RE2 has none, so repeated-punctuation
+# runs are per-character classes, not a (.)\1 generic.
+NORM_CR = r"\r\n?"
+NORM_NBSP = r"\x{00A0}"
+NORM_ZERO_WIDTH = r"[\x{200B}\x{200C}\x{200D}\x{FEFF}]"
+NORM_CTRL = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+NORM_DOT_RUN = r"\.{4,}"
+NORM_BANG_RUN = r"!{4,}"
+NORM_QMARK_RUN = r"\?{4,}"
+
+
+def text_normalize(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Encoding-artifact cleanup for web/OCR corpora (the ftfy-lite
+    pass every training pipeline runs before tokenization): CRLF and
+    stray CR → LF, NBSP → plain space, zero-width characters (ZWSP/
+    ZWNJ/ZWJ/BOM) removed, non-whitespace control characters removed,
+    and runs of ≥4 identical sentence punctuation collapsed to exactly
+    three.  Order is part of the contract (counts are measured on the
+    ORIGINAL text; punctuation collapse sees the already-cleaned
+    text).
+
+    Returns (doc_id, norm_text, n_zero_width, n_ctrl, changed).
+
+    Scale shape: a zero-shuffle projection — seven regexp_replace +
+    two regexp_count, all inside whole-stage codegen; at 100 TB this
+    is a pure map over the scan with no Python anywhere.  Patterns are
+    shared verbatim with the DuckDB oracle (Java ∩ RE2 subset, no
+    backreferences)."""
+    t = F.col(text_col)
+    s = F.regexp_replace(t, NORM_CR, "\n")
+    s = F.regexp_replace(s, NORM_NBSP, " ")
+    s = F.regexp_replace(s, NORM_ZERO_WIDTH, "")
+    s = F.regexp_replace(s, NORM_CTRL, "")
+    s = F.regexp_replace(s, NORM_DOT_RUN, "...")
+    s = F.regexp_replace(s, NORM_BANG_RUN, "!!!")
+    norm = F.regexp_replace(s, NORM_QMARK_RUN, "???")
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.regexp_count(t, F.lit(NORM_ZERO_WIDTH))
+        .cast("long")
+        .alias("n_zero_width"),
+        F.regexp_count(t, F.lit(NORM_CTRL)).cast("long").alias("n_ctrl"),
+        (norm != t).alias("changed"),
+    )
+
+
 # ------------------------------------------------------ repetition stats
 def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Repetition-based quality signals — the standard web-corpus

@@ -1011,3 +1011,36 @@ def test_bpe_encode_oracle_survives_early_merge_exhaustion():
     got = dict(con.execute(entry_mod._bpe_sql(4, encode=True)).fetchall())
     # round 1 merges (a,a); rounds 2-4 find no pairs; words survive
     assert got == {"aa": 2, "a": 1}
+
+
+# ------------------------------------------------------- text_normalize
+def test_text_normalize_idempotent_and_exact(spark):
+    """Normalization is a fixed point after one pass, and each branch
+    produces the exact expected bytes."""
+    from engine.spark import text as etext
+
+    rows = [
+        (1, "a b​c‌d‍e﻿"),
+        (2, "x..... y!!!!! z????? keep... !!! ??"),
+        (3, "c\x01d\x1fe\r\nf\rg\th"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {
+        r.doc_id: r
+        for r in etext.text_normalize(df).collect()
+    }
+    assert out[1].norm_text == "a bcde"
+    assert out[1].n_zero_width == 4 and out[1].changed
+    assert out[2].norm_text == "x... y!!! z??? keep... !!! ??"
+    assert out[3].norm_text == "cde\nf\ng\th"
+    assert out[3].n_ctrl == 2 and out[3].changed
+    assert out[4].norm_text is None
+    # idempotence: a second pass changes nothing
+    once = etext.text_normalize(df).select(
+        "doc_id", F.col("norm_text").alias("text")
+    )
+    twice = {r.doc_id: r for r in etext.text_normalize(once).collect()}
+    for k in (1, 2, 3):
+        assert twice[k].norm_text == out[k].norm_text
+        assert not twice[k].changed

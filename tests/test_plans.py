@@ -1111,3 +1111,22 @@ def test_q20_one_pass_conditional_agg_semi_join(spark):
         if "Scan parquet" in ln and "lineitem" in ln
     ]
     assert len(scans) == 1, plan
+
+
+def test_text_normalize_zero_shuffle_projection(spark):
+    """text_normalize: seven regexp_replace + two regexp_count as a
+    pure codegen projection — no Exchange, no Python anywhere."""
+    df = entry_mod.queries()["text_normalize"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_k_anonymity_single_expand_agg(spark):
+    """k_anonymity: the multi-COUNT(DISTINCT) plans as one Expand over
+    the scan with partial aggregation — no joins, no windows."""
+    df = entry_mod.queries()["k_anonymity"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Expand" in plan, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
