@@ -8249,6 +8249,121 @@ ORDER BY level
 """
 
 
+def q_grouped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-k sample PER STRATUM (diagnose.grouped_sample):
+    5 docs per language by portable md5 hash rank, computed with the
+    salted two-phase top-k so no reducer ever sorts a whole language's
+    rows; membership is exactly the naive per-stratum rank's (the
+    oracle IS the naive rank) and independent of the salt count."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return diagnose.grouped_sample(
+        d, strata_col="lang", k=5, id_col="doc_id"
+    ).orderBy("lang", "doc_id")
+
+
+SQL_GROUPED_SAMPLE = r"""
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('g0:' || doc_id::VARCHAR) ASC, doc_id ASC
+         ) AS r
+  FROM documents
+) WHERE r <= 5
+ORDER BY lang, doc_id
+"""
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-cluster-aware train/val/test split (mix.leakage_safe_split):
+    MinHash pair graph → connected components → the portable hash of the
+    CLUSTER id decides the side, so a whole duplicate family moves
+    together and eval never scores a near-copy of a training doc.  The
+    DuckDB twin re-labels components with the recursive-CTE min-label
+    closure (independent algorithm) and re-derives the same bucket."""
+    dd = _doubled_docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(dd, num_perm=32, bands=16)
+    return (
+        mix.leakage_safe_split(dd.select("doc_id"), pairs)
+        .select("doc_id", "cluster_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+SQL_LEAKAGE_SPLIT = rf"""
+WITH RECURSIVE pairs AS ({SQL_MINHASH_LSH}),
+d AS ({_SQL_DOUBLED_DOCS}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(n, l) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.n WHERE r.l < e.v
+),
+cc AS (SELECT n AS doc_id, min(l) AS cluster_id FROM reach GROUP BY n),
+lab AS (
+  SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+  FROM d LEFT JOIN cc USING (doc_id)
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN b < 90 THEN 'train'
+            WHEN b < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, cluster_id,
+         ('0x' || substr(md5('leak0:' || cluster_id::VARCHAR), 1, 15))::BIGINT
+           % 100 AS b
+  FROM lab
+)
+ORDER BY doc_id
+"""
+
+
+def q_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host URL rollup (text.url_host_stats): one codegen
+    regexp_extract_all + explode, one partial-agg groupBy on host with
+    a two-stage distinct for n_docs.  Planted rows carry the URLs (the
+    synthetic corpus has none) including case-mixed hosts and repeated
+    mentions, so normalization and both counters are value-checked."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(
+        [
+            (
+                9100001,
+                "see https://Example.COM/a then https://example.com/b "
+                "plus http://sub.example.org",
+            ),
+            (9100002, "links: https://example.com and https://other.net/p?q=1"),
+            (9100003, "no links in this document at all"),
+        ],
+        "doc_id: long, text: string",
+    )
+    return etext.url_host_stats(d.unionByName(planted)).orderBy("host")
+
+
+SQL_URL_HOST_STATS = f"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    (9100001, 'see https://Example.COM/a then https://example.com/b plus http://sub.example.org'),
+    (9100002, 'links: https://example.com and https://other.net/p?q=1'),
+    (9100003, 'no links in this document at all')
+  ) v(doc_id, text)
+), h AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{etext.URL_HOST_RE}', 1))
+           AS host
+  FROM src
+)
+SELECT host, count(*)::BIGINT AS n_urls,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM h GROUP BY host ORDER BY host
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples
     # the first 50 keys.  Per the r4 verdict ask #6 the 37 keys whose
@@ -8367,6 +8482,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_funnel": q_window_funnel,
         "text_normalize": q_text_normalize,
         "k_anonymity": q_k_anonymity,
+        "grouped_sample": q_grouped_sample,
+        "leakage_safe_split": q_leakage_safe_split,
+        "url_host_stats": q_url_host_stats,
         "semantic_dedup": q_semantic_dedup,
         "value_trend": q_value_trend,
         "communities": q_communities,
@@ -8570,6 +8688,9 @@ def oracle_sql() -> dict[str, str]:
         "window_funnel": SQL_WINDOW_FUNNEL,
         "text_normalize": SQL_TEXT_NORMALIZE,
         "k_anonymity": SQL_K_ANONYMITY,
+        "grouped_sample": SQL_GROUPED_SAMPLE,
+        "leakage_safe_split": SQL_LEAKAGE_SPLIT,
+        "url_host_stats": SQL_URL_HOST_STATS,
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "value_trend": SQL_VALUE_TREND,
         "communities": SQL_COMMUNITIES,

@@ -1219,3 +1219,57 @@ def k_anonymity(
             (F.col("n_sensitive") >= F.lit(int(l))).alias("l_diverse"),
         )
     )
+
+
+def grouped_sample(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    id_col: str,
+    seed: str = "g0",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Deterministic exact-k sample PER STRATUM — the per-group twin of
+    :func:`uniform_sample` (carve k eval docs per language/source out
+    of a 10^12-row corpus, reproducibly).
+
+    The naive shape — ``row_number() OVER (PARTITION BY stratum ORDER
+    BY hash)`` ≤ k — serialises each stratum onto one reducer, which at
+    low stratum cardinality (languages, sources) means one task sorts a
+    whole language's share of the corpus.  This runs the distributed
+    two-phase form instead:
+
+      1. salt each row by ``xxhash64(id) mod n_salts`` and take the
+         local top-k by hash rank within every ``(stratum, salt)``
+         window — each window holds ~1/n_salts of its stratum, so no
+         reducer ever sees a whole stratum;
+      2. re-rank the surviving ≤ k·n_salts rows per stratum and keep
+         the global k.
+
+    Phase 1 is lossless for the final answer: every row among a
+    stratum's k hash-smallest has local rank ≤ its global rank ≤ k in
+    whatever salt bucket it landed in, so the phase-2 input is always a
+    superset of the true top-k.  The result is therefore EXACTLY the
+    naive per-stratum rank's membership — independent of ``n_salts``,
+    reruns, cluster size, and engine (the rank key is the portable
+    ``md5(seed:id)`` string both engines compare identically; ties
+    broken by id).  The salt itself uses the cheap JVM xxhash64 —
+    it never affects the result, only the partition shapes.
+    """
+    rk = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_salts))
+    w1 = Window.partitionBy(F.col(strata_col), F.col("_salt")).orderBy(
+        F.col("_rk").asc(), F.col(id_col).asc()
+    )
+    w2 = Window.partitionBy(F.col(strata_col)).orderBy(
+        F.col("_rk").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rk", rk)
+        .withColumn("_salt", salt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= k)
+        .drop("_rk", "_salt", "_r1", "_r2")
+    )

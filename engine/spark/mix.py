@@ -387,3 +387,61 @@ def export_manifest(path: str) -> dict:
     with open(_os.path.join(path, "_manifest.json"), "w") as f:
         _json.dump(manifest, f, indent=1, sort_keys=True)
     return manifest
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+    seed: str = "leak0",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Near-dup-cluster-aware train/val/test split: every document in
+    the same near-duplicate cluster lands on the same side.
+
+    A per-document hash split (``text.deterministic_split``) silently
+    leaks evaluation data — near-copies of a test doc end up in train,
+    and the eval score measures memorization of the duplicate, not
+    generalization (the Lee et al. 2022 dedup paper's core finding).
+    The fix is to make the SPLIT UNIT the near-dup cluster: label
+    components of the candidate-pair graph
+    (``dedup.connected_components``, singletons keep their own id) and
+    hash the CLUSTER id into split buckets, so a whole duplicate family
+    moves together.
+
+    Scale shape: the CC rounds are bounded star-contraction over the
+    pair graph only (docs with no dup candidate never enter it); the
+    cluster table is tiny relative to the corpus, so the label join
+    broadcasts under AQE; the split decision itself is a zero-shuffle
+    projection of the portable ``md5`` hash — reproducible across
+    reruns, cluster sizes, and engines (oracle-checked in DuckDB).
+    """
+    from engine.spark.dedup import dup_clusters
+
+    clusters = dup_clusters(
+        docs.select(F.col(id_col).alias("doc_id")), pairs,
+        max_rounds=max_rounds,
+    )
+    bucket = F.pmod(
+        portable_hash60(
+            F.concat(F.lit(seed + ":"), F.col("cluster_id").cast("string"))
+        ),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.join(
+            clusters.withColumnRenamed("doc_id", id_col), id_col, "left"
+        )
+        .select(
+            *docs.columns,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("split", split)
+    )

@@ -1573,3 +1573,40 @@ def bpe_encode(
         .groupBy("symbol")
         .agg(F.sum("freq").cast("long").alias("cnt"))
     )
+
+
+# URL host extraction: scheme + host captured in group 1.  The pattern
+# sticks to the Java-regex ∩ RE2 common subset (explicit char class, no
+# \s, no lookaround) and is shared verbatim with the DuckDB oracle;
+# text is lowercased first so the class — and the emitted host — are
+# case-normalized.
+URL_HOST_RE = r"https?://([a-z0-9.-]+)"
+
+
+def url_host_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-host URL rollup over a document corpus — the domain-level
+    view every web-corpus curation recipe starts from (C4's blocklist
+    filtering, RefinedWeb's per-domain quality gates, Dolma's domain
+    mixing all key on the registrable host).
+
+    Emits ``(host, n_urls, n_docs)``: total link mentions and distinct
+    documents mentioning the host.  Hosts come from one codegen'd
+    ``regexp_extract_all`` + ``posexplode`` — no UDF, no pre-tokenize —
+    so the only shuffle is the final partial-agg groupBy on ``host``;
+    ``n_docs`` plans as the two-stage distinct aggregate.  Hot hosts
+    (a crawl's top domain can carry 1%+ of all links) stay safe: counts
+    are mergeable partial aggs, never a per-host collect or window."""
+    hosts = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(URL_HOST_RE), 1
+            )
+        ).alias("host"),
+    )
+    return hosts.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("_doc").alias("n_docs"),
+    )

@@ -346,3 +346,32 @@ def test_export_manifest_counts_and_checksums(spark, tmp_path):
     assert [s["sha256"] for s in m3["shards"]] != [
         s["sha256"] for s in m1["shards"]
     ]
+
+
+def test_leakage_safe_split_moves_clusters_together(spark):
+    """Every candidate pair lands on the same split side; all docs keep
+    exactly one assignment; singletons split by their own id."""
+    from engine.spark import mix
+
+    docs = spark.range(200).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (50, 150), (150, 151)],
+        "doc_a: long, doc_b: long",
+    )
+    out = mix.leakage_safe_split(docs, pairs).cache()
+    try:
+        assert out.count() == 200
+        rows = {r["doc_id"]: (r["cluster_id"], r["split"]) for r in out.collect()}
+        # linked docs share cluster AND side
+        for a, b in [(1, 2), (2, 3), (10, 11), (50, 150), (150, 151)]:
+            assert rows[a] == rows[b]
+        # cluster id is the component minimum
+        assert rows[3][0] == 1 and rows[151][0] == 50
+        # singletons keep their own id
+        assert rows[99][0] == 99
+        # all three sides appear at 90/5/5 over 200 hash buckets (sanity,
+        # deterministic: the hash is fixed)
+        sides = {s for _, s in rows.values()}
+        assert sides == {"train", "val", "test"}
+    finally:
+        out.unpersist()

@@ -1130,3 +1130,55 @@ def test_k_anonymity_single_expand_agg(spark):
     assert "Expand" in plan, plan
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_grouped_sample_first_window_is_salted(spark):
+    """grouped_sample: the window that sees the FACT rows partitions by
+    (stratum, _salt) — never by stratum alone, which would serialise a
+    hot stratum onto one reducer.  The stratum-only window exists but
+    runs after the _r1 <= k filter, i.e. over <= k * n_salts rows per
+    stratum."""
+    from engine.spark import diagnose
+
+    d = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    df = diagnose.grouped_sample(d, "lang", 5, "doc_id")
+    plan = _plan(df)
+    r1 = [
+        ln for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "_r1" in ln
+    ]
+    assert r1 and "_salt" in r1[0] and "lang" in r1[0], plan
+    # Spark 4's rank-limit pushdown gives a map-side partial top-k
+    # before the salted exchange — each task pre-trims to k rows
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_url_host_stats_no_udf_single_scan(spark):
+    """url_host_stats: extraction is codegen regexp + generate — no
+    Python, one scan of the corpus."""
+    df = entry_mod.queries()["url_host_stats"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "EvalPython" not in plan, plan
+    scans = [
+        ln for ln in plan.splitlines()
+        if "Scan parquet" in ln and "documents" in ln
+    ]
+    assert len(scans) == 1, plan
+
+
+def test_leakage_safe_split_decision_is_projection(spark):
+    """leakage_safe_split: given precomputed pairs, the split decision
+    adds no exchange beyond the CC rounds and the one label join — the
+    bucket hash is a pure projection (no window, no extra aggregation
+    on the corpus side)."""
+    from engine.spark import mix
+
+    docs = spark.range(100).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame([(1, 2)], "doc_a: long, doc_b: long")
+    df = mix.leakage_safe_split(docs, pairs)
+    plan = _plan(df)
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -391,3 +391,47 @@ def test_cms_depth_five_no_ansi_overflow(spark):
         .collect()
     }
     assert len(est) == 50 and all(v >= 1 for v in est.values())
+
+
+def test_grouped_sample_exact_and_salt_invariant(spark):
+    """Two-phase salted per-stratum top-k returns EXACTLY the naive
+    per-stratum hash-rank membership, independent of n_salts — including
+    a hot stratum holding 90% of the rows."""
+    from pyspark.sql import Window
+
+    from engine.spark import diagnose
+
+    n = 5000
+    d = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 9, "hot").otherwise("cold").alias("lang"),
+    )
+    rk = F.md5(F.concat(F.lit("g0:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(rk.asc(), F.col("doc_id").asc())
+    naive = (
+        d.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= 7)
+        .select("doc_id", "lang")
+    )
+    expect = sorted(tuple(r) for r in naive.collect())
+    for n_salts in (1, 4, 32):
+        got = diagnose.grouped_sample(
+            d, strata_col="lang", k=7, id_col="doc_id", n_salts=n_salts
+        )
+        assert sorted(tuple(r) for r in got.collect()) == expect
+    # exact size: k per stratum when the stratum has >= k rows
+    counts = dict(
+        diagnose.grouped_sample(d, "lang", 7, "doc_id")
+        .groupBy("lang").count().collect()
+    )
+    assert counts == {"hot": 7, "cold": 7}
+
+
+def test_grouped_sample_small_stratum_keeps_all(spark):
+    from engine.spark import diagnose
+
+    d = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id: long, lang: string"
+    )
+    got = diagnose.grouped_sample(d, "lang", 5, "doc_id")
+    assert got.count() == 3
