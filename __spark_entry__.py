@@ -8321,6 +8321,24 @@ ORDER BY doc_id
 """
 
 
+def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected components (dedup.incremental_clusters):
+    the MinHash pair graph is split deterministically into an 'old'
+    half (standing cluster table built from it) and a 'new' batch
+    (merged in by label contraction — CC runs only on the contracted
+    batch-sized graph, the corpus label table is touched by ONE
+    equi-join).  The oracle is the from-scratch recursive-CTE closure
+    over the FULL pair graph: the row-for-row match IS the
+    incremental == from-scratch invariance."""
+    dd = _doubled_docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(dd, num_perm=32, bands=16)
+    parity = F.pmod(F.col("doc_a") + F.col("doc_b"), F.lit(2))
+    clusters_old = dedup.dup_clusters(dd, pairs.filter(parity == 0))
+    return dedup.incremental_clusters(
+        dd.select("doc_id"), clusters_old, pairs.filter(parity == 1)
+    ).orderBy("doc_id")
+
+
 def q_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host URL rollup (text.url_host_stats): one codegen
     regexp_extract_all + explode, one partial-agg groupBy on host with
@@ -8485,6 +8503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_sample": q_grouped_sample,
         "leakage_safe_split": q_leakage_safe_split,
         "url_host_stats": q_url_host_stats,
+        "incremental_clusters": q_incremental_clusters,
         "semantic_dedup": q_semantic_dedup,
         "value_trend": q_value_trend,
         "communities": q_communities,
@@ -8691,6 +8710,8 @@ def oracle_sql() -> dict[str, str]:
         "grouped_sample": SQL_GROUPED_SAMPLE,
         "leakage_safe_split": SQL_LEAKAGE_SPLIT,
         "url_host_stats": SQL_URL_HOST_STATS,
+        # shares the from-scratch closure: the match IS the invariance
+        "incremental_clusters": SQL_DUP_CLUSTERS,
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "value_trend": SQL_VALUE_TREND,
         "communities": SQL_COMMUNITIES,

@@ -464,6 +464,11 @@ RELATIONAL = [
     "q12_priority_lateness",
     "q16_supplier_variety",
     "q20_excess_share",
+    # round-5 session-6 additions
+    "grouped_sample",
+    "leakage_safe_split",
+    "url_host_stats",
+    "incremental_clusters",
 ]
 
 
@@ -516,6 +521,9 @@ def main(argv=None) -> int:
                 "substring_search",
                 "bpe_train",
                 "mad_flags",
+                # both run CC's localCheckpoint rounds at construction
+                "leakage_safe_split",
+                "incremental_clusters",
             }
             for name in RELATIONAL:
                 if name in construct_heavy:

@@ -1231,3 +1231,77 @@ def sorted_neighborhood_pairs(
         .filter(q * F.col("shared") >= p * F.col("union_sz"))
         .select("doc_a", "doc_b", "rank_gap", "shared", "union_sz")
     )
+
+
+def incremental_clusters(
+    docs: DataFrame,
+    clusters_old: DataFrame,
+    new_pairs: DataFrame,
+    max_rounds: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Merge a new batch of candidate pairs into a PERSISTED cluster
+    table without recomputing components from scratch — the production
+    companion to :func:`minhash_incremental_pairs`: daily ingest
+    produces new×new and new×corpus pairs, and the standing dup-cluster
+    assignment must absorb them.
+
+    Mechanism (label contraction): each new pair's endpoints map to
+    their current labels (one equi-join per side against
+    ``clusters_old``; unseen docs label as themselves), connected
+    components then run over the CONTRACTED graph — whose node set is
+    bounded by the labels the new pairs touch, i.e. the new batch's
+    scale, never the corpus's — and the resulting relabel table joins
+    back onto the union of old labels and new docs.
+
+    Labels stay canonical (component-minimum doc_id) by induction: old
+    labels are their components' minima, new docs enter as their own
+    ids, and the contracted CC takes the minimum over exactly the
+    merged set — so the output is IDENTICAL to a from-scratch
+    ``dup_clusters`` over the full pair history (the oracle pins this
+    invariance).  Cost at 10^12 docs: two broadcast-sized equi-joins on
+    the new pairs, CC rounds on a batch-sized graph, and ONE equi-join
+    of the corpus-sized label table against the tiny relabel table —
+    the history of pairs is never re-read and the corpus never enters
+    the CC rounds.
+    """
+    lab_a = (
+        new_pairs.join(
+            clusters_old.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "cluster_id", "_ca"
+            ),
+            "doc_a",
+            "left",
+        )
+    )
+    edges = (
+        lab_a.join(
+            clusters_old.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "cluster_id", "_cb"
+            ),
+            "doc_b",
+            "left",
+        )
+        .select(
+            F.coalesce("_ca", "doc_a").alias("doc_a"),
+            F.coalesce("_cb", "doc_b").alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    )
+    relabel = connected_components(
+        edges, max_rounds=max_rounds, checkpoint_dir=checkpoint_dir
+    ).withColumnRenamed("doc_id", "_lab")
+    base = (
+        docs.select("doc_id")
+        .join(clusters_old.withColumnRenamed("cluster_id", "_old"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("_old", F.col("doc_id")).alias("_lab")
+        )
+    )
+    return (
+        base.join(relabel, "_lab", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("_lab")).alias("cluster_id"),
+        )
+    )

@@ -198,3 +198,58 @@ def test_minhash_est_tracks_true_jaccard(spark):
     assert abs(est - true_j) < 4 * sigma, (est, true_j, sigma)
     # and in particular NOT the degenerate 0/1 collapse
     assert 0.05 < est < 0.95
+
+
+def test_incremental_clusters_equals_from_scratch(spark):
+    """Label-contraction incremental CC == from-scratch CC over the full
+    pair history, for every old/new split of a composite graph —
+    including splits where a new edge bridges two old components and
+    where new docs appear only in the new batch."""
+    edges = [(a, b) for a, b in _composite_edges() if a != b]
+    df = spark.createDataFrame(edges, "doc_a: long, doc_b: long")
+    nodes = sorted({n for e in edges for n in e})
+    docs = spark.createDataFrame([(n,) for n in nodes], "doc_id: long")
+    want = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dup_clusters(docs, df).collect()
+    }
+    rng = random.Random(13)
+    for _ in range(3):
+        flags = [rng.random() < 0.5 for _ in edges]
+        old = spark.createDataFrame(
+            [e for e, f in zip(edges, flags) if f] or [(-1, -1)],
+            "doc_a: long, doc_b: long",
+        )
+        new = spark.createDataFrame(
+            [e for e, f in zip(edges, flags) if not f] or [(-1, -1)],
+            "doc_a: long, doc_b: long",
+        )
+        clusters_old = dedup.dup_clusters(docs, old)
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.incremental_clusters(docs, clusters_old, new).collect()
+        }
+        assert got == want
+
+
+def test_incremental_clusters_new_docs_without_old_labels(spark):
+    """Docs first seen in the new batch (absent from clusters_old) label
+    correctly: they contract as themselves and can pull an OLD component
+    onto a smaller new id."""
+    old_docs = spark.createDataFrame([(10,), (11,), (20,)], "doc_id: long")
+    clusters_old = dedup.dup_clusters(
+        old_docs, spark.createDataFrame([(10, 11)], "doc_a: long, doc_b: long")
+    )
+    all_docs = spark.createDataFrame(
+        [(5,), (10,), (11,), (20,), (30,)], "doc_id: long"
+    )
+    new_pairs = spark.createDataFrame(
+        [(5, 11), (30, 20)], "doc_a: long, doc_b: long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.incremental_clusters(
+            all_docs, clusters_old, new_pairs
+        ).collect()
+    }
+    assert got == {5: 5, 10: 5, 11: 5, 20: 20, 30: 20}
