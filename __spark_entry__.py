@@ -8339,6 +8339,50 @@ def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_stream_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained near-dup clusters
+    (streaming.stream_dup_clusters): corpus = the original docs
+    (bands + components seeded once), the exact twins arrive split
+    across TWO micro-batches; each batch's pairs merge into the
+    standing cluster store by label contraction.  The serving read —
+    all docs left-joined against the latest store snapshot — must equal
+    the from-scratch closure over the FULL pair graph, so this shares
+    SQL_DUP_CLUSTERS verbatim (split-invariance + incremental ==
+    from-scratch, in one row-for-row match)."""
+    import shutil
+
+    from engine.spark import streaming
+
+    dd = _doubled_docs(spark, sf_dir)
+    corpus = dd.filter(F.col("doc_id") < 1000000)
+    twins = dd.filter(F.col("doc_id") >= 1000000)
+    src = tempfile.mkdtemp(prefix="sdc_src_")
+    # one file per write => maxFilesPerTrigger=1 makes them two batches
+    twins.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    twins.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    ckpt = tempfile.mkdtemp(prefix="sdc_ckpt_")
+    bstore = tempfile.mkdtemp(prefix="sdc_bands_")
+    cstore = tempfile.mkdtemp(prefix="sdc_clusters_")
+    shutil.rmtree(bstore)
+    shutil.rmtree(cstore)
+    streaming.stream_dup_clusters(
+        spark, src, corpus, ckpt, bstore, cstore, num_perm=32, bands=16
+    )
+    store = streaming.read_cluster_store(spark, cstore)
+    return (
+        dd.select("doc_id")
+        .join(store, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host URL rollup (text.url_host_stats): one codegen
     regexp_extract_all + explode, one partial-agg groupBy on host with
@@ -8504,6 +8548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "url_host_stats": q_url_host_stats,
         "incremental_clusters": q_incremental_clusters,
+        "stream_dup_clusters": q_stream_dup_clusters,
         "semantic_dedup": q_semantic_dedup,
         "value_trend": q_value_trend,
         "communities": q_communities,
@@ -8712,6 +8757,7 @@ def oracle_sql() -> dict[str, str]:
         "url_host_stats": SQL_URL_HOST_STATS,
         # shares the from-scratch closure: the match IS the invariance
         "incremental_clusters": SQL_DUP_CLUSTERS,
+        "stream_dup_clusters": SQL_DUP_CLUSTERS,
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "value_trend": SQL_VALUE_TREND,
         "communities": SQL_COMMUNITIES,

@@ -1150,3 +1150,143 @@ def read_agg_store(spark: SparkSession, agg_store: str, key_cols: list):
         F.min("min_value").alias("min_value"),
         F.max("max_value").alias("max_value"),
     )
+
+
+# ------------------------------------------- streaming cluster maintenance
+
+
+def _overwrite_version(df: DataFrame, path: str, version: int) -> None:
+    """Versioned snapshot write for the streaming cluster store: each
+    snapshot lands in its own ``version=<n>/`` partition via dynamic
+    overwrite, so an at-least-once retry replaces exactly its own
+    snapshot (same idempotence contract as ``_overwrite_batch_partition``)."""
+    (
+        df.withColumn("version", F.lit(version).cast("long"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("version")
+        .parquet(path)
+    )
+
+
+def read_cluster_store(spark: SparkSession, cluster_store: str) -> DataFrame:
+    """Serving read of the streaming cluster store: the latest
+    snapshot's ``(doc_id, cluster_id)`` rows.  The store holds only
+    docs with at least one candidate pair (dup-graph-sized, far below
+    corpus scale), so the single-row max(version) agg + broadcast
+    filter is a metadata-scale operation; corpus-wide labels
+    materialize only when the caller left-joins docs against this
+    (singletons keep their own id)."""
+    allv = spark.read.parquet(cluster_store)
+    latest = allv.agg(F.max("version").alias("version"))
+    return allv.join(F.broadcast(latest), "version").select(
+        "doc_id", "cluster_id"
+    )
+
+
+def stream_dup_clusters(
+    spark: SparkSession,
+    docs_path: str,
+    corpus_docs,
+    checkpoint_dir: str,
+    band_store: str,
+    cluster_store: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> None:
+    """Continuously-maintained near-dup clusters over a document stream
+    — the streaming twin of ``dedup.incremental_clusters`` and the
+    full production loop for continuous-ingest dedup:
+
+      1. seed once: the corpus's LSH band table persists to
+         ``band_store`` and the corpus-only components to
+         ``cluster_store`` (version = −1);
+      2. each micro-batch is banded, probed against the accumulated
+         store for candidate pairs (new×new + new×history — the store
+         is only ever streamed, never shuffled), and the pairs merge
+         into the standing cluster table by LABEL CONTRACTION: CC runs
+         only on the contracted batch-sized graph, then one
+         graph-sized equi-join relabels the store;
+      3. the updated store lands as snapshot ``version = batch_id``
+         and the batch's bands append under its own partition.
+
+    A run split across any number of micro-batches converges to the
+    same clusters as one from-scratch computation over the full pair
+    history (labels stay component minima by induction — see
+    ``incremental_clusters``), which is why the contract query shares
+    the from-scratch recursive-CTE oracle.
+
+    Retry idempotence: both sinks are partition-overwrite keyed by
+    batch_id, and re-merging an already-merged pair set is a fixpoint
+    (its edges contract to self-loops and drop), so an at-least-once
+    redelivery rewrites identical snapshots.  The updated snapshot is
+    persisted and materialized BEFORE overwriting — a retried batch
+    reads its own prior snapshot as the latest version; a table-format
+    sink would express steps 2-3 as one MERGE.  Snapshots accumulate
+    one dup-graph-sized version per batch; production expires all but
+    the last K (the serving read only ever touches max(version))."""
+    from engine.spark import dedup
+
+    (
+        dedup.band_table(corpus_docs, num_perm, bands, n)
+        .withColumn("origin", F.lit("corpus"))
+        .withColumn("ingest_batch", F.lit(-1).cast("long"))
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(band_store)
+    )
+    seed_pairs = dedup.minhash_lsh_pairs(corpus_docs, num_perm, bands, n)
+    _overwrite_version(
+        dedup.connected_components(seed_pairs.select("doc_a", "doc_b")),
+        cluster_store,
+        -1,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def _merge(batch_df, batch_id):
+        ss = batch_df.sparkSession
+        b_new = dedup.band_table(batch_df, num_perm, bands, n).persist()
+        try:
+            b_old = ss.read.parquet(band_store)
+            pairs = dedup.incremental_pairs_from_bands(
+                b_new, b_old, num_perm
+            ).select("doc_a", "doc_b")
+            old = read_cluster_store(ss, cluster_store)
+            nodes = (
+                old.select("doc_id")
+                .unionByName(pairs.select(F.col("doc_a").alias("doc_id")))
+                .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+                .distinct()
+            )
+            updated = dedup.incremental_clusters(nodes, old, pairs).persist()
+            updated.count()  # materialize before overwriting the source
+            _overwrite_version(updated, cluster_store, batch_id)
+            updated.unpersist()
+            _overwrite_batch_partition(
+                b_new.withColumn("origin", F.lit("stream")),
+                band_store,
+                batch_id,
+            )
+        finally:
+            b_new.unpersist()
+
+    src = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(docs_path)
+    )
+    q = (
+        src.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

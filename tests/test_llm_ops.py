@@ -1044,3 +1044,82 @@ def test_text_normalize_idempotent_and_exact(spark):
     for k in (1, 2, 3):
         assert twice[k].norm_text == out[k].norm_text
         assert not twice[k].changed
+
+
+def test_stream_dup_clusters_split_invariant_and_retry_idempotent(
+    spark, tmp_path
+):
+    """The streaming cluster store's serving read equals the
+    from-scratch components over the full pair history no matter how
+    the ingest was micro-batched, and re-merging an already-merged pair
+    set (at-least-once foreachBatch retry) is a fixpoint: the rewritten
+    snapshot is byte-identical."""
+    import shutil
+
+    from engine.spark import dedup, streaming
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc {i} alpha beta gamma delta {i}") for i in range(10)],
+        "doc_id: long, text: string",
+    )
+    t3 = "corpus doc 3 alpha beta gamma delta 3"
+    newdocs = [
+        (100, "fresh text one two three four five six seven"),
+        (101, "fresh text one two three four five six eight"),
+        (102, t3 + " extra"),
+    ]
+    # 100 and 101 pair ONLY across batches (through the band store)
+    b1 = spark.createDataFrame(newdocs[:1], "doc_id: long, text: string")
+    b2 = spark.createDataFrame(newdocs[1:], "doc_id: long, text: string")
+    src = str(tmp_path / "src")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    bstore = str(tmp_path / "bands")
+    cstore = str(tmp_path / "clusters")
+    streaming.stream_dup_clusters(
+        spark, src, corpus, str(tmp_path / "ckpt"), bstore, cstore,
+        num_perm=32, bands=16,
+    )
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in streaming.read_cluster_store(spark, cstore).collect()
+    }
+    everything = corpus.unionByName(
+        spark.createDataFrame(newdocs, "doc_id: long, text: string")
+    )
+    scratch_pairs = dedup.minhash_lsh_pairs(everything, num_perm=32, bands=16)
+    scratch = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.connected_components(
+            scratch_pairs.select("doc_a", "doc_b")
+        ).collect()
+    }
+    assert got == scratch
+    # the cross-batch pair must actually be in the graph
+    labels = dict(got)
+    assert 100 in labels and labels[100] == labels[101]
+    assert labels[102] == labels[3]
+
+    # simulate an at-least-once retry of the LAST batch: re-derive its
+    # pairs against the full band store (which already includes its own
+    # bands) and re-merge into the store's latest snapshot
+    b_new = dedup.band_table(b2, num_perm=32, bands=16)
+    b_old = spark.read.parquet(bstore)
+    pairs = dedup.incremental_pairs_from_bands(b_new, b_old, 32).select(
+        "doc_a", "doc_b"
+    )
+    old = streaming.read_cluster_store(spark, cstore)
+    from pyspark.sql import functions as SF
+
+    nodes = (
+        old.select("doc_id")
+        .unionByName(pairs.select(SF.col("doc_a").alias("doc_id")))
+        .unionByName(pairs.select(SF.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    updated = dedup.incremental_clusters(nodes, old, pairs)
+    redone = {
+        (r["doc_id"], r["cluster_id"]) for r in updated.collect()
+    }
+    assert redone == got
