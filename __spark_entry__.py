@@ -3926,6 +3926,82 @@ FROM sc GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (similarity.bitext_margin_pairs — the
+    Artetxe & Schwenk ratio-margin criterion, LASER/CCMatrix).  Sides
+    are the even/odd vec_id halves of the embedding table (< 200), a
+    deterministic stand-in for two monolingual corpora.  Two parallel
+    pairs are PLANTED by cloning a vector across sides (src 9400000 =
+    v(1) pairs with tgt 1; tgt 9400001 = v(0) pairs with src 0), so
+    the contract row verifies both the forward-best selection and the
+    mutual (backward-best intersection) flag on known ground truth —
+    with k=4 neighborhoods the clones score margin ≈ 2 while natural
+    best pairs in this isotropic synthetic corpus sit near 1."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = e.filter(F.col("vec_id") < 200)
+    plant_src = e.filter(F.col("vec_id") == 1).select(
+        F.lit(9400000).cast("long").alias("vec_id"), "embedding"
+    )
+    plant_tgt = e.filter(F.col("vec_id") == 0).select(
+        F.lit(9400001).cast("long").alias("vec_id"), "embedding"
+    )
+    src = base.filter(F.col("vec_id") % 2 == 0).unionByName(plant_src)
+    tgt = base.filter(F.col("vec_id") % 2 == 1).unionByName(plant_tgt)
+    return similarity.bitext_margin_pairs(
+        src, tgt, k=4, margin_threshold=1.2
+    ).orderBy("src_id")
+
+
+SQL_BITEXT_PAIRS = """
+WITH raw AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200
+), src AS (
+  SELECT vec_id AS src_id, v AS sv FROM raw WHERE vec_id % 2 = 0
+  UNION ALL
+  SELECT 9400000::BIGINT, embedding::DOUBLE[] FROM embeddings WHERE vec_id = 1
+), tgt AS (
+  SELECT vec_id AS tgt_id, v AS tv FROM raw WHERE vec_id % 2 = 1
+  UNION ALL
+  SELECT 9400001::BIGINT, embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0
+), scored AS (
+  SELECT src_id, tgt_id,
+         CAST(round(round(list_inner_product(sv, tv) /
+                (sqrt(list_inner_product(sv, sv)) *
+                 sqrt(list_inner_product(tv, tv))), 6) * 1e6, 0) AS BIGINT)
+           AS ci
+  FROM src CROSS JOIN tgt
+), ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY src_id ORDER BY ci DESC, tgt_id) AS rf,
+    row_number() OVER (PARTITION BY tgt_id ORDER BY ci DESC, src_id) AS rb
+  FROM scored
+), fwd AS (
+  SELECT src_id, CAST(sum(ci) AS BIGINT) AS fwd_sum
+  FROM ranked WHERE rf <= 4 GROUP BY src_id
+), bwd AS (
+  SELECT tgt_id, CAST(sum(ci) AS BIGINT) AS bwd_sum
+  FROM ranked WHERE rb <= 4 GROUP BY tgt_id
+), margins AS (
+  SELECT s.src_id, s.tgt_id,
+         s.ci / 1000000.0 AS cosine_sim,
+         round(CAST(s.ci * 8 AS DOUBLE)
+               / CAST(f.fwd_sum + b.bwd_sum AS DOUBLE), 6) AS margin
+  FROM scored s
+  JOIN fwd f USING (src_id)
+  JOIN bwd b USING (tgt_id)
+), best AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id)
+      AS bf,
+    row_number() OVER (PARTITION BY tgt_id ORDER BY margin DESC, src_id)
+      AS bb
+  FROM margins
+)
+SELECT src_id, tgt_id, cosine_sim, margin, (bb = 1) AS mutual
+FROM best WHERE bf = 1 AND margin > 1.2 ORDER BY src_id
+"""
+
+
 _SUBSTR_FIXTURES = [
     (
         9200001,
@@ -8601,6 +8677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_jaccard": q_prefix_jaccard,
         "ivf_quantized": q_ivf_quantized,
         "ngram_lm_score": q_ngram_lm_score,
+        "bitext_pairs": q_bitext_pairs,
         # -- green in CORRECTNESS_r04 (rotate forward when stale)
         "dup_clusters": q_dup_clusters,
         "dedup_canonical": q_dedup_canonical,
@@ -8810,6 +8887,7 @@ def oracle_sql() -> dict[str, str]:
         "prefix_jaccard": SQL_PREFIX_JACCARD,
         "ivf_quantized": SQL_IVF_QUANTIZED,
         "ngram_lm_score": SQL_NGRAM_LM_SCORE,
+        "bitext_pairs": SQL_BITEXT_PAIRS,
         # -- green in CORRECTNESS_r04 (rotate forward when stale)
         "dup_clusters": SQL_DUP_CLUSTERS,
         "dedup_canonical": SQL_DEDUP_CANONICAL,

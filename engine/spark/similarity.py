@@ -853,3 +853,129 @@ def centroid_classify(
         .groupBy("true_label", "pred_label")
         .agg(F.count("*").alias("n"))
     )
+
+
+def bitext_margin_pairs(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    margin_threshold: float = 1.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    LASER/CCMatrix recipe): align sentences across two monolingual
+    embedding sides by the RATIO margin
+
+        margin(x, y) = cos(x, y) /
+                       ((avg_{z in NNk(x,T)} cos(x, z) +
+                         avg_{z in NNk(y,S)} cos(y, z)) / 2)
+
+    — raw cosine is not comparable across hubness regimes, so each
+    pair's score is normalized by the mean similarity of both
+    endpoints' k-nearest neighborhoods.  Emits each source vector's
+    forward-best target with its margin, keeping pairs above
+    ``margin_threshold``; ``mutual`` marks pairs that are ALSO their
+    target's backward-best (the strictest CCMatrix intersection rule).
+
+    Cross-engine determinism discipline (same as grouped_regression /
+    preference_pairs): cosines are rounded to 6 places then encoded as
+    exact BIGINT micro-units, neighborhood sums are integer-exact (no
+    order-dependent float accumulation), and the margin is ONE
+    correctly-rounded IEEE division  ci·2k / (fwd_sum + bwd_sum)
+    rounded to 6 places — both engines reproduce every byte.  Ranking
+    ties break on neighbor id.
+
+    Scale shape: the default scores src × broadcast(tgt) — the exact
+    baseline for the oracle (reference cites: the reference has no
+    cross-lingual stage; this is a training-data-pipeline extension).
+    At 10⁹+ sentences per side pass ``candidates`` = an ANN shortlist
+    (ivf_quantized_topk / lsh_ann over BOTH directions, union) with
+    columns (src_id, tgt_id): the margin arithmetic then touches only
+    the shortlist, neighborhood sums degrade gracefully to top-k
+    WITHIN the shortlist (the published mining systems do exactly
+    this — margins are computed over the FAISS shortlist, not the
+    true k-NN).  Requires ≥ k rows per side so both neighborhood
+    averages divide by the same k.
+
+    Columns: (src_id, tgt_id, cosine_sim, margin, mutual).
+    """
+    s = src.select(
+        F.col(id_col).alias("src_id"), _as_double(F.col(vec_col)).alias("sv")
+    )
+    t = tgt.select(
+        F.col(id_col).alias("tgt_id"), _as_double(F.col(vec_col)).alias("tv")
+    )
+    if candidates is None:
+        pairs = s.join(F.broadcast(t))
+    else:
+        pairs = (
+            candidates.select("src_id", "tgt_id")
+            .join(s, "src_id")
+            .join(F.broadcast(t), "tgt_id")
+        )
+    # exact micro-unit encoding of the 6-dp cosine
+    scored = pairs.select(
+        "src_id",
+        "tgt_id",
+        F.round(F.round(cosine(F.col("sv"), F.col("tv")), 6) * 1e6, 0)
+        .cast("long")
+        .alias("ci"),
+    )
+    w_fwd = Window.partitionBy("src_id").orderBy(
+        F.col("ci").desc(), F.col("tgt_id")
+    )
+    w_bwd = Window.partitionBy("tgt_id").orderBy(
+        F.col("ci").desc(), F.col("src_id")
+    )
+    ranked = scored.select(
+        "*",
+        F.row_number().over(w_fwd).alias("rf"),
+        F.row_number().over(w_bwd).alias("rb"),
+    )
+    fwd = (
+        ranked.where(F.col("rf") <= k)
+        .groupBy("src_id")
+        .agg(F.sum("ci").alias("fwd_sum"))
+    )
+    bwd = (
+        ranked.where(F.col("rb") <= k)
+        .groupBy("tgt_id")
+        .agg(F.sum("ci").alias("bwd_sum"))
+    )
+    margins = (
+        scored.join(fwd, "src_id")
+        .join(bwd, "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            (F.col("ci") / F.lit(1e6)).alias("cosine_sim"),
+            F.round(
+                (F.col("ci") * F.lit(2 * k))
+                / (F.col("fwd_sum") + F.col("bwd_sum")),
+                6,
+            ).alias("margin"),
+        )
+    )
+    w_best_f = Window.partitionBy("src_id").orderBy(
+        F.col("margin").desc(), F.col("tgt_id")
+    )
+    w_best_b = Window.partitionBy("tgt_id").orderBy(
+        F.col("margin").desc(), F.col("src_id")
+    )
+    best = margins.select(
+        "*",
+        F.row_number().over(w_best_f).alias("bf"),
+        F.row_number().over(w_best_b).alias("bb"),
+    )
+    return (
+        best.where((F.col("bf") == 1) & (F.col("margin") > margin_threshold))
+        .select(
+            "src_id",
+            "tgt_id",
+            "cosine_sim",
+            "margin",
+            (F.col("bb") == 1).alias("mutual"),
+        )
+    )

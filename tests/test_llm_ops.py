@@ -1123,3 +1123,49 @@ def test_stream_dup_clusters_split_invariant_and_retry_idempotent(
         (r["doc_id"], r["cluster_id"]) for r in updated.collect()
     }
     assert redone == got
+
+
+def test_bitext_margin_mines_planted_parallel_pair(spark):
+    """Hand-built two-sided corpus: src 10 is an exact clone of tgt 20
+    (the planted parallel pair) while the rest are axis-aligned noise.
+    The clone pair must surface with the top margin and mutual=True;
+    a src vector whose best target is only weakly better than its
+    neighborhood must fall below the margin threshold."""
+    from engine.spark import similarity
+
+    src = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0, 0.0]),   # clone of tgt 20
+            (12, [0.5, 0.5, 0.5, 0.5]),   # equidistant from everything
+        ],
+        "vec_id: long, embedding: array<double>",
+    )
+    tgt = spark.createDataFrame(
+        [
+            (20, [1.0, 0.0, 0.0, 0.0]),   # clone of src 10
+            (21, [0.0, 1.0, 0.0, 0.0]),
+            (22, [0.0, 0.0, 1.0, 0.0]),
+            (23, [0.0, 0.0, 0.0, 1.0]),
+        ],
+        "vec_id: long, embedding: array<double>",
+    )
+    out = similarity.bitext_margin_pairs(
+        src, tgt, k=2, margin_threshold=1.2
+    ).collect()
+    rows = {r["src_id"]: r for r in out}
+    assert set(rows) == {10, 12}
+    # clone pair: margin = 1.0*2k / (fwd 1.0+0.0 + bwd 1.0+0.5) = 1.6
+    assert rows[10]["tgt_id"] == 20 and rows[10]["mutual"] is True
+    assert rows[10]["cosine_sim"] == 1.0
+    assert abs(rows[10]["margin"] - 1.6) < 1e-9
+    # src 12 (cos 0.5 with every target): its best-margin target is 21
+    # (weak-hub endpoint: bwd 0.5+0.0) -> 0.5*4/(1.0+0.5) = 4/3, the
+    # hubness-correction behavior the ratio margin is FOR; tie over
+    # {21,22,23} breaks to the smallest tgt_id
+    assert rows[12]["tgt_id"] == 21
+    assert abs(rows[12]["margin"] - 1.333333) < 1e-9
+    # the strict threshold keeps only the true parallel pair
+    strict = similarity.bitext_margin_pairs(
+        src, tgt, k=2, margin_threshold=1.5
+    ).collect()
+    assert [(r["src_id"], r["tgt_id"]) for r in strict] == [(10, 20)]
