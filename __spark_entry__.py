@@ -32,6 +32,7 @@ from engine.spark import (
     multimodal,
     pipeline,
     similarity,
+    zorder,
 )
 from engine.spark import text as etext
 
@@ -4855,6 +4856,121 @@ GROUP BY t.query_id ORDER BY t.query_id
 """
 
 
+def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-aware retrieval evaluation (similarity.retrieval_metrics):
+    per-query NDCG@5 / MRR / recall@5 of the LSH ANN against
+    brute-force ground truth.  Complements ann_recall (rank-blind): an
+    ANN that finds the right neighbors in the wrong order scores the
+    same recall but lower NDCG.  Gain and reciprocal-rank tables are
+    Python-precomputed integer micro-units inlined as literals on BOTH
+    engines — no libm log2 in either plan."""
+    e = _t(spark, sf_dir, "embeddings")
+    truth = similarity.brute_force_topk(e, n_queries=8, k=5)
+    system = similarity.lsh_ann_topk(
+        e, dim=64, n_queries=8, k=5, n_planes=4
+    )
+    return similarity.retrieval_metrics(truth, system, k=5).orderBy(
+        "query_id"
+    )
+
+
+_NDCG_W = similarity.dcg_weight_micros(5)
+_NDCG_PREFIX = [0]
+for _w in _NDCG_W:
+    _NDCG_PREFIX.append(_NDCG_PREFIX[-1] + _w)
+_NDCG_RR = similarity.rr_micros(5)
+
+# Composes the two ANN oracles verbatim (as SQL_ANN_RECALL does), then
+# scores the system ranking with the SAME precomputed integer gain /
+# reciprocal-rank literals the Spark plan inlines.
+SQL_RETRIEVAL_NDCG = f"""
+WITH truth AS ({SQL_EMBEDDING_TOPK}), sys AS ({SQL_LSH_ANN}),
+j AS (
+  SELECT s.query_id, s.rank,
+         CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM sys s LEFT JOIN truth t
+    ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id
+  WHERE s.rank <= 5
+),
+per_sys AS (
+  SELECT query_id,
+         CAST(sum(CASE WHEN rel = 1 THEN ({_NDCG_W})[rank] ELSE 0 END)
+              AS BIGINT) AS dcg_micro,
+         min(CASE WHEN rel = 1 THEN rank END) AS first_hit,
+         CAST(sum(rel) AS BIGINT) AS n_hit
+  FROM j GROUP BY query_id
+),
+nt AS (
+  SELECT query_id, count(*) AS n_true FROM truth GROUP BY query_id
+)
+SELECT nt.query_id, nt.n_true,
+       CAST(COALESCE(p.n_hit, 0) AS BIGINT) AS n_hit,
+       round(CAST(COALESCE(p.n_hit, 0) AS DOUBLE) / nt.n_true, 6)
+         AS recall,
+       round(CAST(COALESCE(p.dcg_micro, 0) AS DOUBLE)
+             / (({_NDCG_PREFIX})[LEAST(nt.n_true, 5) + 1]), 6) AS ndcg,
+       round(CAST(CASE WHEN p.first_hit IS NOT NULL
+                       THEN ({_NDCG_RR})[p.first_hit] ELSE 0 END
+                  AS DOUBLE) / 1e6, 6) AS mrr
+FROM nt LEFT JOIN per_sys p USING (query_id) ORDER BY query_id
+"""
+
+
+def q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over two dimensions
+    (zorder.zorder_key) — the Delta/Iceberg OPTIMIZE ZORDER BY idea as
+    pure codegen bit arithmetic: micro-unit encode, exact-integer
+    min-max bucket to 16 bits, shift-or-mask interleave.  The layout
+    payoff (2-D box predicates pruning most parquet files via footer
+    min/max) is asserted from real footers in tests/test_zorder.py;
+    this contract row pins the key arithmetic bit-for-bit."""
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return (
+        zorder.zorder_key(e, "value", "user_id")
+        .select("event_id", "zkey")
+        .orderBy("event_id")
+    )
+
+
+SQL_ZORDER_CLUSTER = """
+WITH enc AS (
+  SELECT event_id,
+         CAST(round(CAST(value AS DOUBLE) * 1e6, 0) AS BIGINT) AS xv,
+         CAST(round(CAST(user_id AS DOUBLE) * 1e6, 0) AS BIGINT) AS yv
+  FROM events
+), mm AS (
+  SELECT min(xv) AS minx, max(xv) AS maxx,
+         min(yv) AS miny, max(yv) AS maxy FROM enc
+), b AS (
+  SELECT event_id,
+         CAST(((xv - minx) * 65535
+               - ((xv - minx) * 65535)
+                 % (CASE WHEN maxx = minx THEN 1 ELSE maxx - minx END))
+              / (CASE WHEN maxx = minx THEN 1 ELSE maxx - minx END)
+              AS BIGINT) AS bx,
+         CAST(((yv - miny) * 65535
+               - ((yv - miny) * 65535)
+                 % (CASE WHEN maxy = miny THEN 1 ELSE maxy - miny END))
+              / (CASE WHEN maxy = miny THEN 1 ELSE maxy - miny END)
+              AS BIGINT) AS yb
+  FROM enc CROSS JOIN mm
+), s1 AS (
+  SELECT event_id, ((bx | (bx << 8)) & 16711935) AS bx,
+         ((yb | (yb << 8)) & 16711935) AS yb FROM b
+), s2 AS (
+  SELECT event_id, ((bx | (bx << 4)) & 252645135) AS bx,
+         ((yb | (yb << 4)) & 252645135) AS yb FROM s1
+), s3 AS (
+  SELECT event_id, ((bx | (bx << 2)) & 858993459) AS bx,
+         ((yb | (yb << 2)) & 858993459) AS yb FROM s2
+), s4 AS (
+  SELECT event_id, ((bx | (bx << 1)) & 1431655765) AS bx,
+         ((yb | (yb << 1)) & 1431655765) AS yb FROM s3
+)
+SELECT event_id, (bx | (yb << 1)) AS zkey FROM s4 ORDER BY event_id
+"""
+
+
 def q_stream_sft_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of sft_examples (custom stateful operator —
     applyInPandasWithState bounded context window).  Emission happens AT
@@ -8678,6 +8794,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_quantized": q_ivf_quantized,
         "ngram_lm_score": q_ngram_lm_score,
         "bitext_pairs": q_bitext_pairs,
+        "retrieval_ndcg": q_retrieval_ndcg,
+        "zorder_cluster": q_zorder_cluster,
         # -- green in CORRECTNESS_r04 (rotate forward when stale)
         "dup_clusters": q_dup_clusters,
         "dedup_canonical": q_dedup_canonical,
@@ -8888,6 +9006,8 @@ def oracle_sql() -> dict[str, str]:
         "ivf_quantized": SQL_IVF_QUANTIZED,
         "ngram_lm_score": SQL_NGRAM_LM_SCORE,
         "bitext_pairs": SQL_BITEXT_PAIRS,
+        "retrieval_ndcg": SQL_RETRIEVAL_NDCG,
+        "zorder_cluster": SQL_ZORDER_CLUSTER,
         # -- green in CORRECTNESS_r04 (rotate forward when stale)
         "dup_clusters": SQL_DUP_CLUSTERS,
         "dedup_canonical": SQL_DEDUP_CANONICAL,

@@ -979,3 +979,106 @@ def bitext_margin_pairs(
             (F.col("bb") == 1).alias("mutual"),
         )
     )
+
+
+def dcg_weight_micros(k: int) -> list[int]:
+    """The k graded-gain weights round(1e6 / log2(rank+1)) as exact
+    BIGINTs, computed ONCE in Python so the Spark plan and the DuckDB
+    oracle inline the *same* integer literals — no cross-engine libm
+    log2 in either plan."""
+    import math
+
+    return [int(round(1e6 / math.log2(i + 1))) for i in range(1, k + 1)]
+
+
+def rr_micros(k: int) -> list[int]:
+    """Reciprocal-rank micro-units round(1e6 / rank) for ranks 1..k,
+    same single-source-of-truth discipline as dcg_weight_micros."""
+    return [int(round(1e6 / i)) for i in range(1, k + 1)]
+
+
+def retrieval_metrics(
+    truth: DataFrame, system: DataFrame, k: int = 5
+) -> DataFrame:
+    """Ranking-quality evaluation of a retrieval system against exact
+    ground truth: per-query NDCG@k, MRR, and recall@k — the metrics a
+    training-data pipeline reports when it swaps brute-force search for
+    an ANN index (complements ann_recall, which is recall-only and
+    rank-blind).
+
+    Inputs both carry (query_id, neighbor_id, rank); ``truth``'s rows
+    define binary relevance, ``system``'s rank order is scored:
+
+        DCG@k  = sum_{i<=k, system hit at rank i} 1/log2(i+1)
+        IDCG@k = sum_{i<=min(|truth|,k)} 1/log2(i+1)
+        NDCG   = DCG/IDCG;  MRR = 1/first-hit-rank (0 if none)
+
+    Cross-engine determinism: the gain and reciprocal-rank tables are
+    precomputed integer micro-units (dcg_weight_micros / rr_micros)
+    inlined as array literals on BOTH engines; per-query DCG is an
+    exact BIGINT sum and NDCG is ONE correctly-rounded IEEE division
+    rounded to 6 places.
+
+    Scale shape: both sides are top-k tables (n_queries * k rows —
+    evaluation scale, not corpus scale), so the relevance join is a
+    broadcast hash join and the per-query rollup is one partial agg;
+    the heavy work lives in the ANN operators being evaluated.
+    """
+    w = dcg_weight_micros(k)
+    prefix = [0]
+    for x in w:
+        prefix.append(prefix[-1] + x)
+    warr = F.array([F.lit(x) for x in w])
+    parr = F.array([F.lit(x) for x in prefix])
+    rrarr = F.array([F.lit(x) for x in rr_micros(k)])
+
+    t = truth.select("query_id", "neighbor_id").withColumn(
+        "rel", F.lit(1)
+    )
+    s = system.filter(F.col("rank") <= k).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    j = s.join(F.broadcast(t), ["query_id", "neighbor_id"], "left")
+    per_sys = j.groupBy("query_id").agg(
+        F.sum(
+            F.when(
+                F.col("rel") == 1,
+                F.element_at(warr, F.col("rank").cast("int")),
+            ).otherwise(F.lit(0))
+        ).alias("dcg_micro"),
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias(
+            "first_hit"
+        ),
+        F.sum(F.coalesce(F.col("rel"), F.lit(0))).alias("n_hit"),
+    )
+    n_true = truth.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    out = n_true.join(per_sys, "query_id", "left")
+    ideal = F.element_at(
+        parr, (F.least(F.col("n_true"), F.lit(k)) + 1).cast("int")
+    )
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
+    return out.select(
+        "query_id",
+        "n_true",
+        n_hit.alias("n_hit"),
+        F.round(n_hit.cast("double") / F.col("n_true"), 6).alias(
+            "recall"
+        ),
+        F.round(
+            F.coalesce(F.col("dcg_micro"), F.lit(0)).cast("double")
+            / ideal,
+            6,
+        ).alias("ndcg"),
+        F.round(
+            F.when(
+                F.col("first_hit").isNotNull(),
+                F.element_at(rrarr, F.col("first_hit").cast("int")),
+            )
+            .otherwise(F.lit(0))
+            .cast("double")
+            / F.lit(1e6),
+            6,
+        ).alias("mrr"),
+    )

@@ -1169,3 +1169,58 @@ def test_bitext_margin_mines_planted_parallel_pair(spark):
         src, tgt, k=2, margin_threshold=1.5
     ).collect()
     assert [(r["src_id"], r["tgt_id"]) for r in strict] == [(10, 20)]
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    """NDCG@5 / MRR / recall@5 against hand-computed values, including
+    the no-hit and system-returned-nothing (left-join) paths."""
+    from engine.spark import similarity
+
+    truth = spark.createDataFrame(
+        [(1, t, r + 1) for r, t in enumerate([101, 102, 103, 104, 105])]
+        + [(2, t, r + 1) for r, t in enumerate([201, 202, 203])]
+        + [(3, 301, 1)],
+        "query_id: long, neighbor_id: long, rank: int",
+    )
+    system = spark.createDataFrame(
+        # q1: hits at ranks 1 and 3 (103 then 101), misses elsewhere
+        [(1, 103, 1), (1, 999, 2), (1, 101, 3), (1, 998, 4), (1, 997, 5)]
+        # q2: zero hits
+        + [(2, 901, 1), (2, 902, 2)],
+        # q3: system returned nothing at all
+        "query_id: long, neighbor_id: long, rank: int",
+    )
+    out = {
+        r["query_id"]: r
+        for r in similarity.retrieval_metrics(truth, system, k=5).collect()
+    }
+    w = similarity.dcg_weight_micros(5)
+    assert w == [1000000, 630930, 500000, 430677, 386853]
+
+    r1 = out[1]
+    assert (r1["n_true"], r1["n_hit"]) == (5, 2)
+    assert r1["recall"] == 0.4
+    assert r1["mrr"] == 1.0  # first hit at rank 1
+    # DCG = w[0] + w[2]; IDCG = sum(w[:5])
+    assert r1["ndcg"] == round((w[0] + w[2]) / sum(w), 6)
+
+    r2 = out[2]
+    assert (r2["n_hit"], r2["recall"], r2["ndcg"], r2["mrr"]) == (
+        0, 0.0, 0.0, 0.0,
+    )
+
+    r3 = out[3]  # left-join path: no system rows for the query
+    assert (r3["n_true"], r3["n_hit"], r3["ndcg"], r3["mrr"]) == (
+        1, 0, 0.0, 0.0,
+    )
+
+
+def test_retrieval_metrics_perfect_ranking_is_1(spark):
+    from engine.spark import similarity
+
+    truth = spark.createDataFrame(
+        [(7, 10 + r, r + 1) for r in range(5)],
+        "query_id: long, neighbor_id: long, rank: int",
+    )
+    out = similarity.retrieval_metrics(truth, truth, k=5).collect()[0]
+    assert (out["recall"], out["ndcg"], out["mrr"]) == (1.0, 1.0, 1.0)
