@@ -4971,6 +4971,87 @@ SELECT event_id, (bx | (yb << 1)) AS zkey FROM s4 ORDER BY event_id
 """
 
 
+def q_agent_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stuck-agent trajectory detection (conversation.agent_loops):
+    longest identical-step run and longest period-2 (A-B-A-B) cycle per
+    conversation.  The synthetic transcripts give every conv a built-in
+    3-run (turns 1-3 share text+role); two PLANTED convs pin the
+    extremes: 'conv-x-loop' repeats one tool call 10 times (max_run
+    10), 'conv-x-pingpong' alternates two steps for 8 turns (max_run 1,
+    period2_run 8) — both must flag, and the flag thresholds fire via
+    different branches."""
+    base = _synthetic_turns_full(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text", "tool"
+    )
+    loop = spark.range(10).select(
+        F.lit("conv-x-loop").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        F.lit("retrying fetch").alias("text"),
+        F.lit("browser").alias("tool"),
+    )
+    pingpong = spark.range(8).select(
+        F.lit("conv-x-pingpong").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        F.when(F.col("id") % 2 == 0, F.lit("open page"))
+        .otherwise(F.lit("press back"))
+        .alias("text"),
+        F.lit("browser").alias("tool"),
+    )
+    allt = base.unionByName(loop).unionByName(pingpong)
+    return conversation.agent_loops(allt, min_run=4, min_alt=6).orderBy(
+        "conv_id"
+    )
+
+
+SQL_AGENT_LOOPS = _SQL_TURNS_FULL + """
+, planted AS (
+  SELECT conv_id, turn_idx, role, text, tool FROM full_t
+  UNION ALL
+  SELECT 'conv-x-loop', CAST(i AS INT), 'assistant', 'retrying fetch',
+         'browser' FROM range(10) t(i)
+  UNION ALL
+  SELECT 'conv-x-pingpong', CAST(i AS INT), 'assistant',
+         CASE WHEN i % 2 = 0 THEN 'open page' ELSE 'press back' END,
+         'browser' FROM range(8) t(i)
+), sigged AS (
+  SELECT conv_id, turn_idx,
+         md5(role || chr(31) || tool || chr(31) || text) AS sig
+  FROM planted
+), lagged AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN lag(sig) OVER w IS NULL OR sig <> lag(sig) OVER w
+              THEN 1 ELSE 0 END AS chg,
+         CASE WHEN sig = lag(sig, 2) OVER w THEN 1 ELSE 0 END AS m2
+  FROM sigged WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+), grp AS (
+  SELECT conv_id, m2, sum(chg) OVER w AS g1, sum(1 - m2) OVER w AS g2
+  FROM lagged
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS UNBOUNDED PRECEDING)
+), nt AS (
+  SELECT conv_id, count(*) AS n_turns FROM grp GROUP BY conv_id
+), r1 AS (
+  SELECT conv_id, max(len) AS max_run FROM (
+    SELECT conv_id, g1, count(*) AS len FROM grp GROUP BY conv_id, g1
+  ) GROUP BY conv_id
+), r2 AS (
+  SELECT conv_id, max(len) AS max_streak FROM (
+    SELECT conv_id, g2, count(*) AS len FROM grp WHERE m2 = 1
+    GROUP BY conv_id, g2
+  ) GROUP BY conv_id
+)
+SELECT nt.conv_id, nt.n_turns, r1.max_run,
+       LEAST(COALESCE(r2.max_streak, 0) + 2, nt.n_turns) AS period2_run,
+       (r1.max_run >= 4 OR
+        LEAST(COALESCE(r2.max_streak, 0) + 2, nt.n_turns) >= 6)
+         AS loop_flag
+FROM nt JOIN r1 USING (conv_id) LEFT JOIN r2 USING (conv_id)
+ORDER BY conv_id
+"""
+
+
 def q_stream_sft_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of sft_examples (custom stateful operator —
     applyInPandasWithState bounded context window).  Emission happens AT
@@ -8796,6 +8877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitext_pairs": q_bitext_pairs,
         "retrieval_ndcg": q_retrieval_ndcg,
         "zorder_cluster": q_zorder_cluster,
+        "agent_loops": q_agent_loops,
         # -- green in CORRECTNESS_r04 (rotate forward when stale)
         "dup_clusters": q_dup_clusters,
         "dedup_canonical": q_dedup_canonical,
@@ -9008,6 +9090,7 @@ def oracle_sql() -> dict[str, str]:
         "bitext_pairs": SQL_BITEXT_PAIRS,
         "retrieval_ndcg": SQL_RETRIEVAL_NDCG,
         "zorder_cluster": SQL_ZORDER_CLUSTER,
+        "agent_loops": SQL_AGENT_LOOPS,
         # -- green in CORRECTNESS_r04 (rotate forward when stale)
         "dup_clusters": SQL_DUP_CLUSTERS,
         "dedup_canonical": SQL_DEDUP_CANONICAL,

@@ -400,3 +400,84 @@ def session_window_agg(
             "value_sum",
         )
     )
+
+
+def agent_loops(
+    turns: DataFrame, min_run: int = 3, min_alt: int = 6
+) -> DataFrame:
+    """Stuck-agent detection over transcripts: per conversation, the
+    longest run of consecutive turns with an identical step signature
+    (period-1 loop — an agent re-issuing the same action verbatim) and
+    the longest alternating stretch where every turn equals the turn
+    two back (period-2 loop — the A-B-A-B retry cycle).  Both are
+    classic failure modes a training-data pipeline drops before SFT:
+    a trajectory that spins in place teaches the model to spin.
+
+    Step signature = md5(role ␟ tool ␟ text) — the 32-byte hash, not
+    the payload, is what flows through the windows and rollups.
+
+    Semantics:
+      * ``max_run``      — longest gaps-and-islands run of equal
+        adjacent signatures (≥ 1).
+      * ``period2_run``  — longest stretch of turns in which each turn
+        equals the one two positions back, +2 for the seed pair,
+        capped at ``n_turns``.  An identical run also matches period 2
+        by construction (A A A A has sig == lag2), so period2_run ≥
+        min(max_run, n_turns).
+      * ``loop_flag``    — max_run ≥ min_run OR period2_run ≥ min_alt.
+
+    Scale shape (10^12 turns): ONE hash exchange on conv_id feeds both
+    lag windows, run lengths are computed IN the same window pass as
+    ``pos − last-boundary-pos`` running maxima (no per-island groupBy,
+    so the corpus is never re-shuffled), and the final rollup on
+    conv_id is satisfied by the window's own partitioning — the whole
+    operator is a single shuffle with bounded per-conversation frames
+    (key cardinality grows with data — no low-card reducer trap).
+    Plan pinned in tests/test_plans.py (exactly one exchange).  The
+    DuckDB oracle intentionally uses the classic gaps-and-islands
+    formulation instead — two independent derivations, same values.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    sig = F.md5(F.concat_ws("\x1f", "role", "tool", "text"))
+    t = turns.select("conv_id", "turn_idx", sig.alias("sig"))
+    lag1 = F.lag("sig").over(w)
+    lag2 = F.lag("sig", 2).over(w)
+    marked = t.select(
+        "conv_id",
+        "turn_idx",
+        F.when(lag1.isNull() | (F.col("sig") != lag1), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("chg"),
+        F.when(F.col("sig") == lag2, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("m2"),
+    )
+    pos = F.row_number().over(w)
+    run_start = F.max(F.when(F.col("chg") == 1, pos)).over(wcum)
+    zero_pos = F.max(F.when(F.col("m2") == 0, pos)).over(wcum)
+    lens = marked.select(
+        "conv_id",
+        "m2",
+        (pos - run_start + 1).alias("run_len"),
+        F.when(F.col("m2") == 1, pos - F.coalesce(zero_pos, F.lit(0)))
+        .alias("streak_len"),
+    )
+    out = lens.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.max("run_len").alias("max_run"),
+        F.max("streak_len").alias("max_streak"),
+    )
+    period2 = F.least(
+        F.coalesce(F.col("max_streak"), F.lit(0)) + F.lit(2),
+        F.col("n_turns"),
+    )
+    return out.select(
+        "conv_id",
+        "n_turns",
+        F.col("max_run").cast("long").alias("max_run"),
+        period2.cast("long").alias("period2_run"),
+        (
+            (F.col("max_run") >= min_run) | (period2 >= min_alt)
+        ).alias("loop_flag"),
+    )

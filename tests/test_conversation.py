@@ -246,3 +246,35 @@ def test_transcript_curation_reasons_and_precedence(spark):
     assert (r["n_turns"], r["n_runs"]) == (6, 2)
     assert abs(r["repeat_ratio"] - (1 - 2 / 6)) < 1e-6
     assert r["n_violations"] == 4
+
+
+def test_agent_loops_detects_planted_failure_modes(spark):
+    from engine.spark import conversation
+
+    rows = []
+    # healthy: 4 distinct steps
+    for i, txt in enumerate(["a", "b", "c", "d"]):
+        rows.append(("ok", i, "assistant", txt, ""))
+    # stuck: same step 5 times
+    for i in range(5):
+        rows.append(("stuck", i, "assistant", "retry", "browser"))
+    # ping-pong: A B A B A B
+    for i in range(6):
+        rows.append(("pp", i, "assistant", "ab"[i % 2], ""))
+    turns = spark.createDataFrame(
+        rows,
+        "conv_id: string, turn_idx: int, role: string, text: string,"
+        " tool: string",
+    )
+    out = {
+        r["conv_id"]: r
+        for r in conversation.agent_loops(
+            turns, min_run=3, min_alt=6
+        ).collect()
+    }
+    ok, stuck, pp = out["ok"], out["stuck"], out["pp"]
+    assert (ok["max_run"], ok["period2_run"], ok["loop_flag"]) == (1, 2, False)
+    assert (stuck["max_run"], stuck["loop_flag"]) == (5, True)
+    # identical runs match period 2 as well, capped at n_turns
+    assert stuck["period2_run"] == 5
+    assert (pp["max_run"], pp["period2_run"], pp["loop_flag"]) == (1, 6, True)

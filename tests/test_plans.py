@@ -1182,3 +1182,39 @@ def test_leakage_safe_split_decision_is_projection(spark):
     plan = _plan(df)
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_agent_loops_single_corpus_exchange(spark):
+    """agent_loops: the conv_id window exchange is the ONLY
+    hash-partitioning of the corpus — the island rollups on
+    (conv_id, g1/g2) and the final conv_id joins are all satisfied by
+    HashPartitioning(conv_id), and nothing sorts outside the bounded
+    per-conversation window."""
+    from engine.spark import conversation
+
+    turns = spark.createDataFrame(
+        [("c1", 0, "user", "hi", "")],
+        "conv_id: string, turn_idx: int, role: string, text: string,"
+        " tool: string",
+    )
+    plan = _plan(conversation.agent_loops(turns))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "PythonUDF" not in plan, plan
+
+
+def test_zorder_key_no_data_shuffle(spark):
+    """zorder_key: the min/max bounds ride as a one-row broadcast; the
+    key itself is pure codegen bit math — no hash exchange of the data
+    side at all."""
+    from engine.spark import zorder
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 31).cast("double").alias("x"),
+        (F.col("id") % 17).cast("double").alias("y"),
+    )
+    plan = _plan(zorder.zorder_key(df, "x", "y"))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "PythonUDF" not in plan, plan
