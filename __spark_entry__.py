@@ -5052,6 +5052,59 @@ ORDER BY conv_id
 """
 
 
+def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC with tie handling (diagnose.roc_auc) — the
+    evaluation counterpart of classifier_score.  Deterministic setup:
+    score = portable_hash60(text) % 1000 (coarse enough that real ties
+    occur in a 500-doc corpus), label = doc_id % 3 = 0, evaluated per
+    segment doc_id % 4 — so all four AUC values, including the tie
+    correction, are pinned cross-engine.  Never a global row sort: the
+    corpus collapses to a per-(segment, score) histogram first (the
+    NTILE-trap avoidance the r4 verdict asked for, applied to AUC)."""
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 4).cast("long").alias("segment"),
+        (dedup.portable_hash60(F.col("text")) % 1000).alias("score"),
+        (F.col("doc_id") % 3 == 0).cast("int").alias("label"),
+    )
+    return diagnose.roc_auc(
+        d, score_col="score", label_col="label", group_col="segment"
+    ).orderBy("segment")
+
+
+# Independent derivation: the oracle uses the rank-sum (Mann–Whitney)
+# identity with average ranks over ties instead of the histogram
+# running sum — same AUC, different algebra.
+SQL_CLASSIFIER_AUC = f"""
+WITH scored AS (
+  SELECT CAST(doc_id % 4 AS BIGINT) AS segment,
+         {_H60.format(x="text")} % 1000 AS score,
+         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS label
+  FROM documents
+), ranked AS (
+  SELECT segment, label,
+         avg(rn) OVER (PARTITION BY segment, score) AS avg_rank
+  FROM (
+    SELECT segment, score, label,
+           row_number() OVER (PARTITION BY segment
+                              ORDER BY score, label) AS rn
+    FROM scored
+  )
+), agg AS (
+  SELECT segment,
+         CAST(sum(label) AS BIGINT) AS n_pos,
+         CAST(sum(1 - label) AS BIGINT) AS n_neg,
+         sum(CASE WHEN label = 1 THEN avg_rank ELSE 0 END) AS r_pos
+  FROM ranked GROUP BY segment
+)
+SELECT segment, n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         round((r_pos - n_pos * (n_pos + 1) / 2.0)
+               / (CAST(n_pos AS DOUBLE) * n_neg), 6)
+       END AS auc
+FROM agg ORDER BY segment
+"""
+
+
 def q_stream_sft_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of sft_examples (custom stateful operator —
     applyInPandasWithState bounded context window).  Emission happens AT
@@ -8878,6 +8931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_ndcg": q_retrieval_ndcg,
         "zorder_cluster": q_zorder_cluster,
         "agent_loops": q_agent_loops,
+        "classifier_auc": q_classifier_auc,
         # -- green in CORRECTNESS_r04 (rotate forward when stale)
         "dup_clusters": q_dup_clusters,
         "dedup_canonical": q_dedup_canonical,
@@ -9091,6 +9145,7 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_ndcg": SQL_RETRIEVAL_NDCG,
         "zorder_cluster": SQL_ZORDER_CLUSTER,
         "agent_loops": SQL_AGENT_LOOPS,
+        "classifier_auc": SQL_CLASSIFIER_AUC,
         # -- green in CORRECTNESS_r04 (rotate forward when stale)
         "dup_clusters": SQL_DUP_CLUSTERS,
         "dedup_canonical": SQL_DEDUP_CANONICAL,

@@ -433,6 +433,12 @@ RELATIONAL = [
     # round-5 session-3 additions
     "q21_blame_supplier",
     "line_dedup",
+    # round-5 session-5 additions
+    "zorder_cluster",
+    "retrieval_ndcg",
+    "agent_loops",
+    "classifier_auc",
+    "bitext_pairs",
     "sorted_neighborhood",
     "ewma",
     "k_core",

@@ -1273,3 +1273,72 @@ def grouped_sample(
         .filter(F.col("_r2") <= k)
         .drop("_rk", "_salt", "_r1", "_r2")
     )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Exact ROC-AUC (Mann–Whitney U form with proper tie handling) —
+    the evaluation counterpart of the quality-classifier inference ops:
+
+        AUC = P(score_pos > score_neg) + 0.5 · P(score_pos = score_neg)
+
+    computed from the per-distinct-score class histogram:
+        num2 = Σ_s  2·p_s·(cum q strictly below s) + p_s·q_s
+        AUC  = num2 / (2·n_pos·n_neg)
+
+    Integer discipline: num2 and the denominator are exact BIGINTs and
+    AUC is ONE correctly-rounded IEEE division rounded to 6 places —
+    the DuckDB oracle reproduces it bit-for-bit.
+
+    Scale shape: never a global row-level sort (the NTILE trap).  The
+    corpus collapses FIRST via a partial-agg groupBy on
+    (group, score) — the only full-data shuffle — and the running-sum
+    window then walks the distinct-score histogram (plus the per-group
+    rollup reusing the same partitioning).  With a ``group_col``
+    (per-segment evaluation, the production shape) the window is
+    per-group; ungrouped, the sorted side is |distinct scores|, which
+    the histogram has already reduced by orders of magnitude.
+
+    Output: (group?, n_pos, n_neg, auc); auc NULL if a group lacks one
+    of the classes.
+    """
+    keys = [group_col] if group_col else []
+    lbl = F.col(label_col).cast("int")
+    per_score = df.groupBy(*keys, score_col).agg(
+        F.sum(F.when(lbl == 1, 1).otherwise(0)).alias("p"),
+        F.sum(F.when(lbl == 1, 0).otherwise(1)).alias("q"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = (
+        F.lit(2) * F.col("p") * F.coalesce(F.sum("q").over(w), F.lit(0))
+        + F.col("p") * F.col("q")
+    )
+    rolled = per_score.select(
+        *keys, F.col("p"), F.col("q"), contrib.alias("num2")
+    ).groupBy(*keys).agg(
+        F.sum("p").alias("n_pos"),
+        F.sum("q").alias("n_neg"),
+        F.sum("num2").alias("num2"),
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.round(
+            F.col("num2").cast("double")
+            / (F.lit(2) * F.col("n_pos") * F.col("n_neg")),
+            6,
+        ),
+    )
+    return rolled.select(
+        *keys,
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        auc.alias("auc"),
+    )

@@ -1046,3 +1046,63 @@ def test_window_funnel_no_python_no_cartesian(spark):
     plan = _plan(df)
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_roc_auc_hand_computed(spark):
+    """AUC against sklearn-style hand math: perfect separation -> 1.0,
+    anti-separation -> 0.0, all-ties -> 0.5, and a mixed case with a
+    tie straddling the classes."""
+    from engine.spark import diagnose
+
+    rows = (
+        # g=perfect: pos scores {3,4} all above neg {1,2}
+        [("perfect", 1.0, 0), ("perfect", 2.0, 0),
+         ("perfect", 3.0, 1), ("perfect", 4.0, 1)]
+        # g=anti: reversed
+        + [("anti", 3.0, 0), ("anti", 4.0, 0),
+           ("anti", 1.0, 1), ("anti", 2.0, 1)]
+        # g=ties: every score equal
+        + [("ties", 5.0, 0), ("ties", 5.0, 1),
+           ("ties", 5.0, 0), ("ties", 5.0, 1)]
+        # g=mixed: pos {2,3}, neg {1,2}: pairs (2>1)=1, (2=2)=.5,
+        # (3>1)=1, (3>2)=1 -> 3.5/4 = 0.875
+        + [("mixed", 1.0, 0), ("mixed", 2.0, 0),
+           ("mixed", 2.0, 1), ("mixed", 3.0, 1)]
+        # g=onesided: only positives -> NULL auc
+        + [("onesided", 1.0, 1), ("onesided", 2.0, 1)]
+    )
+    df = spark.createDataFrame(
+        rows, "g: string, score: double, label: int"
+    )
+    out = {
+        r["g"]: r
+        for r in diagnose.roc_auc(df, "score", "label", "g").collect()
+    }
+    assert out["perfect"]["auc"] == 1.0
+    assert out["anti"]["auc"] == 0.0
+    assert out["ties"]["auc"] == 0.5
+    assert out["mixed"]["auc"] == 0.875
+    assert out["onesided"]["auc"] is None
+    assert (out["mixed"]["n_pos"], out["mixed"]["n_neg"]) == (2, 2)
+
+
+def test_roc_auc_no_global_row_sort(spark):
+    """The only full-data exchange is the (group, score) histogram
+    groupBy; the window walks the reduced histogram, so no Sort over
+    the raw-row plan node count appears before the aggregation."""
+    from engine.spark import diagnose
+
+    df = spark.range(1000).select(
+        (F.col("id") % 5).cast("string").alias("g"),
+        (F.col("id") % 37).cast("double").alias("score"),
+        (F.col("id") % 2).cast("int").alias("label"),
+    )
+    plan = (
+        diagnose.roc_auc(df, "score", "label", "g")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # histogram partial agg must sit below the first exchange
+    assert "partial_" in plan, plan
+    assert "PythonUDF" not in plan, plan
