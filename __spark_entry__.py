@@ -5105,6 +5105,109 @@ FROM agg ORDER BY segment
 """
 
 
+def q_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Welch two-sample t-test (diagnose.welch_ttest):
+    variant = user parity — an A/B readout whose t/df are pinned
+    cross-engine via exact DECIMAL sufficient statistics and a fixed
+    IEEE operation order (the grouped_regression discipline)."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("variant"),
+        "value",
+    )
+    return diagnose.welch_ttest(
+        e, "event_type", "variant", "value"
+    ).orderBy("event_type")
+
+
+SQL_AB_TTEST = """
+WITH per AS (
+  SELECT event_type,
+         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS s,
+         CAST(sum(CAST(value AS DECIMAL(18,6))
+                  * CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS ss
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), piv AS (
+  SELECT event_type,
+         max(CASE WHEN variant = 'A' THEN n END) AS n_c,
+         max(CASE WHEN variant = 'A' THEN s END) AS s_c,
+         max(CASE WHEN variant = 'A' THEN ss END) AS ss_c,
+         max(CASE WHEN variant = 'B' THEN n END) AS n_t,
+         max(CASE WHEN variant = 'B' THEN s END) AS s_t,
+         max(CASE WHEN variant = 'B' THEN ss END) AS ss_t
+  FROM per GROUP BY event_type
+), d AS (
+  SELECT event_type, n_c, n_t,
+         CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS mean_c,
+         CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS mean_t,
+         (CAST(ss_c AS DOUBLE)
+          - CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE)
+            / CAST(n_c AS DOUBLE))
+           / (CAST(n_c AS DOUBLE) - 1.0) / CAST(n_c AS DOUBLE) AS se_c,
+         (CAST(ss_t AS DOUBLE)
+          - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE)
+            / CAST(n_t AS DOUBLE))
+           / (CAST(n_t AS DOUBLE) - 1.0) / CAST(n_t AS DOUBLE) AS se_t
+  FROM piv WHERE n_c IS NOT NULL AND n_t IS NOT NULL
+)
+SELECT event_type,
+       CAST(n_c AS BIGINT) AS n_c, CAST(n_t AS BIGINT) AS n_t,
+       round(mean_c, 6) AS mean_c, round(mean_t, 6) AS mean_t,
+       round(mean_t - mean_c, 6) AS diff,
+       CASE WHEN n_c >= 2 AND n_t >= 2 AND se_t + se_c > 0.0 THEN
+         round((mean_t - mean_c) / sqrt(se_t + se_c), 6) END AS t_stat,
+       CASE WHEN n_c >= 2 AND n_t >= 2 AND se_t + se_c > 0.0 THEN
+         round(((se_t + se_c) * (se_t + se_c))
+               / (se_t * se_t / (CAST(n_t AS DOUBLE) - 1.0)
+                  + se_c * se_c / (CAST(n_c AS DOUBLE) - 1.0)), 6)
+       END AS dof
+FROM d ORDER BY event_type
+"""
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins (diagnose.calibration_bins) over a
+    deterministic pseudo-probability (hash of props, micro-unit) and a
+    deterministic label — bin boundaries are exact integer
+    floor-division on the micro score, so no float boundary can
+    disagree across engines."""
+    e = _t(spark, sf_dir, "events").select(
+        (
+            (dedup.portable_hash60(F.col("props")) % 1000000).cast(
+                "double"
+            )
+            / 1e6
+        ).alias("score"),
+        (F.col("event_id") % 3 == 0).cast("int").alias("label"),
+    )
+    return diagnose.calibration_bins(e, "score", "label", bins=10).orderBy(
+        "bin"
+    )
+
+
+SQL_CALIBRATION_BINS = f"""
+WITH scored AS (
+  SELECT CAST(round(CAST(({_H60.format(x="props")} % 1000000) AS DOUBLE)
+                    / 1e6 * 1e6, 0) AS BIGINT) AS m,
+         CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS y
+  FROM events
+), binned AS (
+  SELECT LEAST(CAST(((m * 10) - (m * 10) % 1000000) / 1000000 AS BIGINT),
+               9) AS bin, m, y
+  FROM scored
+)
+SELECT bin, count(*) AS n,
+       round(CAST(sum(m) AS DOUBLE) / 1e6 / count(*), 6) AS mean_score,
+       round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate
+FROM binned GROUP BY bin ORDER BY bin
+"""
+
+
 def q_stream_sft_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of sft_examples (custom stateful operator —
     applyInPandasWithState bounded context window).  Emission happens AT
@@ -8822,6 +8925,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "minhash_lsh": q_minhash_lsh,
         # -- round-5 additions (never driver-checked)
+        "bitext_pairs": q_bitext_pairs,
+        "retrieval_ndcg": q_retrieval_ndcg,
+        "zorder_cluster": q_zorder_cluster,
+        "agent_loops": q_agent_loops,
+        "classifier_auc": q_classifier_auc,
+        "ab_ttest": q_ab_ttest,
+        "calibration_bins": q_calibration_bins,
+        "substring_dup": q_substring_dup,
+        "prefix_jaccard": q_prefix_jaccard,
+        "ivf_quantized": q_ivf_quantized,
+        "ngram_lm_score": q_ngram_lm_score,
         "q13_custdist": q_q13_custdist,
         "q14_promo_effect": q_q14_promo_effect,
         "q17_small_qty_revenue": q_q17_small_qty_revenue,
@@ -8923,15 +9037,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_dedup": q_turn_dedup,
         "shard_shuffle": q_shard_shuffle,
         "mixture_sample": q_mixture_sample,
-        "substring_dup": q_substring_dup,
-        "prefix_jaccard": q_prefix_jaccard,
-        "ivf_quantized": q_ivf_quantized,
-        "ngram_lm_score": q_ngram_lm_score,
-        "bitext_pairs": q_bitext_pairs,
-        "retrieval_ndcg": q_retrieval_ndcg,
-        "zorder_cluster": q_zorder_cluster,
-        "agent_loops": q_agent_loops,
-        "classifier_auc": q_classifier_auc,
         # -- green in CORRECTNESS_r04 (rotate forward when stale)
         "dup_clusters": q_dup_clusters,
         "dedup_canonical": q_dedup_canonical,
@@ -9035,6 +9140,17 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "minhash_lsh": SQL_MINHASH_LSH,
         # -- round-5 additions (never driver-checked)
+        "bitext_pairs": SQL_BITEXT_PAIRS,
+        "retrieval_ndcg": SQL_RETRIEVAL_NDCG,
+        "zorder_cluster": SQL_ZORDER_CLUSTER,
+        "agent_loops": SQL_AGENT_LOOPS,
+        "classifier_auc": SQL_CLASSIFIER_AUC,
+        "ab_ttest": SQL_AB_TTEST,
+        "calibration_bins": SQL_CALIBRATION_BINS,
+        "substring_dup": SQL_SUBSTRING_DUP,
+        "prefix_jaccard": SQL_PREFIX_JACCARD,
+        "ivf_quantized": SQL_IVF_QUANTIZED,
+        "ngram_lm_score": SQL_NGRAM_LM_SCORE,
         "q13_custdist": SQL_Q13_CUSTDIST,
         "q14_promo_effect": SQL_Q14_PROMO_EFFECT,
         "q17_small_qty_revenue": SQL_Q17_SMALL_QTY,
@@ -9137,15 +9253,6 @@ def oracle_sql() -> dict[str, str]:
         "stream_turn_dedup": SQL_STREAM_TURN_DEDUP,
         "shard_shuffle": SQL_SHARD_SHUFFLE,
         "mixture_sample": SQL_MIXTURE_SAMPLE,
-        "substring_dup": SQL_SUBSTRING_DUP,
-        "prefix_jaccard": SQL_PREFIX_JACCARD,
-        "ivf_quantized": SQL_IVF_QUANTIZED,
-        "ngram_lm_score": SQL_NGRAM_LM_SCORE,
-        "bitext_pairs": SQL_BITEXT_PAIRS,
-        "retrieval_ndcg": SQL_RETRIEVAL_NDCG,
-        "zorder_cluster": SQL_ZORDER_CLUSTER,
-        "agent_loops": SQL_AGENT_LOOPS,
-        "classifier_auc": SQL_CLASSIFIER_AUC,
         # -- green in CORRECTNESS_r04 (rotate forward when stale)
         "dup_clusters": SQL_DUP_CLUSTERS,
         "dedup_canonical": SQL_DEDUP_CANONICAL,

@@ -1342,3 +1342,145 @@ def roc_auc(
         F.col("n_neg").cast("long").alias("n_neg"),
         auc.alias("auc"),
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    variant_col: str,
+    value_col: str,
+    control: str = "A",
+    treatment: str = "B",
+) -> DataFrame:
+    """Per-group Welch two-sample t-test — the A/B experiment readout
+    (unequal variances, unequal sizes; the default test a metrics
+    pipeline should report instead of pooled-variance Student's t).
+
+        t  = (mean_t − mean_c) / sqrt(var_t/n_t + var_c/n_c)
+        df = (var_t/n_t + var_c/n_c)² /
+             ((var_t/n_t)²/(n_t−1) + (var_c/n_c)²/(n_c−1))
+
+    Determinism discipline (grouped_regression / grouped_correlation):
+    per-variant sufficient statistics n, Σv, Σv² accumulate as EXACT
+    DECIMALs (order-independent), and the final t/df evaluate in IEEE
+    double with a FIXED operation order — two engines computing from
+    identical exact sums agree bit-for-bit; outputs rounded to 6 dp.
+
+    Scale shape: ONE fact scan → partial-agg shuffle to the
+    (group, variant) grain (map-side combine does the heavy lifting),
+    then a metadata-sized conditional-max pivot per group.  No window,
+    no sort, no join.
+
+    Output: (group, n_c, n_t, mean_c, mean_t, diff, t_stat, dof) —
+    t_stat/dof NULL when either side has < 2 points or zero variance.
+    """
+    d6 = F.col(value_col).cast("decimal(18,6)")
+    per = (
+        df.where(
+            F.col(variant_col).isin(control, treatment)
+            & F.col(value_col).isNotNull()
+        )
+        .groupBy(group_col, variant_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(d6).cast("decimal(38,6)").alias("s"),
+            F.sum(d6 * d6).cast("decimal(38,12)").alias("ss"),
+        )
+    )
+    side = lambda v, c: F.max(
+        F.when(F.col(variant_col) == v, F.col(c))
+    )
+    piv = per.groupBy(group_col).agg(
+        side(control, "n").alias("n_c"),
+        side(control, "s").alias("s_c"),
+        side(control, "ss").alias("ss_c"),
+        side(treatment, "n").alias("n_t"),
+        side(treatment, "s").alias("s_t"),
+        side(treatment, "ss").alias("ss_t"),
+    )
+
+    def stats(n, s, ss):
+        nd = n.cast("double")
+        sd = s.cast("double")
+        ssd = ss.cast("double")
+        mean = sd / nd
+        var = (ssd - sd * sd / nd) / (nd - F.lit(1.0))
+        return mean, var
+
+    mean_c, var_c = stats(F.col("n_c"), F.col("s_c"), F.col("ss_c"))
+    mean_t, var_t = stats(F.col("n_t"), F.col("s_t"), F.col("ss_t"))
+    se_c = var_c / F.col("n_c").cast("double")
+    se_t = var_t / F.col("n_t").cast("double")
+    se2 = se_t + se_c
+    t_stat = (mean_t - mean_c) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        se_t * se_t / (F.col("n_t").cast("double") - F.lit(1.0))
+        + se_c * se_c / (F.col("n_c").cast("double") - F.lit(1.0))
+    )
+    ok = (
+        (F.col("n_c") >= 2)
+        & (F.col("n_t") >= 2)
+        & (se2 > F.lit(0.0))
+    )
+    return piv.where(
+        F.col("n_c").isNotNull() & F.col("n_t").isNotNull()
+    ).select(
+        F.col(group_col),
+        F.col("n_c").cast("long").alias("n_c"),
+        F.col("n_t").cast("long").alias("n_t"),
+        F.round(mean_c, 6).alias("mean_c"),
+        F.round(mean_t, 6).alias("mean_t"),
+        F.round(mean_t - mean_c, 6).alias("diff"),
+        F.when(ok, F.round(t_stat, 6)).alias("t_stat"),
+        F.when(ok, F.round(dof, 6)).alias("dof"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic classifier: bucket
+    scores in [0, 1] into ``bins`` equal-width bins and report each
+    bin's count, mean score and empirical positive rate — with ROC-AUC
+    (roc_auc) this is the standard classifier-eval pair; calibration
+    drift is the thing AUC cannot see.
+
+    Exactness: bin assignment is integer floor on the micro-unit score
+    (no float boundary ambiguity across engines), mean score comes
+    from an exact BIGINT micro-unit sum, and each output is ONE
+    rounded division.  Scale: one partial-agg shuffle on ≤ ``bins``
+    keys after map-side combine.
+
+    Output: (bin, n, mean_score, pos_rate), bin ∈ [0, bins-1].
+    """
+    micro = F.round(F.col(score_col).cast("double") * 1e6, 0).cast("long")
+    mb = micro * F.lit(bins)
+    # exact integer floor-division, bit-identical in Spark and DuckDB
+    # (remainder subtraction, then a division that is exact by
+    # construction) — no float anywhere near the bin boundary
+    bin_ = F.least(
+        ((mb - mb % 1000000) / 1000000).cast("long"), F.lit(bins - 1)
+    )
+    lbl = F.col(label_col).cast("int")
+    agg = (
+        df.select(bin_.alias("bin"), micro.alias("m"), lbl.alias("y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("m").alias("sm"),
+            F.sum("y").alias("sy"),
+        )
+    )
+    return agg.select(
+        "bin",
+        "n",
+        F.round(F.col("sm").cast("double") / 1e6 / F.col("n"), 6).alias(
+            "mean_score"
+        ),
+        F.round(F.col("sy").cast("double") / F.col("n"), 6).alias(
+            "pos_rate"
+        ),
+    )

@@ -220,47 +220,28 @@ def write_zordered(
 
     Construction is pure Catalyst, fully lazy: per-column min/max ride
     as a broadcast single-row aggregate (scan-only branch), each value
-    is normalized to a ``bits``-bit integer, and the Morton code is
-    2·bits shift/mask/or terms inside whole-stage codegen — then ONE
+    is normalized to a ``bits``-bit integer, and the Morton code is a
+    shift-or-mask spread cascade inside whole-stage codegen — then ONE
     range exchange on the code (sampled, so skewed dimensions still get
     proportionate files) and a per-partition sort.  No UDF, no second
-    job, no driver action."""
+    job, no driver action.
+
+    The key arithmetic lives in ``engine.spark.zorder`` (micro-unit
+    encoding + exact integer bucketing + O(log bits) spread) so the
+    write layout and the cross-engine-checked ``zorder_cluster``
+    contract row share ONE Morton implementation."""
+    from engine.spark import zorder
+
     x, y = cols
-    scale = (1 << bits) - 1
-    bounds = df.agg(
-        F.min(x).alias("_lo_x"),
-        F.max(x).alias("_hi_x"),
-        F.min(y).alias("_lo_y"),
-        F.max(y).alias("_hi_y"),
-    )
-
-    def norm(c: str, lo: str, hi: str) -> F.Column:
-        rng = F.greatest(F.col(hi) - F.col(lo), F.lit(1))
-        return (
-            F.least(
-                F.floor((F.col(c) - F.col(lo)) * scale / rng), F.lit(scale)
-            )
-            .cast("long")
-        )
-
-    xb, yb = norm(x, "_lo_x", "_hi_x"), norm(y, "_lo_y", "_hi_y")
-    z = None
-    for i in range(bits):
-        xt = F.shiftleft(F.shiftright(xb, i).bitwiseAND(F.lit(1)), 2 * i)
-        yt = F.shiftleft(
-            F.shiftright(yb, i).bitwiseAND(F.lit(1)), 2 * i + 1
-        )
-        term = xt.bitwiseOR(yt)
-        z = term if z is None else z.bitwiseOR(term)
-    zc = df.crossJoin(F.broadcast(bounds)).withColumn("_z", z)
+    keyed = zorder.zorder_key(df, x, y, bits=bits, out_col="_z")
     part = (
-        zc.repartitionByRange(n_files, F.col("_z"))
+        keyed.repartitionByRange(n_files, F.col("_z"))
         if n_files
-        else zc.repartitionByRange(F.col("_z"))
+        else keyed.repartitionByRange(F.col("_z"))
     )
     (
         part.sortWithinPartitions("_z")
-        .drop("_z", "_lo_x", "_hi_x", "_lo_y", "_hi_y")
+        .drop("_z")
         .write.mode(mode)
         .parquet(path)
     )

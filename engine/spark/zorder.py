@@ -114,28 +114,7 @@ def zorder_key(
     )
 
 
-def write_zordered(
-    df: DataFrame,
-    path: str,
-    x_col: str,
-    y_col: str,
-    n_files: int | None = None,
-    bits: int = 16,
-    mode: str = "overwrite",
-) -> None:
-    """Z-order-clustered parquet write: range-partition + sort on the
-    Morton key of (x_col, y_col), so every output file covers a small
-    2-D quad and its footer min/max on BOTH dimensions are tight.  A
-    downstream box predicate on the two columns then prunes most files
-    before reading a byte — the multi-dimensional counterpart of
-    pipeline.write_clustered (tests/test_zorder.py asserts the skip
-    fraction from the real parquet footers)."""
-    keyed = zorder_key(df, x_col, y_col, bits=bits)
-    part = (
-        keyed.repartitionByRange(n_files, "zkey")
-        if n_files
-        else keyed.repartitionByRange("zkey")
-    )
-    part.sortWithinPartitions("zkey").drop("zkey").write.mode(mode).parquet(
-        path
-    )
+# The clustered WRITE built on this key lives in
+# pipeline.write_zordered (alongside write_clustered/write_bucketed,
+# the repo's other layout writers) — one Morton implementation, one
+# writer.

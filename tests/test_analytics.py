@@ -1106,3 +1106,68 @@ def test_roc_auc_no_global_row_sort(spark):
     # histogram partial agg must sit below the first exchange
     assert "partial_" in plan, plan
     assert "PythonUDF" not in plan, plan
+
+
+def test_welch_ttest_matches_reference_math(spark):
+    """Welch t and Satterthwaite df against a NumPy hand computation
+    on a deterministic two-group sample, plus the degenerate guards."""
+    import numpy as np
+
+    from engine.spark import diagnose
+
+    a = [float(x) for x in [1, 2, 3, 4, 5, 6, 7, 8]]
+    b = [float(x) for x in [2, 4, 4, 4, 5, 5, 7, 9, 11, 12]]
+    rows = [("exp1", "A", v) for v in a] + [("exp1", "B", v) for v in b]
+    # exp2: treatment-only -> dropped; exp3: zero variance both sides
+    rows += [("exp2", "B", 1.0), ("exp2", "B", 2.0)]
+    rows += [("exp3", "A", 5.0), ("exp3", "A", 5.0),
+             ("exp3", "B", 5.0), ("exp3", "B", 5.0)]
+    df = spark.createDataFrame(rows, "g: string, variant: string, v: double")
+    out = {
+        r["g"]: r
+        for r in diagnose.welch_ttest(df, "g", "variant", "v").collect()
+    }
+    assert set(out) == {"exp1", "exp3"}  # exp2 lacks a control side
+
+    na, nb = len(a), len(b)
+    ma, mb = np.mean(a), np.mean(b)
+    va, vb = np.var(a, ddof=1), np.var(b, ddof=1)
+    se2 = vb / nb + va / na
+    t_ref = (mb - ma) / np.sqrt(se2)
+    dof_ref = se2**2 / (
+        (vb / nb) ** 2 / (nb - 1) + (va / na) ** 2 / (na - 1)
+    )
+    r = out["exp1"]
+    assert (r["n_c"], r["n_t"]) == (na, nb)
+    assert r["mean_c"] == round(ma, 6) and r["mean_t"] == round(mb, 6)
+    assert abs(r["t_stat"] - t_ref) < 1e-6
+    assert abs(r["dof"] - dof_ref) < 1e-6
+
+    z = out["exp3"]  # zero variance -> t/df NULL, means intact
+    assert z["mean_c"] == 5.0 and z["mean_t"] == 5.0
+    assert z["t_stat"] is None and z["dof"] is None
+
+
+def test_calibration_bins_exact_boundaries(spark):
+    """Scores sitting EXACTLY on bin boundaries must bin by integer
+    arithmetic (0.2 -> bin 2, not a float-dependent 1/2 coin flip);
+    score 1.0 clamps into the last bin."""
+    from engine.spark import diagnose
+
+    rows = [
+        (0.0, 0), (0.05, 1),        # bin 0
+        (0.2, 1), (0.25, 1),        # bin 2 (exact boundary)
+        (0.999999, 0), (1.0, 1),    # bin 9 (clamp)
+    ]
+    df = spark.createDataFrame(rows, "score: double, label: int")
+    out = {
+        r["bin"]: r
+        for r in diagnose.calibration_bins(
+            df, "score", "label", bins=10
+        ).collect()
+    }
+    assert set(out) == {0, 2, 9}
+    assert out[0]["n"] == 2 and out[0]["pos_rate"] == 0.5
+    assert out[2]["n"] == 2 and out[2]["mean_score"] == 0.225
+    assert out[9]["n"] == 2
+    assert abs(out[9]["mean_score"] - 0.9999995) < 1e-6

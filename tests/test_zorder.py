@@ -18,7 +18,7 @@ import pyarrow.parquet as pq
 import pytest
 from pyspark.sql import functions as F
 
-from engine.spark import zorder
+from engine.spark import pipeline, zorder
 from engine.spark.session import get_spark
 
 
@@ -116,7 +116,9 @@ def test_zordered_write_prunes_box_predicates(spark):
     tmp = tempfile.mkdtemp(prefix="zorder_")
     try:
         zpath, lpath = f"{tmp}/z", f"{tmp}/linear"
-        zorder.write_zordered(df, zpath, "x", "y", n_files=16)
+        pipeline.write_zordered(
+            df, zpath, cols=("x", "y"), n_files=16, bits=16
+        )
         # linear layout: same rows, insert (id) order -> every file
         # strides the full x domain and a slab of y
         df.repartitionByRange(16, "id").sortWithinPartitions(
