@@ -5005,6 +5005,47 @@ def q_agent_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_agent_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of agent_loops (custom stateful operator —
+    applyInPandasWithState, O(1) per-conversation state: two signatures
+    + five counters).  Update-style emission; the latest emission per
+    conversation after the source drains equals the batch operator
+    exactly, so it SHARES the batch oracle (SQL_AGENT_LOOPS
+    verbatim)."""
+    import shutil
+
+    from engine.spark import streaming
+
+    src = tempfile.mkdtemp(prefix="loops_src_")
+    base = _synthetic_turns_full(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text", "tool"
+    )
+    loop = spark.range(10).select(
+        F.lit("conv-x-loop").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        F.lit("retrying fetch").alias("text"),
+        F.lit("browser").alias("tool"),
+    )
+    pingpong = spark.range(8).select(
+        F.lit("conv-x-pingpong").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        F.when(F.col("id") % 2 == 0, F.lit("open page"))
+        .otherwise(F.lit("press back"))
+        .alias("text"),
+        F.lit("browser").alias("tool"),
+    )
+    base.unionByName(loop).unionByName(pingpong).coalesce(
+        1
+    ).write.mode("overwrite").parquet(src)
+    ckpt = tempfile.mkdtemp(prefix="loops_ckpt_")
+    sink = f"stream_loops_{uuid.uuid4().hex[:8]}"
+    out = streaming.stream_agent_loops(spark, src, ckpt, sink_table=sink)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out.orderBy("conv_id")
+
+
 SQL_AGENT_LOOPS = _SQL_TURNS_FULL + """
 , planted AS (
   SELECT conv_id, turn_idx, role, text, tool FROM full_t
@@ -8932,6 +8973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_auc": q_classifier_auc,
         "ab_ttest": q_ab_ttest,
         "calibration_bins": q_calibration_bins,
+        "stream_agent_loops": q_stream_agent_loops,
         "substring_dup": q_substring_dup,
         "prefix_jaccard": q_prefix_jaccard,
         "ivf_quantized": q_ivf_quantized,
@@ -9147,6 +9189,7 @@ def oracle_sql() -> dict[str, str]:
         "classifier_auc": SQL_CLASSIFIER_AUC,
         "ab_ttest": SQL_AB_TTEST,
         "calibration_bins": SQL_CALIBRATION_BINS,
+        "stream_agent_loops": SQL_AGENT_LOOPS,
         "substring_dup": SQL_SUBSTRING_DUP,
         "prefix_jaccard": SQL_PREFIX_JACCARD,
         "ivf_quantized": SQL_IVF_QUANTIZED,

@@ -1290,3 +1290,144 @@ def stream_dup_clusters(
         .start()
     )
     q.awaitTermination()
+
+
+# ------------------------------------------------------ stream_agent_loops
+
+LOOPS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("n_turns", T.LongType()),
+        T.StructField("max_run", T.LongType()),
+        T.StructField("period2_run", T.LongType()),
+        T.StructField("loop_flag", T.BooleanType()),
+    ]
+)
+
+# State per conversation: the last TWO step signatures plus five
+# counters — O(1) bytes per active conversation, independent of length.
+LOOPS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("sig1", T.StringType()),   # previous turn
+        T.StructField("sig2", T.StringType()),   # two back
+        T.StructField("n", T.LongType()),
+        T.StructField("cur_run", T.LongType()),
+        T.StructField("max_run", T.LongType()),
+        T.StructField("cur_s2", T.LongType()),
+        T.StructField("max_s2", T.LongType()),
+    ]
+)
+
+_LOOP_MIN_RUN = 4
+_LOOP_MIN_ALT = 6
+
+
+def _loops_fn(key, pdfs, state):
+    """Per-conversation loop counters across micro-batches: the same
+    recurrence as conversation.agent_loops, folded one turn at a time.
+    Emits the conversation's CURRENT totals once per micro-batch that
+    touches it (update-stream semantics); after the final batch the
+    latest emission per conversation equals the batch operator's row
+    exactly (pick it with max(n_turns) — n_turns is monotone).
+    Signature = md5(role ␟ tool ␟ text), identical bytes to the batch
+    twin.  Assumes per-conversation turn_idx order across micro-batches
+    (like _sft_fn); within a batch the sort restores it."""
+    import hashlib
+
+    import pandas as pd
+
+    rows = pd.concat(list(pdfs)).sort_values("turn_idx")
+    if state.exists:
+        sig1, sig2, n, cur_run, max_run, cur_s2, max_s2 = state.get
+    else:
+        sig1, sig2, n, cur_run, max_run, cur_s2, max_s2 = (
+            None, None, 0, 0, 0, 0, 0,
+        )
+    for r in rows.itertuples(index=False):
+        sig = hashlib.md5(
+            f"{r.role}\x1f{r.tool}\x1f{r.text}".encode()
+        ).hexdigest()
+        n += 1
+        cur_run = cur_run + 1 if sig == sig1 else 1
+        max_run = max(max_run, cur_run)
+        cur_s2 = cur_s2 + 1 if sig == sig2 else 0
+        max_s2 = max(max_s2, cur_s2)
+        sig2, sig1 = sig1, sig
+    state.update((sig1, sig2, n, cur_run, max_run, cur_s2, max_s2))
+    period2 = min(max_s2 + 2, n)
+    yield pd.DataFrame(
+        [
+            (
+                key[0],
+                n,
+                max_run,
+                period2,
+                bool(max_run >= _LOOP_MIN_RUN or period2 >= _LOOP_MIN_ALT),
+            )
+        ],
+        columns=[
+            "conv_id", "n_turns", "max_run", "period2_run", "loop_flag",
+        ],
+    )
+
+
+def stream_agent_loops(
+    spark: SparkSession,
+    turns_path: str,
+    checkpoint_dir: str,
+    sink_table: str = "stream_agent_loops",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``conversation.agent_loops`` (custom stateful
+    operator, applyInPandasWithState): per-conversation stuck-loop
+    counters maintained incrementally with O(1) state — the last two
+    step signatures and five counters — so a 10^6-turn conversation
+    costs the same state as a 5-turn one.
+
+    Emission is update-style (current totals per touched conversation
+    per micro-batch); the returned frame keeps each conversation's
+    latest emission (max n_turns — monotone), which after availableNow
+    drains the source equals the batch operator's output exactly and
+    shares its oracle."""
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),
+        ]
+    )
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.load(turns_path)
+    totals = (
+        src.select("conv_id", "turn_idx", "role", "text", "tool")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _loops_fn,
+            outputStructType=LOOPS_OUTPUT_SCHEMA,
+            stateStructType=LOOPS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table(sink_table)
+    last = emitted.groupBy("conv_id").agg(
+        F.max(
+            F.struct("n_turns", "max_run", "period2_run", "loop_flag")
+        ).alias("s")
+    )
+    return last.select(
+        "conv_id", "s.n_turns", "s.max_run", "s.period2_run", "s.loop_flag"
+    )

@@ -278,3 +278,76 @@ def test_agent_loops_detects_planted_failure_modes(spark):
     # identical runs match period 2 as well, capped at n_turns
     assert stuck["period2_run"] == 5
     assert (pp["max_run"], pp["period2_run"], pp["loop_flag"]) == (1, 6, True)
+
+
+# ------------------------------------------------ stream_agent_loops
+
+
+def test_stream_agent_loops_split_invariance_and_batch_parity(
+    spark, tmp_path
+):
+    """The streaming loop detector must (a) be invariant to micro-batch
+    splits that cut straight through a loop run / a period-2 cycle and
+    (b) reproduce the batch agent_loops output exactly (thresholds
+    min_run=4 / min_alt=6 match the streaming module constants)."""
+    import os
+
+    import pandas as pd
+
+    from engine.spark import streaming
+
+    rows = []
+    # stuck conv: one step repeated 7 times
+    for i in range(7):
+        rows.append(("stuck", i, "assistant", "retry", "browser"))
+    # ping-pong: A B A B A B A B
+    for i in range(8):
+        rows.append(("pp", i, "assistant", "ab"[i % 2], ""))
+    # healthy conv with a short 2-run
+    for i, t in enumerate(["x", "x", "y", "z"]):
+        rows.append(("ok", i, "assistant", t, ""))
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+
+    one = str(tmp_path / "one")
+    os.makedirs(one, exist_ok=True)
+    pdf.to_parquet(os.path.join(one, "all.parquet"), index=False)
+    got_one = streaming.stream_agent_loops(
+        spark, one, str(tmp_path / "ck1"), sink_table="sloops_one"
+    ).toPandas()
+
+    # split files cut the stuck run at 3|4 and the cycle mid-period
+    split = str(tmp_path / "split")
+    os.makedirs(split, exist_ok=True)
+    for i, (lo, hi) in enumerate([(0, 2), (3, 4), (5, 7)]):
+        part = pdf[(pdf.turn_idx >= lo) & (pdf.turn_idx <= hi)]
+        part.to_parquet(os.path.join(split, f"part-{i}.parquet"),
+                        index=False)
+    got_split = streaming.stream_agent_loops(
+        spark, split, str(tmp_path / "ck2"), sink_table="sloops_split",
+        max_files_per_trigger=1,
+    ).toPandas()
+
+    key = ["conv_id"]
+    a = got_one.sort_values(key).reset_index(drop=True)
+    b = got_split.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    # exact parity with the batch operator at the same thresholds
+    sdf = spark.createDataFrame(pdf)
+    batch = (
+        conv.agent_loops(sdf, min_run=4, min_alt=6)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        a[batch.columns].astype(batch.dtypes.to_dict()), batch)
+
+    r = a.set_index("conv_id")
+    assert bool(r.loc["stuck", "loop_flag"]) is True
+    assert int(r.loc["stuck", "max_run"]) == 7
+    assert bool(r.loc["pp", "loop_flag"]) is True
+    assert int(r.loc["pp", "period2_run"]) == 8
+    assert bool(r.loc["ok", "loop_flag"]) is False
