@@ -6318,6 +6318,130 @@ FROM agg
 """
 
 
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (similarity.rrf_fuse):
+    a lexical BM25 top-50 leg over documents for the query {join, vector,
+    window} fused with a vector top-50 leg (exact cosine neighbors of
+    embedding 0, vec_id == doc_id in the driver tables) — rrf(d) =
+    Σ 1/(60 + rank_leg(d)), fused top-10.  Both legs keep their own scale
+    shapes (postings filtered before any shuffle / broadcast query set);
+    the fusion itself touches only the two K-row candidate lists."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = etext.bm25_topk(
+        docs, ["join", "vector", "window"], k=50
+    ).select("doc_id", "rank")
+    vec = similarity.brute_force_topk(emb, n_queries=1, k=50).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return similarity.rrf_fuse(lex, vec, k0=60, k=10)
+
+
+SQL_RRF_FUSION = r"""
+WITH stats AS (
+  SELECT count(*) AS n_docs,
+         avg(CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(text),
+                                            '[ \t\n\x0b\f\r]+')) END)
+           AS avgdl
+  FROM documents
+), toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+           ELSE len(regexp_split_to_array(trim(text),
+                                          '[ \t\n\x0b\f\r]+')) END AS dl,
+         unnest(regexp_split_to_array(trim(lower(text)),
+                                      '[ \t\n\x0b\f\r]+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+  FROM toks WHERE term IN ('join', 'vector', 'window')
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         round(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)),
+               6)::DECIMAL(20,6) AS s_
+  FROM tf JOIN df USING (term) CROSS JOIN stats s
+), lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank_a
+  FROM (SELECT doc_id, sum(s_)::DECIMAL(20,6) AS score
+        FROM scored GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT 50)
+), base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), qv AS (
+  SELECT v AS q FROM base WHERE vec_id = 0
+), vs AS (
+  SELECT b.vec_id AS doc_id,
+         round(list_inner_product(qv.q, b.v) /
+               (sqrt(list_inner_product(qv.q, qv.q)) *
+                sqrt(list_inner_product(b.v, b.v))), 6) AS cs
+  FROM base b CROSS JOIN qv WHERE b.vec_id != 0
+), vec AS (
+  SELECT doc_id, rank_b FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY cs DESC, doc_id)::BIGINT AS rank_b
+    FROM vs
+  ) WHERE rank_b <= 50
+), fused AS (
+  SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id, rank_a, rank_b,
+         round(COALESCE(1.0::DOUBLE / (60 + rank_a), 0)
+               + COALESCE(1.0::DOUBLE / (60 + rank_b), 0), 6) AS rrf_score
+  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+), top AS (
+  SELECT * FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+)
+SELECT doc_id, rank_a, rank_b, rrf_score,
+       row_number() OVER (ORDER BY rrf_score DESC, doc_id)::BIGINT AS rank
+FROM top
+"""
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact-duplication matrix (dedup.source_overlap) —
+    distinct shared fingerprints per source pair, never a doc×doc self
+    join.  The planted 'mirror' source (docs 0-149 relabeled) guarantees
+    every original source shares fingerprints with it, firing the pair
+    expansion and the jaccard arithmetic under the oracle."""
+    d = _t(spark, sf_dir, "documents")
+    planted = d.filter(F.col("doc_id") < 150).withColumn(
+        "source", F.lit("mirror")
+    )
+    return dedup.source_overlap(d.unionByName(planted))
+
+
+SQL_SOURCE_OVERLAP = r"""
+WITH d AS (
+  SELECT text, source FROM documents
+  UNION ALL
+  SELECT text, 'mirror' AS source FROM documents WHERE doc_id < 150
+), f AS (
+  SELECT DISTINCT
+         md5(lower(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS fp,
+         source AS src
+  FROM d
+), n AS (
+  SELECT src, count(*) AS n_fp FROM f GROUP BY src
+), s AS (
+  SELECT a.src AS source_a, b.src AS source_b, count(*) AS n_shared
+  FROM f a JOIN f b ON a.fp = b.fp AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT s.source_a, s.source_b, s.n_shared,
+       na.n_fp AS n_a, nb.n_fp AS n_b,
+       round(s.n_shared::DOUBLE / (na.n_fp + nb.n_fp - s.n_shared), 6)
+         AS jaccard
+FROM s
+JOIN n na ON na.src = s.source_a
+JOIN n nb ON nb.src = s.source_b
+"""
+
+
 def q_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape — customer order-count distribution: LEFT OUTER
     join customer←orders (urgent orders excluded, the "special
@@ -9051,6 +9175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "pagerank": q_pagerank,
         "bm25_topk": q_bm25,
+        "rrf_fusion": q_rrf_fusion,
+        "source_overlap": q_source_overlap,
         "triangle_counts": q_triangle_counts,
         "stream_funnel": q_stream_funnel,
         "heavy_hitters": q_heavy_hitters,
@@ -9268,6 +9394,8 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": SQL_COHORT_RETENTION,
         "pagerank": SQL_PAGERANK,
         "bm25_topk": SQL_BM25,
+        "rrf_fusion": SQL_RRF_FUSION,
+        "source_overlap": SQL_SOURCE_OVERLAP,
         "triangle_counts": SQL_TRIANGLE_COUNTS,
         "stream_funnel": SQL_EVENT_FUNNEL,  # shared: stream == batch exactly
         "heavy_hitters": SQL_HEAVY_HITTERS,

@@ -1305,3 +1305,97 @@ def incremental_clusters(
             F.coalesce("cluster_id", F.col("_lab")).alias("cluster_id"),
         )
     )
+
+
+# ------------------------------------------------- cross-source overlap
+def source_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source exact-duplication matrix — for every pair of corpus
+    sources, how many distinct normalized fingerprints they share: the
+    mixture-overlap heatmap a curation pass reads before weighting
+    sources (a source that is 80% contained in another should not be
+    double-counted by mixture_sample).
+
+    Returns (source_a, source_b, n_shared, n_a, n_b, jaccard) with
+    source_a < source_b; n_a/n_b are each source's distinct-fingerprint
+    counts and jaccard = n_shared / (n_a + n_b − n_shared).
+
+    Scale shape (the reason this is NOT a doc×doc self-join, and why the
+    corpus is scanned exactly ONCE): dedupe to distinct (fingerprint,
+    source) — one partial-agg shuffle; group by fingerprint collecting
+    the sorted source set (bounded by the number of sources, 10¹-10²,
+    never corpus-sized); from each group emit, JVM-side in one explode,
+    BOTH the < pairs (flatten ∘ transform², ≤ C(n_sources,2) structs)
+    AND two per-source total markers ((src, NULL) / (NULL, src)), so a
+    single tiny count agg yields pair counts and per-source fingerprint
+    totals together — no second pass over the corpus for the totals,
+    which instead resolve via two windows over the ≤ n_sources²-row agg
+    (max of the marker rows inside each source_a / source_b partition).
+    At 10^12 docs the only corpus-wide work is the two hash exchanges on
+    fingerprint; everything after is source-cardinality-sized.
+
+    Cross-engine exactness: counts are integers; jaccard is one IEEE
+    double division rounded to 6 dp — no float-sum ordering anywhere.
+    """
+    from pyspark.sql import Window
+
+    d = docs.select(
+        fingerprint(F.col(text_col)).alias("fp"),
+        F.col(source_col).alias("src"),
+    ).dropDuplicates(["fp", "src"])
+    grp = d.groupBy("fp").agg(
+        F.array_sort(F.collect_set("src")).alias("srcs")
+    )
+    null_s = F.lit(None).cast("string")
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("srcs"),
+                lambda a: F.transform(
+                    F.col("srcs"),
+                    lambda b: F.struct(a.alias("sa"), b.alias("sb")),
+                ),
+            )
+        ),
+        lambda p: p["sa"] < p["sb"],
+    )
+    a_marks = F.transform(
+        F.col("srcs"), lambda s: F.struct(s.alias("sa"), null_s.alias("sb"))
+    )
+    b_marks = F.transform(
+        F.col("srcs"), lambda s: F.struct(null_s.alias("sa"), s.alias("sb"))
+    )
+    items = grp.select(
+        F.explode(F.concat(pairs, a_marks, b_marks)).alias("p")
+    )
+    agg = items.groupBy(
+        F.col("p.sa").alias("sa"), F.col("p.sb").alias("sb")
+    ).agg(F.count("*").alias("cnt"))
+    w_a = Window.partitionBy("sa")
+    w_b = Window.partitionBy("sb")
+    return (
+        agg.withColumn(
+            "n_a",
+            F.max(F.when(F.col("sb").isNull(), F.col("cnt"))).over(w_a),
+        )
+        .withColumn(
+            "n_b",
+            F.max(F.when(F.col("sa").isNull(), F.col("cnt"))).over(w_b),
+        )
+        .filter(F.col("sa").isNotNull() & F.col("sb").isNotNull())
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            F.col("cnt").alias("n_shared"),
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("cnt")
+                / (F.col("n_a") + F.col("n_b") - F.col("cnt")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

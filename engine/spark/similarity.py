@@ -1082,3 +1082,74 @@ def retrieval_metrics(
             6,
         ).alias("mrr"),
     )
+
+
+# --------------------------------------------------- reciprocal-rank fusion
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09) of
+    two ranked candidate lists — the standard hybrid-retrieval combiner
+    for a lexical leg (BM25) and a vector leg (embedding cosine):
+
+        rrf(d) = Σ_legs 1 / (k0 + rank_leg(d)),   missing leg → 0.
+
+    Returns the fused top-``k``: (id, rank_a, rank_b, rrf_score, rank),
+    ties broken by id so the ordering is deterministic across engines.
+
+    Cross-engine exactness: ranks are integers, each term is ONE IEEE
+    double division (deterministic in any IEEE-754 engine), the score is
+    a fixed-order sum of exactly two terms rounded to 6 dp — no
+    aggregation-order ambiguity, so the DuckDB twin is bit-exact.
+
+    Scale notes: fusion runs over per-query candidate lists (≤ K rows
+    per leg, K ~ 10²-10³), never the corpus — the expensive part is the
+    legs, which keep their own scale shapes (bm25_topk filters postings
+    before any shuffle; brute_force_topk broadcasts the query set).  The
+    outer join of two K-row lists broadcasts; the final window sorts ≤2K
+    rows.  For a multi-query workload the same plan applies with the
+    join and window keyed by query_id — shape unchanged.
+
+    Reference scope: the reference app has no retrieval layer at all
+    (sequential OCR calls, mistralocr_app.py:241-245); this is part of
+    the engine's LLM-corpus toolkit (hybrid search over extracted text).
+    """
+    a = ranked_a.select(
+        F.col(id_col).alias("_id"),
+        F.col(rank_col).cast("long").alias("rank_a"),
+    )
+    b = ranked_b.select(
+        F.col(id_col).alias("_id"),
+        F.col(rank_col).cast("long").alias("rank_b"),
+    )
+    fused = a.join(b, "_id", "full_outer").select(
+        F.col("_id").alias(id_col),
+        "rank_a",
+        "rank_b",
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / (F.lit(k0) + F.col("rank_a")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(k0) + F.col("rank_b")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf_score"),
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col))
+    return (
+        fused.orderBy(F.col("rrf_score").desc(), F.col(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            "rank_a",
+            "rank_b",
+            "rrf_score",
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+    )

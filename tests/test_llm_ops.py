@@ -1224,3 +1224,82 @@ def test_retrieval_metrics_perfect_ranking_is_1(spark):
     )
     out = similarity.retrieval_metrics(truth, truth, k=5).collect()[0]
     assert (out["recall"], out["ndcg"], out["mrr"]) == (1.0, 1.0, 1.0)
+
+
+# --------------------------------------------------- reciprocal-rank fusion
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF on two tiny hand-built lists: shared ids sum both legs,
+    one-leg ids contribute only their own term, ordering deterministic
+    (score desc, id asc) with dense sequential ranks."""
+    from engine.spark import similarity
+
+    a = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id: long, rank: long"
+    )
+    b = spark.createDataFrame(
+        [(20, 1), (40, 2), (10, 3)], "doc_id: long, rank: long"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in similarity.rrf_fuse(a, b, k0=60, k=10).collect()
+    }
+    assert set(out) == {10, 20, 30, 40}
+    # doc 20: 1/62 + 1/61; doc 10: 1/61 + 1/63
+    assert out[20]["rrf_score"] == round(1 / 62 + 1 / 61, 6)
+    assert out[10]["rrf_score"] == round(1 / 61 + 1 / 63, 6)
+    # one-leg docs: missing leg contributes exactly 0, rank col is NULL
+    assert out[30]["rrf_score"] == round(1 / 63, 6)
+    assert out[30]["rank_b"] is None
+    assert out[40]["rrf_score"] == round(1 / 62, 6)
+    assert out[40]["rank_a"] is None
+    # fused order: 20 > 10 > 40 (1/62) > 30 (1/63)
+    assert [out[i]["rank"] for i in (20, 10, 40, 30)] == [1, 2, 3, 4]
+
+
+def test_rrf_fuse_k_truncates(spark):
+    from engine.spark import similarity
+
+    a = spark.createDataFrame(
+        [(i, i) for i in range(1, 9)], "doc_id: long, rank: long"
+    )
+    b = spark.createDataFrame(
+        [(i + 100, i) for i in range(1, 9)], "doc_id: long, rank: long"
+    )
+    rows = similarity.rrf_fuse(a, b, k0=60, k=5).collect()
+    assert len(rows) == 5
+    # equal scores tie-break on id: doc 1 (a-leg) before doc 101 (b-leg)
+    assert [r["doc_id"] for r in rows[:2]] == [1, 101]
+
+
+# ------------------------------------------------------- source overlap
+
+
+def test_source_overlap_hand_computed(spark):
+    """Three sources; web∩wiki share 2 fingerprints (one via whitespace
+    normalization), wiki∩cc share 1, web∩cc share none → absent row."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta", "web"),
+            (2, "alpha   beta", "wiki"),   # ws-normalizes to doc 1
+            (3, "gamma delta", "web"),
+            (4, "gamma delta", "wiki"),
+            (5, "epsilon", "wiki"),
+            (6, "epsilon", "cc"),
+            (7, "zeta only web", "web"),
+            (8, "eta only cc", "cc"),
+        ],
+        "doc_id: long, text: string, source: string",
+    )
+    rows = {
+        (r["source_a"], r["source_b"]): r
+        for r in dedup.source_overlap(docs).collect()
+    }
+    assert set(rows) == {("web", "wiki"), ("cc", "wiki")}
+    ww = rows[("web", "wiki")]
+    assert (ww["n_shared"], ww["n_a"], ww["n_b"]) == (2, 3, 3)
+    assert ww["jaccard"] == round(2 / 4, 6)
+    cw = rows[("cc", "wiki")]
+    assert (cw["n_shared"], cw["n_a"], cw["n_b"]) == (1, 2, 3)
+    assert cw["jaccard"] == round(1 / 4, 6)

@@ -1218,3 +1218,34 @@ def test_zorder_key_no_data_shuffle(spark):
     assert "Exchange hashpartitioning" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
     assert "PythonUDF" not in plan, plan
+
+
+def test_source_overlap_no_doc_self_join(spark):
+    """The pair expansion happens JVM-side inside per-fingerprint source
+    arrays (bounded by n_sources), never a doc-grain self-join, and the
+    per-source totals come out of the SAME single aggregation as the
+    pair counts (marker rows + two tiny windows) — so the corpus scans
+    exactly once per union branch and no join of any kind appears."""
+    df = entry_mod.q_source_overlap(spark, SF_DIR)
+    plan = _plan(df)
+    scans = [
+        ln
+        for ln in plan.splitlines()
+        if "Scan parquet" in ln and "documents" in ln
+    ]
+    assert len(scans) <= 2, plan  # original + planted-mirror branch
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_rrf_fusion_fuses_candidate_lists_only(spark):
+    """Fusion joins the two K-row candidate lists (full outer on id),
+    never the corpus: the corpus-grain work stays inside the legs
+    (postings filter before shuffle / broadcast query set), and no
+    cartesian or NL join appears anywhere in the fused plan."""
+    df = entry_mod.q_rrf_fusion(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # the only nested-loop is the 1-row broadcast query/stats sides
+    # riding the legs; the fusion join itself is keyed on the id
+    assert "TakeOrderedAndProject" in plan or "Sort" in plan, plan
