@@ -475,6 +475,9 @@ RELATIONAL = [
     "leakage_safe_split",
     "url_host_stats",
     "incremental_clusters",
+    # round-5 session-7 additions
+    "rrf_fusion",
+    "source_overlap",
 ]
 
 
