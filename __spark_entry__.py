@@ -6402,6 +6402,43 @@ FROM top
 """
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(label, dim) mean drift between two embedding snapshots
+    (similarity.embedding_drift) — snapshots = even/odd vec_id halves of
+    the driver table.  Values snap to the fixed micro grid
+    floor(v·10⁶+0.5) so group sums are exact integers; one partial-agg
+    exchange per snapshot, tiny broadcast join after."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_drift(
+        e.filter(F.col("vec_id") % 2 == 0),
+        e.filter(F.col("vec_id") % 2 == 1),
+    )
+
+
+SQL_EMBEDDING_DRIFT = r"""
+WITH e AS (
+  SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS v,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings
+), c AS (
+  SELECT vec_id, label, dim, floor(v * 1000000.0 + 0.5)::BIGINT AS c
+  FROM e
+), a AS (
+  SELECT label, dim, sum(c) AS sum_a, count(*) AS n_a
+  FROM c WHERE vec_id % 2 = 0 GROUP BY 1, 2
+), b AS (
+  SELECT label, dim, sum(c) AS sum_b, count(*) AS n_b
+  FROM c WHERE vec_id % 2 = 1 GROUP BY 1, 2
+)
+SELECT a.label, a.dim::BIGINT AS dim, n_a, n_b,
+       round(sum_a / n_a / 1000000.0, 6) AS mean_a,
+       round(sum_b / n_b / 1000000.0, 6) AS mean_b,
+       round(sum_b / n_b / 1000000.0 - sum_a / n_a / 1000000.0, 6)
+         AS drift
+FROM a JOIN b USING (label, dim)
+"""
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source exact-duplication matrix (dedup.source_overlap) —
     distinct shared fingerprints per source pair, never a doc×doc self
@@ -9177,6 +9214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25,
         "rrf_fusion": q_rrf_fusion,
         "source_overlap": q_source_overlap,
+        "embedding_drift": q_embedding_drift,
         "triangle_counts": q_triangle_counts,
         "stream_funnel": q_stream_funnel,
         "heavy_hitters": q_heavy_hitters,
@@ -9396,6 +9434,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": SQL_BM25,
         "rrf_fusion": SQL_RRF_FUSION,
         "source_overlap": SQL_SOURCE_OVERLAP,
+        "embedding_drift": SQL_EMBEDDING_DRIFT,
         "triangle_counts": SQL_TRIANGLE_COUNTS,
         "stream_funnel": SQL_EVENT_FUNNEL,  # shared: stream == batch exactly
         "heavy_hitters": SQL_HEAVY_HITTERS,

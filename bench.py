@@ -478,6 +478,7 @@ RELATIONAL = [
     # round-5 session-7 additions
     "rrf_fusion",
     "source_overlap",
+    "embedding_drift",
 ]
 
 

@@ -1153,3 +1153,65 @@ def rrf_fuse(
             F.row_number().over(w).cast("long").alias("rank"),
         )
     )
+
+
+# ------------------------------------------------------ embedding drift
+def embedding_drift(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-(label, dimension) mean shift between two embedding corpus
+    snapshots — the drift monitor a production embedding pipeline runs
+    when the encoder version changes or a new ingest lands: a dimension
+    whose class-conditional mean moves is a re-index / re-train signal.
+
+    Returns (label, dim, n_a, n_b, mean_a, mean_b, drift) with
+    drift = mean_b − mean_a, means/drift rounded to 6 dp.
+
+    Cross-engine exactness: each value is snapped to a fixed micro grid
+    ``floor(v·10⁶ + 0.5)`` (the same explicit half-up device as
+    quantize_embeddings — float→double widening is exact in any IEEE
+    engine, and one multiply/add/floor chain is deterministic), so the
+    per-group accumulations are EXACT INTEGER sums with no float-sum
+    order ambiguity; means are two IEEE divisions of those integers.
+
+    Scale shape: posexplode → ONE partial-agg exchange per snapshot
+    keyed (label, dim) — map-side combine absorbs the d× row explosion
+    before any network move, so 10^10 vectors × 10³ dims shuffle only
+    |labels|·|dims| partial rows per map task; the final join touches
+    two (labels × dims)-sized tables (broadcast)."""
+    micro = F.lit(1000000.0)
+
+    def _stats(e: DataFrame, tag: str) -> DataFrame:
+        ex = e.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(_as_double(F.col(vec_col))).alias("dim", "v"),
+        )
+        code = F.floor(F.col("v") * micro + F.lit(0.5)).cast("long")
+        return (
+            ex.select("label", "dim", code.alias("c"))
+            .groupBy("label", "dim")
+            .agg(
+                F.sum("c").alias(f"sum_{tag}"),
+                F.count("*").alias(f"n_{tag}"),
+            )
+        )
+
+    a = _stats(emb_a, "a")
+    b = _stats(emb_b, "b")
+    mean_a = F.col("sum_a") / F.col("n_a") / micro
+    mean_b = F.col("sum_b") / F.col("n_b") / micro
+    return (
+        a.join(F.broadcast(b), ["label", "dim"])
+        .select(
+            "label",
+            F.col("dim").cast("long").alias("dim"),
+            "n_a",
+            "n_b",
+            F.round(mean_a, 6).alias("mean_a"),
+            F.round(mean_b, 6).alias("mean_b"),
+            F.round(mean_b - mean_a, 6).alias("drift"),
+        )
+    )

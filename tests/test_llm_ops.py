@@ -1303,3 +1303,32 @@ def test_source_overlap_hand_computed(spark):
     cw = rows[("cc", "wiki")]
     assert (cw["n_shared"], cw["n_a"], cw["n_b"]) == (1, 2, 3)
     assert cw["jaccard"] == round(1 / 4, 6)
+
+
+# ------------------------------------------------------ embedding drift
+
+
+def test_embedding_drift_hand_computed(spark):
+    """Two 2-dim snapshots with one shared label: exact integer-grid
+    means and drift, hand-computed."""
+    from engine.spark import similarity
+
+    a = spark.createDataFrame(
+        [(1, [1.0, 2.0], 7), (2, [3.0, 4.0], 7)],
+        "vec_id: long, embedding: array<float>, label: int",
+    )
+    b = spark.createDataFrame(
+        [(3, [2.0, 0.0], 7), (4, [4.0, 2.0], 7), (5, [9.0], 8)],
+        "vec_id: long, embedding: array<float>, label: int",
+    )
+    rows = {
+        (r["label"], r["dim"]): r
+        for r in similarity.embedding_drift(a, b).collect()
+    }
+    # label 8 exists only in snapshot b -> inner join drops it
+    assert set(rows) == {(7, 0), (7, 1)}
+    d0 = rows[(7, 0)]
+    assert (d0["n_a"], d0["n_b"]) == (2, 2)
+    assert (d0["mean_a"], d0["mean_b"], d0["drift"]) == (2.0, 3.0, 1.0)
+    d1 = rows[(7, 1)]
+    assert (d1["mean_a"], d1["mean_b"], d1["drift"]) == (3.0, 1.0, -2.0)

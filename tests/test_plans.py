@@ -1249,3 +1249,16 @@ def test_rrf_fusion_fuses_candidate_lists_only(spark):
     # the only nested-loop is the 1-row broadcast query/stats sides
     # riding the legs; the fusion join itself is keyed on the id
     assert "TakeOrderedAndProject" in plan or "Sort" in plan, plan
+
+
+def test_embedding_drift_one_exchange_per_snapshot(spark):
+    """The d-times row explosion is absorbed by map-side partial agg:
+    exactly one hash exchange per snapshot (plus the tiny broadcast for
+    the join), never a re-shuffle of exploded rows, no cartesian."""
+    df = entry_mod.q_embedding_drift(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # partial agg before the exchange (map-side combine)
+    assert "partial_sum" in plan or "partial_count" in plan, plan
