@@ -241,7 +241,14 @@ single capped host.
         "SPARK_GRAFT_SCALING_OUT",
         "SCALING_" + "_".join(map(str, LEGS)) + "_latest.md",
     )
-    path = os.path.join(HERE, "BENCH", out_name)
+    # accept bare names, BENCH/-prefixed names, and absolute paths alike:
+    # a malformed path must never discard a finished 20-minute run
+    if os.path.isabs(out_name):
+        path = out_name
+    else:
+        rel = out_name.removeprefix("BENCH/").removeprefix("BENCH" + os.sep)
+        path = os.path.join(HERE, "BENCH", rel)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         f.write(md)
     print(
