@@ -9057,6 +9057,125 @@ FROM h GROUP BY host ORDER BY host
 """
 
 
+def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded weighted shortest paths (analytics.sssp_weighted) over
+    the supplier↔customer trade graph of q_bfs_distance, edge weight =
+    the cheapest lineitem quantity on that trade lane, seeds at
+    suppliers 1-5, 3 relaxation rounds.  Delta-relaxation Bellman-Ford
+    as dataflow; the DuckDB twin unrolls the same recurrence as three
+    plain aggregate CTE levels (never a recursive CTE, whose frontier
+    carries every distinct (node, dist) pair and explodes on dense
+    graphs)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_suppkey").cast("long").alias("s"),
+        (F.col("o_custkey") + 100000).cast("long").alias("c"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    edges = j.select(
+        F.col("s").alias("src"), F.col("c").alias("dst"), "w"
+    ).unionAll(j.select(F.col("c").alias("src"), F.col("s").alias("dst"), "w"))
+    seeds = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") <= 5)
+        .select(F.col("s_suppkey").cast("long").alias("node"))
+    )
+    return analytics.sssp_weighted(
+        edges, seeds, max_hops=3, weight_col="w"
+    ).orderBy("node")
+
+
+SQL_SSSP_WEIGHTED = """
+WITH trade AS (
+  SELECT l_suppkey::BIGINT AS s, (o_custkey + 100000)::BIGINT AS c,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT src, dst, min(w) AS w FROM (
+    SELECT s AS src, c AS dst, w FROM trade
+    UNION ALL SELECT c AS src, s AS dst, w FROM trade
+  ) GROUP BY src, dst
+), d0 AS (
+  SELECT s_suppkey::BIGINT AS node, 0::BIGINT AS dist
+  FROM supplier WHERE s_suppkey <= 5
+), d1 AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d0
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM d0 d JOIN edges e ON d.node = e.src
+  ) GROUP BY node
+), d2 AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d1
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM d1 d JOIN edges e ON d.node = e.src
+  ) GROUP BY node
+), d3 AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d2
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM d2 d JOIN edges e ON d.node = e.src
+  ) GROUP BY node
+)
+SELECT node, dist FROM d3 ORDER BY node
+"""
+
+
+def q_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent open intervals per event type
+    (analytics.concurrency_peak): each event opens a half-open
+    interval of 1..3600 s derived deterministically from its value;
+    the sweep-line prefix sum is DISTRIBUTED (range-partition + local
+    cumsum + broadcast block offsets — never a per-type window over
+    fact rows).  The DuckDB twin IS the per-type window running sum —
+    the shape Spark must avoid — two derivations, same integers."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    s_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    dur_s = F.floor(F.abs(F.col("value"))).cast("long") % 3600 + 1
+    iv = ev.select(
+        "event_type",
+        s_us.alias("s_us"),
+        (s_us + dur_s * 1000000).alias("e_us"),
+        "event_id",
+    )
+    return analytics.concurrency_peak(
+        iv, "event_type", "s_us", "e_us", "event_id"
+    ).orderBy("event_type")
+
+
+SQL_CONCURRENCY_PEAK = """
+WITH iv AS (
+  SELECT event_type AS k, epoch_us(ts) AS s,
+         epoch_us(ts)
+           + (CAST(floor(abs(value)) AS BIGINT) % 3600 + 1) * 1000000
+           AS e,
+         event_id AS i
+  FROM events WHERE value IS NOT NULL
+), d AS (
+  SELECT k, s AS t, 1 AS d, i FROM iv
+  UNION ALL SELECT k, e AS t, -1 AS d, i FROM iv
+), r AS (
+  SELECT k, t,
+         sum(d) OVER (PARTITION BY k ORDER BY t, d, i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM d
+), p AS (
+  SELECT k, max(run) AS peak FROM r GROUP BY k
+)
+SELECT r.k AS event_type, p.peak::BIGINT AS peak,
+       min(r.t)::BIGINT AS at_us
+FROM r JOIN p ON r.k = p.k AND r.run = p.peak
+GROUP BY r.k, p.peak
+ORDER BY event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples
     # the first 50 keys.  Per the r4 verdict ask #6 the 37 keys whose
@@ -9127,6 +9246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "minhash_lsh": q_minhash_lsh,
         # -- round-5 additions (never driver-checked)
+        "sssp_weighted": q_sssp_weighted,
+        "concurrency_peak": q_concurrency_peak,
         "bitext_pairs": q_bitext_pairs,
         "retrieval_ndcg": q_retrieval_ndcg,
         "zorder_cluster": q_zorder_cluster,
@@ -9402,6 +9523,8 @@ def oracle_sql() -> dict[str, str]:
         "join_cardinality": SQL_JOIN_CARDINALITY,
         "pareto_frontier": SQL_PARETO_FRONTIER,
         "bfs_distance": SQL_BFS_DISTANCE,
+        "sssp_weighted": SQL_SSSP_WEIGHTED,
+        "concurrency_peak": SQL_CONCURRENCY_PEAK,
         "twap": SQL_TWAP,
         "window_funnel": SQL_WINDOW_FUNNEL,
         "text_normalize": SQL_TEXT_NORMALIZE,

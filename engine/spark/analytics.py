@@ -841,6 +841,182 @@ def bfs_distance(
     return dist
 
 
+def sssp_weighted(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+    node_col: str = "node",
+) -> DataFrame:
+    """Bounded WEIGHTED single/multi-source shortest paths — Bellman-
+    Ford as dataflow.  After ``max_hops`` rounds each node carries the
+    exact minimum total weight over paths using at most ``max_hops``
+    edges (the standard BF invariant), which is a well-defined,
+    oracle-able contract even when longer cheaper paths exist.
+
+    Delta relaxation, same Pregel-as-dataflow discipline as
+    :func:`bfs_distance` / :func:`pagerank_fixedpoint`: each round
+    relaxes ONLY the nodes whose distance improved last round (one
+    frontier⋈edges equi-join + one groupBy-min + one null-safe join
+    against the standing distance map).  Exactness of the shortcut: if
+    dist_i(v) < dist_{i-1}(v) then the predecessor u on the improving
+    ≤i-edge path itself improved at round i-1 (else the relaxation was
+    already available a round earlier), so u is in the delta — the
+    classic queue-based BF argument.  The frontier SHRINKS as
+    distances converge; rounds after convergence are no-ops on empty
+    frames.  State is |V| rows; max_hops is small and fixed, keeping
+    the unrolled lineage bounded (deep graphs: reuse the durable
+    checkpoint pattern from dedup.connected_components).
+
+    Weights must be non-negative BIGINTs (cast enforced) so min() is
+    exact and the DuckDB twin — the same recurrence unrolled as k
+    plain aggregate CTE levels, never a recursive CTE (whose frontier
+    would carry every distinct (node, dist) pair and explode on dense
+    graphs) — matches bit-for-bit.  Returns (node: long, dist: long)
+    for nodes reachable within ``max_hops`` edges, seeds at 0.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .where(F.col("w") >= 0)
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))  # parallel edges: keep the cheapest
+    )
+    dist = seeds.select(
+        F.col(node_col).cast("long").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    ).distinct()
+    delta = dist
+    for _ in range(max_hops):
+        cand = (
+            delta.alias("d")
+            .join(e.alias("e"), F.col("d.node") == F.col("e.src"))
+            .select(
+                F.col("e.dst").alias("node"),
+                (F.col("d.dist") + F.col("e.w")).alias("dist"),
+            )
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        merged = (
+            dist.alias("o")
+            .join(cand.alias("c"), "node", "full_outer")
+            .select(
+                "node",
+                F.least(F.col("o.dist"), F.col("c.dist")).alias("dist"),
+                (
+                    F.col("o.dist").isNull()
+                    | (F.col("c.dist") < F.col("o.dist"))
+                ).alias("_improved"),
+            )
+        )
+        delta = merged.where(F.col("_improved")).select("node", "dist")
+        dist = merged.select("node", "dist")
+    return dist
+
+
+def concurrency_peak(
+    intervals: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Peak concurrency per key over half-open interval rows [start,
+    end) — "what was the maximum number of simultaneously open
+    sessions, and when was it first reached?" — the capacity-planning
+    sweep-line.
+
+    The textbook query is a running sum of +1/−1 boundary deltas under
+    ``Window.partitionBy(key).orderBy(t)`` — which sorts EVERY fact
+    row of a key on one reducer, the VERDICT-r4 scale-killer for
+    low-cardinality keys (event types, tenants).  Here the prefix sum
+    is DISTRIBUTED, the same parallel-ranking shape as
+    ``diagnose.distributed_ntile``: range-repartition the boundary
+    table on (key, t, d, id) so the sort spreads over all shuffle
+    partitions; per-(range-partition, key) LOCAL cumulative sums; a
+    tiny (P × |keys|) histogram of per-block delta TOTALS yields each
+    block's starting offset via a metadata-scale window; broadcast the
+    offsets back and add.  Only the per-key max survives the final
+    partial agg.  The projected range-partitioned frame is persisted
+    (both branches must observe one boundary sample — the
+    distributed_ntile discipline, shared _NTILE_CACHE).
+
+    Half-open semantics: an interval ending at t does not overlap one
+    starting at t, so −1 deltas order BEFORE +1 at equal t (d asc).
+    Empty intervals (start ≥ end) are dropped.  Timestamps are exact
+    BIGINT microseconds end-to-end; counts are integers; ties on the
+    peak resolve to the EARLIEST boundary instant — all argmax
+    arithmetic exact, so the DuckDB twin (a plain window running sum,
+    the shape Spark must avoid) matches bit-for-bit.  Output:
+    (key_col, peak: long, at_us: long).
+    """
+    from .diagnose import _ntile_cache_put
+
+    iv = intervals.select(
+        F.col(key_col).alias("k"),
+        F.col(start_col).cast("long").alias("s"),
+        F.col(end_col).cast("long").alias("e"),
+        F.col(id_col).alias("i"),
+    ).where(F.col("s") < F.col("e"))
+    deltas = iv.select(
+        "k", F.col("s").alias("t"), F.lit(1).alias("d"), "i"
+    ).unionAll(
+        iv.select("k", F.col("e").alias("t"), F.lit(-1).alias("d"), "i")
+    )
+    order = [
+        F.col("k").asc(),
+        F.col("t").asc(),
+        F.col("d").asc(),
+        F.col("i").asc(),
+    ]
+    spark = intervals.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    keyed = deltas.repartitionByRange(nparts, *order).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    keyed = _ntile_cache_put(keyed)
+    local = keyed.withColumn(
+        "lcum",
+        F.sum("d").over(
+            Window.partitionBy("pid", "k")
+            .orderBy(F.col("t").asc(), F.col("d").asc(), F.col("i").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    # per-(pid, key) delta totals: ≤ P×|keys| rows — metadata scale;
+    # each block's offset is the sum of the SAME key's earlier blocks
+    hist = keyed.groupBy("pid", "k").agg(F.sum("d").alias("dc"))
+    w_off = Window.partitionBy("k").orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    off = hist.select(
+        F.col("pid").alias("_pid"),
+        F.col("k").alias("_k"),
+        (F.sum("dc").over(w_off) - F.col("dc")).alias("off"),
+    )
+    run = local.join(
+        F.broadcast(off),
+        (F.col("pid") == F.col("_pid")) & F.col("k").eqNullSafe(F.col("_k")),
+    ).select(
+        "k", "t", (F.col("off") + F.col("lcum")).alias("run")
+    )
+    # exact earliest-peak argmax: min over (−run, t) structs
+    best = run.groupBy("k").agg(
+        F.min(F.struct((-F.col("run")).alias("nr"), F.col("t"))).alias("b")
+    )
+    return best.select(
+        F.col("k").alias(key_col),
+        (-F.col("b.nr")).cast("long").alias("peak"),
+        F.col("b.t").alias("at_us"),
+    )
+
+
 def twap(
     events: DataFrame,
     user_col: str = "user_id",

@@ -1171,3 +1171,131 @@ def test_calibration_bins_exact_boundaries(spark):
     assert out[2]["n"] == 2 and out[2]["mean_score"] == 0.225
     assert out[9]["n"] == 2
     assert abs(out[9]["mean_score"] - 0.9999995) < 1e-6
+
+
+# ------------------------------------------- weighted shortest paths
+def test_sssp_weighted_hand_graph(spark):
+    """Cheap long path vs expensive shortcut: the ≤k-edge Bellman-Ford
+    invariant — at k=1 the shortcut wins, at k=2 the 2-edge path
+    undercuts it; parallel edges keep the cheapest; negative-weight
+    edges are dropped by contract."""
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (1, 2, 5), (2, 3, 1), (1, 3, 10), (3, 4, 1),
+         (1, 2, -7)],
+        "src: long, dst: long, weight: long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node: long")
+
+    def run(k):
+        return {
+            r.node: r.dist
+            for r in analytics.sssp_weighted(edges, seeds, max_hops=k)
+            .collect()
+        }
+
+    assert run(1) == {1: 0, 2: 1, 3: 10}
+    assert run(2) == {1: 0, 2: 1, 3: 2, 4: 11}
+    assert run(3) == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_sssp_weighted_vs_bruteforce(spark):
+    """Random sparse digraph vs a pure-Python full-relaxation
+    Bellman-Ford capped at the same round count — the delta-frontier
+    shortcut must be invisible in the results."""
+    import random
+
+    rng = random.Random(11)
+    n = 40
+    es = {(rng.randrange(n), rng.randrange(n)): rng.randrange(1, 20)
+          for _ in range(160)}
+    edges = spark.createDataFrame(
+        [(s, d, w) for (s, d), w in es.items()],
+        "src: long, dst: long, weight: long",
+    )
+    seeds_py = [0, 7]
+    seeds = spark.createDataFrame([(s,) for s in seeds_py], "node: long")
+    K = 4
+    dist = {s: 0 for s in seeds_py}
+    for _ in range(K):
+        nxt = dict(dist)
+        for (s, d), w in es.items():
+            if s in dist and dist[s] + w < nxt.get(d, float("inf")):
+                nxt[d] = dist[s] + w
+        dist = nxt
+    got = {
+        r.node: r.dist
+        for r in analytics.sssp_weighted(edges, seeds, max_hops=K)
+        .collect()
+    }
+    assert got == dist
+
+
+# ------------------------------------------------- concurrency sweep
+def test_concurrency_peak_hand(spark):
+    """Three overlapping intervals peak at 3 exactly when the third
+    opens; half-open back-to-back intervals never overlap (peak 1 at
+    the first open); empty intervals are dropped."""
+    iv = spark.createDataFrame(
+        [("A", 0, 10, 1), ("A", 5, 15, 2), ("A", 9, 12, 3),
+         ("B", 0, 5, 4), ("B", 5, 10, 5), ("B", 7, 7, 6)],
+        "k: string, s: long, e: long, i: long",
+    )
+    got = {
+        r.k: (r.peak, r.at_us)
+        for r in analytics.concurrency_peak(iv, "k", "s", "e", "i")
+        .collect()
+    }
+    assert got == {"A": (3, 9), "B": (1, 0)}
+
+
+def test_concurrency_peak_vs_bruteforce(spark):
+    """Random interval soup vs a pure-Python sweep at 32 shuffle
+    partitions — block offsets must stitch the distributed prefix sum
+    exactly, and peak ties must resolve to the earliest instant."""
+    import random
+
+    rng = random.Random(23)
+    rows = []
+    for i in range(600):
+        k = "k%d" % rng.randrange(3)
+        s = rng.randrange(0, 500)
+        rows.append((k, s, s + rng.randrange(1, 60), i))
+    # force a tie: two disjoint twin-peaks of height 2 on key t
+    rows += [("t", 100, 110, 9001), ("t", 105, 115, 9002),
+             ("t", 300, 310, 9003), ("t", 305, 315, 9004)]
+    iv = spark.createDataFrame(rows, "k: string, s: long, e: long, i: long")
+    want = {}
+    for k in {r[0] for r in rows}:
+        deltas = []
+        for kk, s, e, i in rows:
+            if kk == k and s < e:
+                deltas += [(s, 1, i), (e, -1, i)]
+        run, peak, at = 0, -1, None
+        for t, d, i in sorted(deltas):
+            run += d
+            if run > peak:
+                peak, at = run, t
+        want[k] = (peak, at)
+    got = {
+        r.k: (r.peak, r.at_us)
+        for r in analytics.concurrency_peak(iv, "k", "s", "e", "i")
+        .collect()
+    }
+    assert got == want
+    assert got["t"] == (2, 105)
+
+
+def test_concurrency_peak_no_per_key_fact_window(spark):
+    """The running sum must never plan as a per-key window over fact
+    rows: every data-sized Window partitions on (pid, k) — the bounded
+    range-partition blocks — and the only per-key window reads the
+    P×|keys| block histogram; offsets ride a BroadcastExchange."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.q_concurrency_peak(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    for ln in plan.splitlines():
+        if "Window [" in ln and "lcum" in ln:
+            assert "pid" in ln, ln
