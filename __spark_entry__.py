@@ -9176,6 +9176,149 @@ ORDER BY event_type
 """
 
 
+def q_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (diagnose.cuped_adjust):
+    units = users, variant = user_id parity, covariate x / metric y =
+    each user's exact DECIMAL value sums over even-/odd-id events
+    (correlated halves — heavy users are heavy in both, so CUPED has
+    real variance to remove).  Pooled θ from one window over the
+    2-row per-variant aggregate; every float is a fixed-order IEEE
+    chain on exact sums, mirrored verbatim in the DuckDB twin."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    d6 = lambda c: c.cast("decimal(18,6)")
+    units = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_id") % 2 == 0, d6(F.col("value")))
+            ),
+            F.lit(0),
+        )
+        .cast("decimal(18,6)")
+        .alias("x"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_id") % 2 == 1, d6(F.col("value")))
+            ),
+            F.lit(0),
+        )
+        .cast("decimal(18,6)")
+        .alias("y"),
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("variant"),
+        "x",
+        "y",
+    )
+    return diagnose.cuped_adjust(units, "variant", "x", "y")
+
+
+SQL_CUPED_ADJUST = """
+WITH unit AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+         CAST(coalesce(sum(CASE WHEN event_id % 2 = 0
+             THEN CAST(value AS DECIMAL(18,6)) END), 0)
+           AS DECIMAL(18,6)) AS x,
+         CAST(coalesce(sum(CASE WHEN event_id % 2 = 1
+             THEN CAST(value AS DECIMAL(18,6)) END), 0)
+           AS DECIMAL(18,6)) AS y
+  FROM events WHERE value IS NOT NULL GROUP BY user_id
+), per AS (
+  SELECT variant, count(*) AS n,
+         CAST(sum(x) AS DECIMAL(38,6)) AS sx,
+         CAST(sum(y) AS DECIMAL(38,6)) AS sy,
+         -- widen one operand past 18 digits so DuckDB multiplies on
+         -- the exact hugeint path (the SQL_CORR_PAIRS trick)
+         CAST(sum(CAST(x AS DECIMAL(19,6)) * y) AS DECIMAL(38,6)) AS sxy,
+         CAST(sum(CAST(x AS DECIMAL(19,6)) * x) AS DECIMAL(38,6)) AS sxx,
+         CAST(sum(CAST(y AS DECIMAL(19,6)) * y) AS DECIMAL(38,6)) AS syy
+  FROM unit GROUP BY variant
+), pooled AS (
+  SELECT *, sum(n) OVER () AS np, sum(sx) OVER () AS sxp,
+         sum(sy) OVER () AS syp, sum(sxy) OVER () AS sxyp,
+         sum(sxx) OVER () AS sxxp
+  FROM per
+)
+SELECT variant, n::BIGINT AS n,
+  round(sy::DOUBLE / n::DOUBLE, 6) AS mean_y,
+  round((np::DOUBLE * sxyp::DOUBLE - sxp::DOUBLE * syp::DOUBLE)
+      / (np::DOUBLE * sxxp::DOUBLE - sxp::DOUBLE * sxp::DOUBLE), 6)
+    AS theta,
+  round(sy::DOUBLE / n::DOUBLE
+      - ((np::DOUBLE * sxyp::DOUBLE - sxp::DOUBLE * syp::DOUBLE)
+          / (np::DOUBLE * sxxp::DOUBLE - sxp::DOUBLE * sxp::DOUBLE))
+        * (sx::DOUBLE / n::DOUBLE - sxp::DOUBLE / np::DOUBLE), 6)
+    AS mean_y_cuped,
+  round((n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+      / (n::DOUBLE * n::DOUBLE), 6) AS var_y,
+  round((n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+        / (n::DOUBLE * n::DOUBLE)
+      + ((np::DOUBLE * sxyp::DOUBLE - sxp::DOUBLE * syp::DOUBLE)
+          / (np::DOUBLE * sxxp::DOUBLE - sxp::DOUBLE * sxp::DOUBLE))
+        * ((np::DOUBLE * sxyp::DOUBLE - sxp::DOUBLE * syp::DOUBLE)
+            / (np::DOUBLE * sxxp::DOUBLE - sxp::DOUBLE * sxp::DOUBLE))
+        * ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+            / (n::DOUBLE * n::DOUBLE))
+      - 2.0 * ((np::DOUBLE * sxyp::DOUBLE - sxp::DOUBLE * syp::DOUBLE)
+          / (np::DOUBLE * sxxp::DOUBLE - sxp::DOUBLE * sxp::DOUBLE))
+        * ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+            / (n::DOUBLE * n::DOUBLE)), 6) AS var_y_cuped
+FROM pooled ORDER BY variant
+"""
+
+
+def q_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers covering 80% of each nation's discounted revenue
+    (analytics.cumulative_contribution): exact-rational threshold test
+    on DECIMAL sums — den·(cum−v) < num·total — so the crossing
+    supplier can't flip on float drift; windows run over the already-
+    reduced (nation, supplier) rollup, never fact rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    j = li.join(
+        F.broadcast(s.select("s_suppkey", "s_nationkey")),
+        li.l_suppkey == F.col("s_suppkey"),
+    ).join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return analytics.cumulative_contribution(
+        j.select("n_name", "l_suppkey", rev.alias("rev")),
+        "n_name",
+        "l_suppkey",
+        "rev",
+        threshold_num=4,
+        threshold_den=5,
+    ).orderBy("n_name", "rank")
+
+
+SQL_PARETO_SHARE = """
+WITH per AS (
+  SELECT n_name AS k, l_suppkey AS i,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+           AS v
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name, l_suppkey
+), ranked AS (
+  SELECT k, i, v,
+         row_number() OVER (PARTITION BY k ORDER BY v DESC, i ASC)
+           AS rank,
+         sum(v) OVER (PARTITION BY k ORDER BY v DESC, i ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(v) OVER (PARTITION BY k) AS total
+  FROM per
+)
+SELECT k AS n_name, i AS l_suppkey,
+       round(v::DOUBLE, 2) AS value, rank::INTEGER AS rank,
+       round(cum::DOUBLE / total::DOUBLE, 6) AS cum_share
+FROM ranked
+WHERE CAST(CAST(5 AS DECIMAL(18,4)) * (cum - v) AS DECIMAL(38,8))
+    < CAST(CAST(4 AS DECIMAL(18,4)) * total AS DECIMAL(38,8))
+ORDER BY n_name, rank
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples
     # the first 50 keys.  Per the r4 verdict ask #6 the 37 keys whose
@@ -9248,6 +9391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-5 additions (never driver-checked)
         "sssp_weighted": q_sssp_weighted,
         "concurrency_peak": q_concurrency_peak,
+        "cuped_adjust": q_cuped_adjust,
+        "pareto_share": q_pareto_share,
         "bitext_pairs": q_bitext_pairs,
         "retrieval_ndcg": q_retrieval_ndcg,
         "zorder_cluster": q_zorder_cluster,
@@ -9525,6 +9670,8 @@ def oracle_sql() -> dict[str, str]:
         "bfs_distance": SQL_BFS_DISTANCE,
         "sssp_weighted": SQL_SSSP_WEIGHTED,
         "concurrency_peak": SQL_CONCURRENCY_PEAK,
+        "cuped_adjust": SQL_CUPED_ADJUST,
+        "pareto_share": SQL_PARETO_SHARE,
         "twap": SQL_TWAP,
         "window_funnel": SQL_WINDOW_FUNNEL,
         "text_normalize": SQL_TEXT_NORMALIZE,

@@ -1199,3 +1199,70 @@ def window_funnel(
     ).groupBy("level", "event_type").agg(
         F.coalesce(F.sum("_wf_n"), F.lit(0)).cast("long").alias("users")
     )
+
+
+def cumulative_contribution(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    value_col,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """Top contributors until a share threshold per group — the 80/20
+    Pareto-contribution query ("which suppliers make up 80% of each
+    nation's revenue?").  Values aggregate to the (key, id) grain as
+    exact DECIMAL(18,4), members rank by value DESC (id ASC breaking
+    ties deterministically), and a member is kept while the cumulative
+    total BEFORE it is still below threshold_num/threshold_den of the
+    group total — so the crossing member is included and every group
+    with a positive total emits at least one row.
+
+    The threshold test is EXACT RATIONAL arithmetic on DECIMAL sums —
+    ``den·(cum − v) < num·total`` — never a float share compare, so
+    the boundary row can't flip on rounding drift; only the reported
+    cum_share is a (rounded) float.  Shape: one partial-agg shuffle to
+    the (key, id) grain, then windows over the already-reduced member
+    table (the contingency_chi2 discipline: the member grain is the
+    data-reduction; per-key member counts — suppliers per nation,
+    sources per corpus — are bounded, unlike fact rows, so the per-key
+    sort is metadata-scale; for million-member keys switch to
+    distributed_ntile's range-partition ranking).
+
+    Output: (key, id, value, rank, cum_share) for kept members.
+    """
+    v = value_col if not isinstance(value_col, str) else F.col(value_col)
+    per = (
+        df.groupBy(F.col(key_col).alias("k"), F.col(id_col).alias("i"))
+        .agg(F.sum(v.cast("decimal(18,4)")).alias("v"))
+    )
+    w = Window.partitionBy("k").orderBy(F.col("v").desc(), F.col("i").asc())
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy("k")
+    ranked = per.select(
+        "k",
+        "i",
+        "v",
+        F.row_number().over(w).alias("rank"),
+        F.sum("v").over(wc).alias("cum"),
+        F.sum("v").over(wt).alias("total"),
+    )
+    num, den = F.lit(threshold_num).cast("decimal(18,4)"), F.lit(
+        threshold_den
+    ).cast("decimal(18,4)")
+    return (
+        ranked.where(
+            (den * (F.col("cum") - F.col("v"))).cast("decimal(38,8)")
+            < (num * F.col("total")).cast("decimal(38,8)")
+        )
+        .select(
+            F.col("k").alias(key_col),
+            F.col("i").alias(id_col),
+            F.round(F.col("v").cast("double"), 2).alias("value"),
+            "rank",
+            F.round(
+                F.col("cum").cast("double") / F.col("total").cast("double"),
+                6,
+            ).alias("cum_share"),
+        )
+    )

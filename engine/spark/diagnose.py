@@ -1484,3 +1484,80 @@ def calibration_bins(
             "pos_rate"
         ),
     )
+
+
+def cuped_adjust(
+    df: DataFrame,
+    variant_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """CUPED variance reduction for experiment readouts (Deng et al.,
+    WSDM'13): per-variant means of the experiment metric y adjusted by
+    the pre-period covariate x — adjusted_y = y − θ(x − x̄) with
+    θ = cov(x, y)/var(x) POOLED across variants (the standard CUPED
+    estimator; a per-variant θ would bias the contrast).  The
+    adjustment shrinks variance by the squared x↔y correlation while
+    leaving the A−B gap unbiased — the "detect a 1% lift with 10× less
+    traffic" workhorse.
+
+    One unit-grain input row per (variant, unit) with that unit's x
+    and y.  Shape: ONE partial-agg shuffle to the per-variant exact
+    DECIMAL sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy² — the
+    grouped_regression / grouped_correlation discipline); the POOLED
+    statistics are WINDOW sums over the already-reduced per-variant
+    rows (the contingency_chi2 trick — a self-join would rescan the
+    fact table, the empty-partition window funnels only |variants|
+    rows through one task).  Every output is a short fixed-order IEEE
+    chain on doubles cast from exact sums, so the DuckDB twin —
+    spelling the same chain — matches bit-for-bit at 6 dp.
+
+    Output per variant: n, mean_y, theta, mean_y_cuped, var_y,
+    var_y_cuped (population variances; var_y_cuped/var_y ≈ 1 − r²).
+    """
+    d6 = lambda c: F.col(c).cast("decimal(18,6)")
+    per = (
+        df.groupBy(F.col(variant_col).alias("variant"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(d6(x_col)).cast("decimal(38,6)").alias("sx"),
+            F.sum(d6(y_col)).cast("decimal(38,6)").alias("sy"),
+            F.sum(d6(x_col) * d6(y_col)).cast("decimal(38,6)").alias("sxy"),
+            F.sum(d6(x_col) * d6(x_col)).cast("decimal(38,6)").alias("sxx"),
+            F.sum(d6(y_col) * d6(y_col)).cast("decimal(38,6)").alias("syy"),
+        )
+    )
+    wall = Window.partitionBy()
+    # pooled aliases carry a p-suffix: Spark resolves identifiers
+    # case-insensitively, so "N" would collide with per-variant "n"
+    pooled = per.select(
+        "*",
+        F.sum("n").over(wall).alias("np"),
+        F.sum("sx").over(wall).alias("sxp"),
+        F.sum("sy").over(wall).alias("syp"),
+        F.sum("sxy").over(wall).alias("sxyp"),
+        F.sum("sxx").over(wall).alias("sxxp"),
+    )
+    dbl = lambda c: F.col(c).cast("double")
+    N, SX, SY, SXY, SXX = (
+        dbl(c) for c in ["np", "sxp", "syp", "sxyp", "sxxp"]
+    )
+    n, sx, sy, sxy, sxx, syy = (
+        dbl(c) for c in ["n", "sx", "sy", "sxy", "sxx", "syy"]
+    )
+    theta = (N * SXY - SX * SY) / (N * SXX - SX * SX)
+    my, mx, MX = sy / n, sx / n, SX / N
+    var_y = (n * syy - sy * sy) / (n * n)
+    var_x = (n * sxx - sx * sx) / (n * n)
+    cov = (n * sxy - sx * sy) / (n * n)
+    return pooled.select(
+        "variant",
+        F.col("n").cast("long").alias("n"),
+        F.round(my, 6).alias("mean_y"),
+        F.round(theta, 6).alias("theta"),
+        F.round(my - theta * (mx - MX), 6).alias("mean_y_cuped"),
+        F.round(var_y, 6).alias("var_y"),
+        F.round(
+            var_y + theta * theta * var_x - 2.0 * theta * cov, 6
+        ).alias("var_y_cuped"),
+    ).orderBy("variant")

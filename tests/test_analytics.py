@@ -1299,3 +1299,65 @@ def test_concurrency_peak_no_per_key_fact_window(spark):
     for ln in plan.splitlines():
         if "Window [" in ln and "lcum" in ln:
             assert "pid" in ln, ln
+
+
+# ----------------------------------------------- CUPED / contribution
+def test_cuped_variance_reduction_and_unbiasedness(spark):
+    """y strongly tracks x → var_y_cuped shrinks by ≈ r²; identical
+    x-distributions in both variants → the A−B adjusted gap equals the
+    raw gap (CUPED must not bias the contrast); theta matches the
+    pooled cov/var computed independently in Python."""
+    from engine.spark import diagnose
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for v, lift in (("A", 0.0), ("B", 2.0)):
+        for i in range(120):
+            x = round(rng.uniform(0, 100), 3)
+            y = round(x + lift + rng.uniform(-2, 2), 3)
+            rows.append((v, x, y))
+    df = spark.createDataFrame(rows, "variant: string, x: double, y: double")
+    got = {
+        r.variant: r
+        for r in diagnose.cuped_adjust(df, "variant", "x", "y").collect()
+    }
+    xs = [r[1] for r in rows]
+    ys = [r[2] for r in rows]
+    n = len(rows)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert abs(got["A"].theta - theta) < 1e-4
+    for v in ("A", "B"):
+        assert got[v].var_y_cuped < 0.1 * got[v].var_y  # r² ≈ 0.99
+    raw_gap = got["B"].mean_y - got["A"].mean_y
+    adj_gap = got["B"].mean_y_cuped - got["A"].mean_y_cuped
+    # x-means differ only by sampling noise; the gap shift is θ·Δmx
+    assert abs(adj_gap - raw_gap) < abs(theta) * 5.0
+    assert 1.6 < adj_gap < 2.4  # the true lift, sharper than raw
+
+
+def test_cumulative_contribution_hand(spark):
+    """values 50/30/15/5 at 80%: the first two cover exactly 80% and
+    the third's prior-cum test (80 < 80) is false — exact-rational
+    boundary, no float drift; ties rank by id; every non-empty group
+    emits at least its top member."""
+    rows = [
+        ("g1", 1, 50.0), ("g1", 2, 30.0), ("g1", 3, 15.0), ("g1", 4, 5.0),
+        ("g2", 7, 10.0), ("g2", 5, 10.0),   # tie → id order
+        ("g3", 9, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "k: string, i: long, v: double")
+    got = [
+        (r.k, r.i, r.rank, r.cum_share)
+        for r in analytics.cumulative_contribution(df, "k", "i", "v")
+        .orderBy("k", "rank")
+        .collect()
+    ]
+    assert got == [
+        ("g1", 1, 1, 0.5), ("g1", 2, 2, 0.8),
+        ("g2", 5, 1, 0.5), ("g2", 7, 2, 1.0),
+        ("g3", 9, 1, 1.0),
+    ]
