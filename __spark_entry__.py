@@ -9319,6 +9319,143 @@ ORDER BY n_name, rank
 """
 
 
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of hourly value sums per event type
+    (diagnose.autocorrelation): pairs align on bucket arithmetic via a
+    single role-explode + regroup — never a grain self-join (the
+    duplicated-subtree rescan trap) — with corr_pairs' exact-DECIMAL /
+    fixed-IEEE discipline.  The DuckDB twin is the independent
+    self-join formulation."""
+    ev = _t(spark, sf_dir, "events")
+    return diagnose.autocorrelation(
+        ev,
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600),
+        F.col("value"),
+        lag=1,
+    ).orderBy("event_type")
+
+
+SQL_AUTOCORRELATION = """
+WITH per AS (
+  SELECT event_type AS k, floor(epoch(ts) / 3600)::BIGINT AS b,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), pairs AS (
+  SELECT x.k AS k, x.v AS vx, y.v AS vy
+  FROM per x JOIN per y ON x.k = y.k AND y.b = x.b + 1
+), agg AS (
+  SELECT k, count(*) AS n,
+         CAST(sum(vx) AS DECIMAL(38,6)) AS sx,
+         CAST(sum(vy) AS DECIMAL(38,6)) AS sy,
+         CAST(sum(CAST(vx AS DECIMAL(19,6)) * vy) AS DECIMAL(38,6))
+           AS sxy,
+         CAST(sum(CAST(vx AS DECIMAL(19,6)) * vx) AS DECIMAL(38,6))
+           AS sxx,
+         CAST(sum(CAST(vy AS DECIMAL(19,6)) * vy) AS DECIMAL(38,6))
+           AS syy
+  FROM pairs GROUP BY k
+), d AS (
+  SELECT k, n, n::DOUBLE AS nd, sx::DOUBLE AS sxd, sy::DOUBLE AS syd,
+         sxy::DOUBLE AS sxyd, sxx::DOUBLE AS sxxd, syy::DOUBLE AS syyd
+  FROM agg WHERE n >= 2
+)
+SELECT k AS event_type, 1::INTEGER AS lag, n,
+       round((nd * sxyd - sxd * syd)
+             / (sqrt(nd * sxxd - sxd * sxd)
+                * sqrt(nd * syyd - syd * syd)), 6) AS acf
+FROM d
+WHERE (nd * sxxd - sxd * sxd) > 0.0 AND (nd * syyd - syd * syd) > 0.0
+ORDER BY event_type
+"""
+
+
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-shift changepoint per event type over hourly value sums
+    (diagnose.changepoint): the CUSUM deviation |S_t·n − t·S| scanned
+    in exact integer-scaled DECIMAL, argmax ties to the earliest
+    split; windows touch only the reduced hourly grain."""
+    ev = _t(spark, sf_dir, "events")
+    return diagnose.changepoint(
+        ev,
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600),
+        F.col("value"),
+    ).orderBy("event_type")
+
+
+SQL_CHANGEPOINT = """
+WITH per AS (
+  SELECT event_type AS k, floor(epoch(ts) / 3600)::BIGINT AS b,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), pre AS (
+  SELECT k, b,
+    CAST(sum(v) OVER (PARTITION BY k ORDER BY b
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS DECIMAL(28,4)) AS st,
+    row_number() OVER (PARTITION BY k ORDER BY b)::BIGINT AS t,
+    CAST(sum(v) OVER (PARTITION BY k) AS DECIMAL(28,4)) AS s_tot,
+    count(*) OVER (PARTITION BY k)::BIGINT AS n
+  FROM per
+), scored AS (
+  SELECT *,
+    abs(CAST(st * CAST(n AS DECIMAL(10,0)) AS DECIMAL(38,4))
+        - CAST(s_tot * CAST(t AS DECIMAL(10,0)) AS DECIMAL(38,4)))
+      AS score
+  FROM pre WHERE t < n
+), best AS (
+  SELECT k, max(score) AS mscore FROM scored GROUP BY k
+), win AS (
+  SELECT s.*, row_number() OVER (PARTITION BY s.k ORDER BY s.b) AS rn
+  FROM scored s JOIN best USING (k)
+  WHERE s.score = best.mscore
+)
+SELECT k AS event_type, b AS split_bucket, n AS n_buckets,
+  round(st::DOUBLE / t::DOUBLE, 6) AS mean_left,
+  round((s_tot - st)::DOUBLE / (n - t)::DOUBLE, 6) AS mean_right
+FROM win WHERE rn = 1 ORDER BY event_type
+"""
+
+
+def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user
+    (analytics.user_streaks): gaps-and-islands on the distinct
+    (user, day-index) set, integer day arithmetic end-to-end, earliest
+    longest streak's start day reported."""
+    ev = _t(spark, sf_dir, "events")
+    return analytics.user_streaks(ev).orderBy("user_id")
+
+
+SQL_USER_STREAKS = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         floor(epoch_us(ts) / 86400000000)::BIGINT AS day
+  FROM events
+), isl AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+           AS island
+  FROM days
+), runs AS (
+  SELECT user_id, island, count(*)::BIGINT AS len,
+         min(day) AS start
+  FROM isl GROUP BY user_id, island
+)
+, ranked AS (
+  SELECT user_id, len, start,
+         row_number() OVER (PARTITION BY user_id
+           ORDER BY len DESC, start ASC) AS rn,
+         sum(len) OVER (PARTITION BY user_id) AS tot,
+         max(len) OVER (PARTITION BY user_id) AS mx
+  FROM runs
+)
+SELECT user_id, tot::BIGINT AS n_active_days, mx::BIGINT AS max_streak,
+       start::BIGINT AS best_streak_start
+FROM ranked WHERE rn = 1 ORDER BY user_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples
     # the first 50 keys.  Per the r4 verdict ask #6 the 37 keys whose
@@ -9393,6 +9530,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concurrency_peak": q_concurrency_peak,
         "cuped_adjust": q_cuped_adjust,
         "pareto_share": q_pareto_share,
+        "autocorrelation": q_autocorrelation,
+        "changepoint": q_changepoint,
+        "user_streaks": q_user_streaks,
         "bitext_pairs": q_bitext_pairs,
         "retrieval_ndcg": q_retrieval_ndcg,
         "zorder_cluster": q_zorder_cluster,
@@ -9672,6 +9812,9 @@ def oracle_sql() -> dict[str, str]:
         "concurrency_peak": SQL_CONCURRENCY_PEAK,
         "cuped_adjust": SQL_CUPED_ADJUST,
         "pareto_share": SQL_PARETO_SHARE,
+        "autocorrelation": SQL_AUTOCORRELATION,
+        "changepoint": SQL_CHANGEPOINT,
+        "user_streaks": SQL_USER_STREAKS,
         "twap": SQL_TWAP,
         "window_funnel": SQL_WINDOW_FUNNEL,
         "text_normalize": SQL_TEXT_NORMALIZE,

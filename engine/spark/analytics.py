@@ -1266,3 +1266,54 @@ def cumulative_contribution(
             ).alias("cum_share"),
         )
     )
+
+
+def user_streaks(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Longest run of consecutive active DAYS per user — the retention
+    engagement metric ("best streak: 12 days").  Classic
+    gaps-and-islands on the DISTINCT (user, day) activity set: within
+    a user, consecutive days satisfy day − row_number() = const, so
+    the island id is that difference and the streak is the island
+    size.
+
+    Day is an exact integer day index (floor(epoch_days)) in both
+    engines — no timezone or DST float math.  The per-user window
+    sorts only the user's DISTINCT activity days (≤ a few thousand for
+    years of daily activity — bounded per-key frames on a
+    high-cardinality key, the running_user_value shape, never a
+    low-card reducer trap).  Shapes: one distinct shuffle on
+    (user, day), one window in the same user partitioning, one rollup.
+    Output: (user_id, n_active_days, max_streak, best_streak_start —
+    the day index opening the earliest longest streak).
+    """
+    days = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            F.floor(
+                F.unix_micros(F.col(ts_col).cast("timestamp"))
+                / F.lit(86_400_000_000)
+            ).cast("long").alias("day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.select(
+        "user_id",
+        "day",
+        (F.col("day") - F.row_number().over(w)).alias("island"),
+    )
+    runs = islands.groupBy("user_id", "island").agg(
+        F.count("*").alias("len"),
+        F.min("day").alias("start"),
+    )
+    return runs.groupBy("user_id").agg(
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.max("len").cast("long").alias("max_streak"),
+        F.min(
+            F.struct((-F.col("len")).alias("nl"), F.col("start"))
+        )["start"].alias("best_streak_start"),
+    )

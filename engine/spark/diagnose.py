@@ -1561,3 +1561,193 @@ def cuped_adjust(
             var_y + theta * theta * var_x - 2.0 * theta * cov, 6
         ).alias("var_y_cuped"),
     ).orderBy("variant")
+
+
+def autocorrelation(
+    df: DataFrame,
+    key_col: str,
+    bucket_col,
+    value_col,
+    lag: int = 1,
+) -> DataFrame:
+    """Lag-k autocorrelation of a per-key bucketed series — does this
+    metric echo itself an hour later?  The seasonality/burst-memory
+    diagnostic, and the self-correlation sibling of
+    :func:`grouped_correlation`.
+
+    Pairs align on BUCKET ARITHMETIC (bucket b with bucket b+k), not
+    row adjacency, so gaps in the series pair nothing instead of
+    silently pairing across holes (the lead()-over-rows bug).  The
+    alignment never self-joins the grain subtree (Catalyst would
+    re-expand it into a second full fact scan — the duplicated-subtree
+    trap transition_matrix documents) and never needs a per-key window:
+    each reduced (key, b, v) row is exploded into its two pair roles —
+    x at slot b, y at slot b−k — and ONE partial-agg shuffle on
+    (key, slot) reassembles aligned pairs; slots missing either role
+    drop out (pairwise-complete).  Sufficient statistics and the final
+    r follow the grouped_correlation discipline exactly (exact DECIMAL
+    sums, fixed-order IEEE chain, 6 dp).  The DuckDB twin is the
+    independent self-join formulation — the shape Spark avoids.
+
+    Output: (key_col, lag, n, acf) for keys with ≥2 pairs and
+    variance on both sides.
+    """
+    d6 = lambda c: c.cast("decimal(18,6)")
+    per = (
+        df.select(
+            F.col(key_col).alias("k"),
+            (bucket_col if not isinstance(bucket_col, str)
+             else F.col(bucket_col)).cast("long").alias("b"),
+            d6(value_col if not isinstance(value_col, str)
+               else F.col(value_col)).alias("v"),
+        )
+        .where(F.col("v").isNotNull())
+        .groupBy("k", "b")
+        .agg(F.sum("v").cast("decimal(18,6)").alias("v"))
+    )
+    roles = per.select(
+        "k",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("b").alias("slot"),
+                    F.lit("x").alias("role"),
+                    F.col("v").alias("v"),
+                ),
+                F.struct(
+                    (F.col("b") - lag).alias("slot"),
+                    F.lit("y").alias("role"),
+                    F.col("v").alias("v"),
+                ),
+            )
+        ).alias("r"),
+    ).select("k", "r.slot", "r.role", "r.v")
+    pairs = (
+        roles.groupBy("k", "slot")
+        .agg(
+            F.max(F.when(F.col("role") == "x", F.col("v"))).alias("vx"),
+            F.max(F.when(F.col("role") == "y", F.col("v"))).alias("vy"),
+        )
+        .where(F.col("vx").isNotNull() & F.col("vy").isNotNull())
+    )
+    agg = pairs.groupBy("k").agg(
+        F.count("*").alias("n"),
+        F.sum("vx").cast("decimal(38,6)").alias("sx"),
+        F.sum("vy").cast("decimal(38,6)").alias("sy"),
+        F.sum(F.col("vx") * F.col("vy")).cast("decimal(38,6)").alias("sxy"),
+        F.sum(F.col("vx") * F.col("vx")).cast("decimal(38,6)").alias("sxx"),
+        F.sum(F.col("vy") * F.col("vy")).cast("decimal(38,6)").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    r = (n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy))
+    return (
+        agg.where((F.col("n") >= 2) & (vx > 0.0) & (vy > 0.0))
+        .select(
+            F.col("k").alias(key_col),
+            F.lit(lag).cast("int").alias("lag"),
+            "n",
+            F.round(r, 6).alias("acf"),
+        )
+    )
+
+
+def changepoint(
+    df: DataFrame,
+    key_col: str,
+    bucket_col,
+    value_col,
+) -> DataFrame:
+    """Single mean-shift changepoint per key over a bucketed series —
+    "when did this metric's level move?" — via the classic CUSUM
+    deviation statistic: the split after prefix t maximizes
+    |S_t·n − t·S| (prefix sum's deviation from its expected share of
+    the total), which is the t-scan of the mean-shift likelihood with
+    a SPLIT-INDEPENDENT denominator, so the argmax runs in EXACT
+    DECIMAL integer-scaled arithmetic — no float compare ever decides
+    the winner, and ties break to the earliest split.
+
+    Shape: one partial-agg shuffle to the (key, bucket) grain; prefix
+    sums via a per-key window over the REDUCED bucket table (buckets
+    per key are bounded by the time range — ~10⁴ rows/key for a year
+    of hours — metadata scale, never fact rows); the per-key max score
+    and its earliest split come from two more metadata-scale partial
+    aggs joined back (the concurrency_peak argmax discipline).  Splits
+    leaving an empty side (t = n) are excluded; keys with <2 buckets
+    emit nothing.  Output: (key_col, split_bucket, n_buckets,
+    mean_left, mean_right) — the split is AFTER ``split_bucket``;
+    means are single correctly-rounded divisions of exact sums.
+    """
+    d4 = lambda c: c.cast("decimal(18,4)")
+    per = (
+        df.select(
+            F.col(key_col).alias("k"),
+            (bucket_col if not isinstance(bucket_col, str)
+             else F.col(bucket_col)).cast("long").alias("b"),
+            d4(value_col if not isinstance(value_col, str)
+               else F.col(value_col)).alias("v"),
+        )
+        .where(F.col("v").isNotNull())
+        .groupBy("k", "b")
+        .agg(F.sum("v").cast("decimal(18,4)").alias("v"))
+    )
+    w = Window.partitionBy("k").orderBy("b")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy("k")
+    pre = per.select(
+        "k",
+        "b",
+        F.sum("v").over(wc).cast("decimal(28,4)").alias("st"),
+        F.row_number().over(w).cast("long").alias("t"),
+        F.sum("v").over(wt).cast("decimal(28,4)").alias("s_tot"),
+        F.count("*").over(wt).cast("long").alias("n"),
+    ).where(F.col("t") < F.col("n"))
+    scored = pre.select(
+        "k",
+        "b",
+        "t",
+        "n",
+        "st",
+        "s_tot",
+        # n, t ride as DECIMAL(10,0) so the product precision is
+        # exactly 38 in BOTH engines (a bare BIGINT factor would push
+        # Spark past 38 into its truncate-or-null lane)
+        F.abs(
+            (F.col("st") * F.col("n").cast("decimal(10,0)"))
+            .cast("decimal(38,4)")
+            - (F.col("s_tot") * F.col("t").cast("decimal(10,0)"))
+            .cast("decimal(38,4)")
+        ).cast("decimal(38,4)").alias("score"),
+    )
+    best = scored.groupBy("k").agg(F.max("score").alias("mscore"))
+    return (
+        scored.join(
+            best,
+            (scored.k == best.k) & (scored.score == best.mscore),
+        )
+        .drop(best.k)
+        .groupBy("k")
+        .agg(
+            F.min(
+                F.struct("b", "t", "n", "st", "s_tot")
+            ).alias("w")  # earliest split among score ties (b orders)
+        )
+        .select(
+            F.col("k").alias(key_col),
+            F.col("w.b").alias("split_bucket"),
+            F.col("w.n").alias("n_buckets"),
+            F.round(
+                F.col("w.st").cast("double") / F.col("w.t").cast("double"),
+                6,
+            ).alias("mean_left"),
+            F.round(
+                (F.col("w.s_tot") - F.col("w.st")).cast("double")
+                / (F.col("w.n") - F.col("w.t")).cast("double"),
+                6,
+            ).alias("mean_right"),
+        )
+    )

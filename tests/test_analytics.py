@@ -1361,3 +1361,64 @@ def test_cumulative_contribution_hand(spark):
         ("g2", 5, 1, 0.5), ("g2", 7, 2, 1.0),
         ("g3", 9, 1, 1.0),
     ]
+
+
+# ------------------------------------- autocorrelation / changepoint
+def test_autocorrelation_alternating_and_gaps(spark):
+    """A perfectly alternating series has lag-1 acf −1; a hole in the
+    bucket grid pairs NOTHING across it (bucket arithmetic, not row
+    adjacency), which the pair count exposes."""
+    from engine.spark import diagnose
+
+    rows = [("A", b, v) for b, v in
+            [(1, 1.0), (2, 2.0), (3, 1.0), (4, 2.0), (5, 1.0)]]
+    # B has buckets 1,2,3,5,6: the 3→5 jump must not pair
+    rows += [("B", b, float(b)) for b in (1, 2, 3, 5, 6)]
+    df = spark.createDataFrame(rows, "k: string, b: long, v: double")
+    got = {
+        r.k: (r.n, r.acf)
+        for r in diagnose.autocorrelation(df, "k", "b", "v", lag=1)
+        .collect()
+    }
+    assert got["A"] == (4, -1.0)
+    assert got["B"][0] == 3  # (1,2),(2,3),(5,6) — never (3,5)
+
+
+def test_changepoint_hand_and_tie(spark):
+    """A clean level shift 0→10 splits exactly at the boundary; an
+    all-equal series scores 0 everywhere and ties to the EARLIEST
+    split."""
+    from engine.spark import diagnose
+
+    rows = [("A", b, 0.0) for b in (1, 2, 3)]
+    rows += [("A", b, 10.0) for b in (4, 5, 6)]
+    rows += [("flat", b, 5.0) for b in (1, 2, 3, 4)]
+    df = spark.createDataFrame(rows, "k: string, b: long, v: double")
+    got = {
+        r.k: (r.split_bucket, r.n_buckets, r.mean_left, r.mean_right)
+        for r in diagnose.changepoint(df, "k", "b", "v").collect()
+    }
+    assert got["A"] == (3, 6, 0.0, 10.0)
+    assert got["flat"] == (1, 4, 5.0, 5.0)
+
+
+def test_user_streaks_hand(spark):
+    """Streaks 3+2+1 → max 3 anchored at the earliest day; equal-length
+    streaks resolve to the earliest start; same-day duplicates count
+    once."""
+    base = 86_400  # one day of epoch seconds
+    rows = []
+    for d in (0, 1, 2, 5, 6, 10):
+        rows.append((1, d * base))
+    rows.append((1, 2 * base + 3600))      # duplicate day 2
+    for d in (0, 1, 5, 6):
+        rows.append((2, d * base))
+    df = spark.createDataFrame(
+        [(u, s) for u, s in rows], "user_id: long, sec: long"
+    ).select("user_id", F.timestamp_seconds(F.col("sec")).alias("ts"))
+    got = {
+        r.user_id: (r.n_active_days, r.max_streak, r.best_streak_start)
+        for r in analytics.user_streaks(df).collect()
+    }
+    assert got[1] == (6, 3, 0)
+    assert got[2] == (4, 2, 0)
