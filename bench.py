@@ -479,6 +479,14 @@ RELATIONAL = [
     "rrf_fusion",
     "source_overlap",
     "embedding_drift",
+    # round-5 session-8 additions
+    "sssp_weighted",
+    "concurrency_peak",
+    "cuped_adjust",
+    "pareto_share",
+    "autocorrelation",
+    "changepoint",
+    "user_streaks",
 ]
 
 
