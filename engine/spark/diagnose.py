@@ -1723,13 +1723,21 @@ def changepoint(
             .cast("decimal(38,4)")
         ).cast("decimal(38,4)").alias("score"),
     )
-    best = scored.groupBy("k").agg(F.max("score").alias("mscore"))
+    # rename the aggregate side's key: `best` derives from `scored`, so
+    # scored.k == best.k resolves both sides to the SAME attribute (a
+    # trivially-true predicate — Spark's ambiguous-self-join footgun)
+    best = (
+        scored.groupBy("k")
+        .agg(F.max("score").alias("mscore"))
+        .select(F.col("k").alias("_bk"), "mscore")
+    )
     return (
         scored.join(
             best,
-            (scored.k == best.k) & (scored.score == best.mscore),
+            (F.col("k") == F.col("_bk"))
+            & (F.col("score") == F.col("mscore")),
         )
-        .drop(best.k)
+        .drop("_bk")
         .groupBy("k")
         .agg(
             F.min(

@@ -1422,3 +1422,20 @@ def test_user_streaks_hand(spark):
     }
     assert got[1] == (6, 3, 0)
     assert got[2] == (4, 2, 0)
+
+
+def test_changepoint_cross_key_score_collision(spark):
+    """Key A's max score (20) equals a NON-max score in key B (whose
+    max is 40): the best-score join must stay per-key — the ambiguous-
+    self-join footgun (k == k trivially true) would leak A's max into
+    B's candidate set and drag B's split to bucket 1."""
+    from engine.spark import diagnose
+
+    rows = [("A", 1, 0.0), ("A", 2, 20.0)]
+    rows += [("B", 1, 0.0), ("B", 2, 0.0), ("B", 3, 10.0), ("B", 4, 10.0)]
+    df = spark.createDataFrame(rows, "k: string, b: long, v: double")
+    got = {
+        r.k: r.split_bucket
+        for r in diagnose.changepoint(df, "k", "b", "v").collect()
+    }
+    assert got == {"A": 1, "B": 2}
