@@ -9456,6 +9456,54 @@ FROM ranked WHERE rn = 1 ORDER BY user_id
 """
 
 
+def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier user-retention curve (analytics.survival_curve):
+    lifetimes in integer days, censoring inside the trailing 5-day
+    window; the cumulative product rides the round-then-sum device —
+    per-factor ln(1−d/n) rounded to 9 dp, exact DECIMAL window sum,
+    one exp at the end — so both engines land identical survival
+    values; q=0 writes the −999 sentinel (exp underflows to exact
+    0.0)."""
+    ev = _t(spark, sf_dir, "events")
+    return analytics.survival_curve(ev, censor_days=5).orderBy("t")
+
+
+SQL_SURVIVAL_CURVE = """
+WITH peru AS (
+  SELECT user_id AS u,
+         min(floor(epoch_us(ts) / 86400000000)::BIGINT) AS first_day,
+         max(floor(epoch_us(ts) / 86400000000)::BIGINT) AS last_day
+  FROM events GROUP BY user_id
+), lives AS (
+  SELECT last_day - first_day AS t,
+         last_day <= (SELECT max(last_day) FROM peru) - 5 AS is_death
+  FROM peru
+), per_t AS (
+  SELECT t, sum(CASE WHEN is_death THEN 1 ELSE 0 END)::BIGINT AS d,
+         sum(CASE WHEN is_death THEN 0 ELSE 1 END)::BIGINT AS c
+  FROM lives GROUP BY t
+), risk AS (
+  SELECT t, d, c,
+    (sum(d + c) OVER ()
+     - coalesce(sum(d + c) OVER (ORDER BY t
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+    )::BIGINT AS n_risk
+  FROM per_t
+), deaths AS (
+  SELECT t, n_risk, d, c,
+    CAST(CASE WHEN d = n_risk THEN -999.0
+         ELSE round(ln(1.0 - d::DOUBLE / n_risk::DOUBLE), 9) END
+      AS DECIMAL(18,9)) AS lnq
+  FROM risk WHERE d > 0
+)
+SELECT t, n_risk, d, c,
+  round(exp(CAST(sum(lnq) OVER (ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 6)
+    AS survival
+FROM deaths ORDER BY t
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples
     # the first 50 keys.  Per the r4 verdict ask #6 the 37 keys whose
@@ -9533,6 +9581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocorrelation": q_autocorrelation,
         "changepoint": q_changepoint,
         "user_streaks": q_user_streaks,
+        "survival_curve": q_survival_curve,
         "bitext_pairs": q_bitext_pairs,
         "retrieval_ndcg": q_retrieval_ndcg,
         "zorder_cluster": q_zorder_cluster,
@@ -9815,6 +9864,7 @@ def oracle_sql() -> dict[str, str]:
         "autocorrelation": SQL_AUTOCORRELATION,
         "changepoint": SQL_CHANGEPOINT,
         "user_streaks": SQL_USER_STREAKS,
+        "survival_curve": SQL_SURVIVAL_CURVE,
         "twap": SQL_TWAP,
         "window_funnel": SQL_WINDOW_FUNNEL,
         "text_normalize": SQL_TEXT_NORMALIZE,

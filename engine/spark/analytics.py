@@ -1317,3 +1317,92 @@ def user_streaks(
             F.struct((-F.col("len")).alias("nl"), F.col("start"))
         )["start"].alias("best_streak_start"),
     )
+
+
+def survival_curve(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_days: int = 7,
+) -> DataFrame:
+    """Kaplan-Meier retention/survival estimate over user lifetimes —
+    "what fraction of users is still active t days after first seen?"
+    — the churn analytic.  Lifetime = integer days between a user's
+    first and last activity; a user whose last activity falls within
+    the final ``censor_days`` of the observed range is CENSORED (still
+    alive — their lifetime is a lower bound), everyone else's lifetime
+    ends in a death.  S(t) = Π_{death times ≤ t} (1 − d/n) over the
+    risk set n (users with lifetime ≥ t).
+
+    Cross-engine exactness for the cumulative PRODUCT (the one KM
+    step float addition order could corrupt): each factor's ln(1−d/n)
+    is ONE fixed IEEE chain on exact integers, ROUNDED to 9 dp, and
+    the running product is an exact DECIMAL window SUM of those
+    rounded logs (order-free by exactness), exponentiated once at the
+    end — the repo's round-then-sum discipline.  A q = 0 factor
+    (everyone at risk dies) writes the sentinel −999: exp underflows
+    to exactly 0.0 in both engines, so S pins to zero from there on.
+
+    Shape: one partial-agg shuffle to per-user (first, last) days; the
+    global observation end rides back as a broadcast single-row agg;
+    the life table reduces to one row per distinct lifetime (≤ the day
+    range — metadata scale), and every window — risk-set depletion,
+    log cumsum — runs over THAT table, never user rows.  Output one
+    row per death time: (t, n_risk, d, c, survival).
+    """
+    day = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp"))
+        / F.lit(86_400_000_000)
+    ).cast("long")
+    per_user = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(day).alias("first_day"), F.max(day).alias("last_day")
+    )
+    end = per_user.agg(F.max("last_day").alias("gmax"))
+    lives = per_user.crossJoin(F.broadcast(end)).select(
+        (F.col("last_day") - F.col("first_day")).alias("t"),
+        (
+            F.col("last_day")
+            <= F.col("gmax") - F.lit(censor_days)
+        ).alias("is_death"),
+    )
+    per_t = lives.groupBy("t").agg(
+        F.sum(F.when(F.col("is_death"), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+        F.sum(F.when(F.col("is_death"), 0).otherwise(1))
+        .cast("long")
+        .alias("c"),
+    )
+    w_all = Window.orderBy("t")
+    w_prev = w_all.rowsBetween(Window.unboundedPreceding, -1)
+    w_tot = Window.partitionBy()
+    risk = per_t.select(
+        "t",
+        "d",
+        "c",
+        (
+            F.sum(F.col("d") + F.col("c")).over(w_tot)
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)
+            )
+        ).cast("long").alias("n_risk"),
+    )
+    q = F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk").cast(
+        "double"
+    )
+    lnq = F.when(F.col("d") == F.col("n_risk"), F.lit(-999.0)).otherwise(
+        F.round(F.log(q), 9)
+    )
+    deaths = risk.where(F.col("d") > 0).select(
+        "t", "n_risk", "d", "c", lnq.cast("decimal(18,9)").alias("lnq")
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return deaths.select(
+        "t",
+        "n_risk",
+        "d",
+        "c",
+        F.round(
+            F.exp(F.sum("lnq").over(w_cum).cast("double")), 6
+        ).alias("survival"),
+    )

@@ -1439,3 +1439,39 @@ def test_changepoint_cross_key_score_collision(spark):
         for r in diagnose.changepoint(df, "k", "b", "v").collect()
     }
     assert got == {"A": 1, "B": 2}
+
+
+# --------------------------------------------------- survival curve
+def test_survival_curve_hand_km(spark):
+    """Five users — deaths at t=1,2,3, two censored in the trailing
+    window: S = 0.8, 0.6, 0.4 (exact KM by hand); censored users leave
+    the risk set without a product factor."""
+    base = 86_400
+    rows = []
+    for u, last in ((1, 1), (2, 2), (3, 3), (4, 10), (5, 9)):
+        rows += [(u, 0), (u, last * base)]
+    df = spark.createDataFrame(rows, "user_id: long, sec: long").select(
+        "user_id", F.timestamp_seconds(F.col("sec")).alias("ts")
+    )
+    got = [
+        (r.t, r.n_risk, r.d, r.c, r.survival)
+        for r in analytics.survival_curve(df, censor_days=2)
+        .orderBy("t")
+        .collect()
+    ]
+    assert got == [(1, 5, 1, 0, 0.8), (2, 4, 1, 0, 0.6),
+                   (3, 3, 1, 0, 0.4)]
+
+
+def test_survival_curve_extinction_sentinel(spark):
+    """Everyone at risk dies at once: q=0 → the −999 sentinel exp-
+    underflows to exactly 0.0 survival."""
+    base = 86_400
+    rows = [(1, 0), (1, base), (2, 0), (2, base)]
+    df = spark.createDataFrame(rows, "user_id: long, sec: long").select(
+        "user_id", F.timestamp_seconds(F.col("sec")).alias("ts")
+    )
+    got = analytics.survival_curve(df, censor_days=0).collect()
+    assert [(r.t, r.n_risk, r.d, r.survival) for r in got] == [
+        (1, 2, 2, 0.0)
+    ]
