@@ -9504,6 +9504,61 @@ FROM deaths ORDER BY t
 """
 
 
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fightin'-Words distinctive terms per source
+    (text.distinctive_terms): informative-Dirichlet log-odds z over
+    exact BIGINT counts, corpus totals as window sums over the
+    (source, term) grain — one token scan; top-5 per source with the
+    (z desc, term) total order."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    return etext.distinctive_terms(
+        d, "source", "text", k=5, alpha0=100.0, min_count=3
+    ).orderBy("source", "rank")
+
+
+SQL_DISTINCTIVE_TERMS = r"""
+WITH d AS (SELECT source, text FROM documents WHERE doc_id < 500),
+tok AS (
+  SELECT source AS g,
+         unnest(regexp_split_to_array(trim(lower(text)),
+                '[ \t\n\x0b\f\r]+')) AS term
+  FROM d
+), gt AS (
+  SELECT g, term, count(*)::BIGINT AS y FROM tok WHERE term != ''
+  GROUP BY 1, 2
+), grain AS (
+  SELECT g, term, y,
+         sum(y) OVER (PARTITION BY term) AS yw,
+         sum(y) OVER () AS n
+  FROM gt
+), tot AS (
+  SELECT g, sum(y) AS ns FROM gt GROUP BY g
+), scored AS (
+  SELECT grain.g, term, y,
+    round((
+      ln((y::DOUBLE + 100.0 * yw::DOUBLE / n::DOUBLE)
+         / (ns::DOUBLE + 100.0 - y::DOUBLE
+            - 100.0 * yw::DOUBLE / n::DOUBLE))
+      - ln(((yw::DOUBLE - y::DOUBLE) + 100.0 * yw::DOUBLE / n::DOUBLE)
+           / ((n::DOUBLE - ns::DOUBLE) + 100.0
+              - (yw::DOUBLE - y::DOUBLE)
+              - 100.0 * yw::DOUBLE / n::DOUBLE))
+    ) / sqrt(1.0 / (y::DOUBLE + 100.0 * yw::DOUBLE / n::DOUBLE)
+             + 1.0 / ((yw::DOUBLE - y::DOUBLE)
+                      + 100.0 * yw::DOUBLE / n::DOUBLE)), 6) AS z
+  FROM grain JOIN tot ON grain.g = tot.g
+  WHERE yw >= 3
+), ranked AS (
+  SELECT g AS source, term, y, z,
+         row_number() OVER (PARTITION BY g
+           ORDER BY z DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT source, term, y, z, rank::INTEGER AS rank
+FROM ranked WHERE rank <= 5 ORDER BY source, rank
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples
     # the first 50 keys.  Per the r4 verdict ask #6 the 37 keys whose
@@ -9582,6 +9637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changepoint": q_changepoint,
         "user_streaks": q_user_streaks,
         "survival_curve": q_survival_curve,
+        "distinctive_terms": q_distinctive_terms,
         "bitext_pairs": q_bitext_pairs,
         "retrieval_ndcg": q_retrieval_ndcg,
         "zorder_cluster": q_zorder_cluster,
@@ -9865,6 +9921,7 @@ def oracle_sql() -> dict[str, str]:
         "changepoint": SQL_CHANGEPOINT,
         "user_streaks": SQL_USER_STREAKS,
         "survival_curve": SQL_SURVIVAL_CURVE,
+        "distinctive_terms": SQL_DISTINCTIVE_TERMS,
         "twap": SQL_TWAP,
         "window_funnel": SQL_WINDOW_FUNNEL,
         "text_normalize": SQL_TEXT_NORMALIZE,

@@ -1610,3 +1610,82 @@ def url_host_stats(
         F.count(F.lit(1)).alias("n_urls"),
         F.countDistinct("_doc").alias("n_docs"),
     )
+
+
+def distinctive_terms(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 5,
+    alpha0: float = 100.0,
+    min_count: int = 3,
+) -> DataFrame:
+    """Terms that DISTINGUISH each group from the rest of the corpus —
+    Monroe/Colaresi/Quinn "Fightin' Words" log-odds with an
+    informative Dirichlet prior (the principled alternative to raw
+    tf-idf contrast, which overweights rare terms):
+
+        α_w   = alpha0 · y_w / n                       (corpus prior)
+        δ_sw  = ln((y_sw + α_w)/(n_s + alpha0 − y_sw − α_w))
+              − ln((y¬s,w + α_w)/(n¬s + alpha0 − y¬s,w − α_w))
+        z_sw  = δ_sw / sqrt(1/(y_sw + α_w) + 1/(y¬s,w + α_w))
+
+    Top-k terms per group by z.  All counts are exact BIGINTs; each
+    z is one fixed-order IEEE chain on them, so both engines rank the
+    same doubles; (z desc, term asc) totalizes the order.
+
+    Shape: one token-explode scan → partial-agg to the (group, term)
+    grain; corpus term totals y_w are WINDOW sums over that reduced
+    grain (no second scan — the contingency_chi2 trick); group totals
+    n_s ride back via a broadcast join on the bounded group key.
+    "Rest" counts are subtractions — the complement needs no second
+    pass.  ``min_count`` drops corpus-rare terms BEFORE the rank
+    window (their z is prior-dominated noise anyway), bounding the
+    per-group sort input; for 10⁸-term vocabularies swap the window
+    for global_rank's range-partition ranking.  Output: (group, term,
+    y, z, rank).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(group_col).alias("g"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), WS)).alias(
+            "term"
+        ),
+    ).where(F.col("term") != "")
+    gt = toks.groupBy("g", "term").agg(F.count("*").alias("y"))
+    w_term = Window.partitionBy("term")
+    w_all = Window.partitionBy()
+    grain = gt.select(
+        "g",
+        "term",
+        "y",
+        F.sum("y").over(w_term).alias("yw"),
+        F.sum("y").over(w_all).alias("n"),
+    ).where(F.col("yw") >= min_count)
+    totals = gt.groupBy("g").agg(F.sum("y").alias("ns"))
+    j = grain.join(F.broadcast(totals), "g")
+    yd, ywd, nd, nsd = (
+        F.col(c).cast("double") for c in ["y", "yw", "n", "ns"]
+    )
+    aw = F.lit(alpha0) * ywd / nd
+    yr = ywd - yd            # rest count for the term
+    nr = nd - nsd            # rest total
+    a0 = F.lit(alpha0)
+    delta = F.log((yd + aw) / (nsd + a0 - yd - aw)) - F.log(
+        (yr + aw) / (nr + a0 - yr - aw)
+    )
+    z = delta / F.sqrt(1.0 / (yd + aw) + 1.0 / (yr + aw))
+    scored = j.select(
+        F.col("g").alias(group_col),
+        "term",
+        "y",
+        F.round(z, 6).alias("z"),
+    )
+    w_rank = Window.partitionBy(group_col).orderBy(
+        F.col("z").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= k)
+    )

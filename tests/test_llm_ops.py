@@ -1332,3 +1332,31 @@ def test_embedding_drift_hand_computed(spark):
     assert (d0["mean_a"], d0["mean_b"], d0["drift"]) == (2.0, 3.0, 1.0)
     d1 = rows[(7, 1)]
     assert (d1["mean_a"], d1["mean_b"], d1["drift"]) == (3.0, 1.0, -2.0)
+
+
+# ---------------------------------------------- distinctive terms
+def test_distinctive_terms_fightin_words(spark):
+    """A term exclusive to a group tops that group's ranking; a term
+    with identical relative frequency everywhere scores |z| near 0;
+    corpus-rare terms fall to the min_count gate before ranking."""
+    rows = []
+    for i in range(6):
+        rows.append((i, "A", "alpha alpha common filler%d" % i))
+    for i in range(6, 12):
+        rows.append((i, "B", "beta beta common filler%d" % i))
+    rows.append((12, "A", "rare rare"))  # y_w = 2 < min_count 3
+    df = spark.createDataFrame(rows, "doc_id: long, source: string, text: string")
+    got = etext.distinctive_terms(
+        df, "source", "text", k=3, alpha0=10.0, min_count=3
+    ).collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r.source, []).append((r.rank, r.term, r.z))
+    a = sorted(by_g["A"])
+    b = sorted(by_g["B"])
+    assert a[0][1] == "alpha" and b[0][1] == "beta"
+    assert all(t != "rare" for _, t, _ in a + b)
+    zc = {t: z for _, t, z in a + b}.get("common")
+    if zc is not None:
+        assert abs(zc) < 0.5
+    assert a[0][2] > 1.0 and b[0][2] > 1.0
