@@ -9559,6 +9559,72 @@ FROM ranked WHERE rank <= 5 ORDER BY source, rank
 """
 
 
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between five corpus slices
+    (text.source_divergence): per-term contributions as fixed IEEE
+    chains on exact counts, rounded to 12 dp and summed as exact
+    DECIMAL (round-then-sum — vocabulary-order-free); shared token
+    grain dedup'd by ReusedExchange; one full-outer equi-join on
+    (term, pair) aligns the vectors with zero-fill."""
+    d = _t(spark, sf_dir, "documents").where(
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    )
+    return etext.source_divergence(d, "source", "text").orderBy(
+        "source_a", "source_b"
+    )
+
+
+SQL_SOURCE_DIVERGENCE = r"""
+WITH d AS (
+  SELECT source, text FROM documents
+  WHERE source IN ('src0','src1','src2','src3','src4')
+), tok AS (
+  SELECT source AS g,
+         unnest(regexp_split_to_array(trim(lower(text)),
+                '[ \t\n\x0b\f\r]+')) AS term
+  FROM d
+), gt AS (
+  SELECT g, term, count(*)::BIGINT AS y FROM tok WHERE term != ''
+  GROUP BY 1, 2
+), tot AS (
+  SELECT g, sum(y)::BIGINT AS n FROM gt GROUP BY g
+), pairs AS (
+  SELECT a.g AS sa, a.n AS na, b.g AS sb, b.n AS nb
+  FROM tot a JOIN tot b ON a.g < b.g
+), a_side AS (
+  SELECT term, sa, sb, na, nb, y AS ya
+  FROM gt JOIN pairs ON gt.g = pairs.sa
+), b_side AS (
+  SELECT term AS term2, sa AS sa2, sb AS sb2, na AS na2, nb AS nb2,
+         y AS yb
+  FROM gt JOIN pairs ON gt.g = pairs.sb
+), m AS (
+  SELECT coalesce(sa, sa2) AS sa, coalesce(sb, sb2) AS sb,
+         coalesce(na, na2) AS na, coalesce(nb, nb2) AS nb,
+         coalesce(ya, 0)::BIGINT AS ya, coalesce(yb, 0)::BIGINT AS yb
+  FROM a_side FULL OUTER JOIN b_side
+    ON term = term2 AND sa = sa2 AND sb = sb2
+), c AS (
+  SELECT sa, sb,
+    CAST(round(
+      CASE WHEN ya > 0 THEN 0.5 * ((ya::DOUBLE / na::DOUBLE)
+        * ln((ya::DOUBLE / na::DOUBLE)
+             / (0.5 * (ya::DOUBLE / na::DOUBLE
+                       + yb::DOUBLE / nb::DOUBLE))))
+      ELSE 0.0 END
+      + CASE WHEN yb > 0 THEN 0.5 * ((yb::DOUBLE / nb::DOUBLE)
+        * ln((yb::DOUBLE / nb::DOUBLE)
+             / (0.5 * (ya::DOUBLE / na::DOUBLE
+                       + yb::DOUBLE / nb::DOUBLE))))
+      ELSE 0.0 END, 12) AS DECIMAL(18,12)) AS cw
+  FROM m
+)
+SELECT sa AS source_a, sb AS source_b, count(*)::BIGINT AS n_terms,
+       round(CAST(CAST(sum(cw) AS DECIMAL(38,12)) AS DOUBLE), 8) AS js
+FROM c GROUP BY sa, sb ORDER BY source_a, source_b
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples
     # the first 50 keys.  Per the r4 verdict ask #6 the 37 keys whose
@@ -9638,6 +9704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_streaks": q_user_streaks,
         "survival_curve": q_survival_curve,
         "distinctive_terms": q_distinctive_terms,
+        "source_divergence": q_source_divergence,
         "bitext_pairs": q_bitext_pairs,
         "retrieval_ndcg": q_retrieval_ndcg,
         "zorder_cluster": q_zorder_cluster,
@@ -9922,6 +9989,7 @@ def oracle_sql() -> dict[str, str]:
         "user_streaks": SQL_USER_STREAKS,
         "survival_curve": SQL_SURVIVAL_CURVE,
         "distinctive_terms": SQL_DISTINCTIVE_TERMS,
+        "source_divergence": SQL_SOURCE_DIVERGENCE,
         "twap": SQL_TWAP,
         "window_funnel": SQL_WINDOW_FUNNEL,
         "text_normalize": SQL_TEXT_NORMALIZE,

@@ -1689,3 +1689,104 @@ def distinctive_terms(
         scored.withColumn("rank", F.row_number().over(w_rank))
         .where(F.col("rank") <= k)
     )
+
+
+def source_divergence(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the groups' unigram
+    distributions — "how different are these corpus slices, and which
+    pair is safe to merge?" — the principled corpus-mixing distance
+    (symmetric, bounded by ln 2, defined even where supports differ).
+
+    JS(P‖Q) = ½ Σ_w P(w)·ln(P/M) + ½ Σ_w Q(w)·ln(Q/M), M = (P+Q)/2,
+    with a term absent from one side contributing p·ln 2 from the
+    other (the CASE guards the 0·ln 0 NaN in BOTH engines).  The
+    Σ over the vocabulary is float-order-hazardous, so it rides the
+    round-then-sum device: each term's contribution is one fixed IEEE
+    chain on exact counts, rounded to 12 dp, summed as exact
+    DECIMAL(38,12) — aggregation-order-free, bit-identical across
+    engines.
+
+    Shape: one token-explode scan to the (group, term) grain; group
+    totals and the (a, b) pair dim are tiny aggregates of that SAME
+    grain — Catalyst dedupes the shared subtree via ReusedExchange
+    (the Q11 discipline), so the corpus is still scanned once; the
+    a-side and b-side term vectors meet in ONE full-outer equi-join on
+    (term, pair) — |terms|·|pairs| rows, with |groups| bounded (a few
+    dozen corpus slices), never a cartesian over fact rows.  Output:
+    (source_a, source_b, n_terms, js) with js in nats ≤ ln 2.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("g"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), WS)).alias(
+            "term"
+        ),
+    ).where(F.col("term") != "")
+    gt = toks.groupBy("g", "term").agg(F.count("*").alias("y"))
+    totals = gt.groupBy("g").agg(F.sum("y").alias("n"))
+    pairs = (
+        totals.select(
+            F.col("g").alias("sa"), F.col("n").alias("na")
+        )
+        .join(
+            totals.select(
+                F.col("g").alias("sb"), F.col("n").alias("nb")
+            ),
+            F.col("sa") < F.col("sb"),
+        )
+    )
+    a_side = gt.join(
+        F.broadcast(pairs), gt.g == F.col("sa")
+    ).select("term", "sa", "sb", "na", "nb", F.col("y").alias("ya"))
+    # rename the b-side's term: both sides derive from gt, so a
+    # dataframe-qualified term == term would resolve to one attribute
+    # (the ambiguous-self-join trap changepoint documents)
+    b_side = gt.join(
+        F.broadcast(pairs), gt.g == F.col("sb")
+    ).select(
+        F.col("term").alias("term2"),
+        F.col("sa").alias("sa2"),
+        F.col("sb").alias("sb2"),
+        F.col("na").alias("na2"),
+        F.col("nb").alias("nb2"),
+        F.col("y").alias("yb"),
+    )
+    m = a_side.join(
+        b_side,
+        (F.col("term") == F.col("term2"))
+        & (F.col("sa") == F.col("sa2"))
+        & (F.col("sb") == F.col("sb2")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("sa"), F.col("sa2")).alias("sa"),
+        F.coalesce(F.col("sb"), F.col("sb2")).alias("sb"),
+        F.coalesce(F.col("na"), F.col("na2")).alias("na"),
+        F.coalesce(F.col("nb"), F.col("nb2")).alias("nb"),
+        F.coalesce(F.col("ya"), F.lit(0)).cast("long").alias("ya"),
+        F.coalesce(F.col("yb"), F.lit(0)).cast("long").alias("yb"),
+    )
+    pa = F.col("ya").cast("double") / F.col("na").cast("double")
+    pb = F.col("yb").cast("double") / F.col("nb").cast("double")
+    mm = 0.5 * (pa + pb)
+    contrib = F.when(F.col("ya") > 0, 0.5 * (pa * F.log(pa / mm))).otherwise(
+        F.lit(0.0)
+    ) + F.when(F.col("yb") > 0, 0.5 * (pb * F.log(pb / mm))).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        m.select(
+            "sa",
+            "sb",
+            F.round(contrib, 12).cast("decimal(18,12)").alias("cw"),
+        )
+        .groupBy(F.col("sa").alias("source_a"), F.col("sb").alias("source_b"))
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.round(
+                F.sum("cw").cast("decimal(38,12)").cast("double"), 8
+            ).alias("js"),
+        )
+    )

@@ -1360,3 +1360,24 @@ def test_distinctive_terms_fightin_words(spark):
     if zc is not None:
         assert abs(zc) < 0.5
     assert a[0][2] > 1.0 and b[0][2] > 1.0
+
+
+def test_source_divergence_properties(spark):
+    """Identical distributions give JS = 0; disjoint vocabularies give
+    JS = ln 2; a half-overlapping pair lands strictly between — and
+    the ln 2 ceiling is exact under the round-then-sum device."""
+    import math
+
+    rows = [
+        (1, "same", "x y z"), (2, "same2", "x y z"),
+        (3, "left", "aa bb"), (4, "right", "cc dd"),
+        (5, "mix", "x y aa bb"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string, text: string")
+    got = {
+        (r.source_a, r.source_b): r.js
+        for r in etext.source_divergence(df, "source", "text").collect()
+    }
+    assert got[("same", "same2")] == 0.0
+    assert abs(got[("left", "right")] - round(math.log(2), 8)) < 1e-8
+    assert 0.0 < got[("mix", "same")] < math.log(2)
