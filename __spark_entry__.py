@@ -9625,6 +9625,121 @@ FROM c GROUP BY sa, sb ORDER BY source_a, source_b
 """
 
 
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I(event_type; user segment) in nats
+    (diagnose.mutual_information): marginals as window sums over the
+    reduced cell table (one scan, the contingency_chi2 shape),
+    per-cell contributions round-then-summed as exact DECIMAL."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 4).cast("long").alias("segment")
+    )
+    return diagnose.mutual_information(ev, "event_type", "segment")
+
+
+SQL_MUTUAL_INFORMATION = """
+WITH o AS (
+  SELECT event_type AS x, (user_id % 4)::BIGINT AS y,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+), cell AS (
+  SELECT c, sum(c) OVER (PARTITION BY x) AS r,
+         sum(c) OVER (PARTITION BY y) AS k,
+         sum(c) OVER () AS n
+  FROM o
+), cw AS (
+  SELECT CAST(round((c::DOUBLE / n::DOUBLE)
+      * ln((c::DOUBLE * n::DOUBLE) / (r::DOUBLE * k::DOUBLE)), 12)
+    AS DECIMAL(18,12)) AS cw, n
+  FROM cell
+)
+SELECT count(*)::BIGINT AS n_cells, max(n)::BIGINT AS n_total,
+       round(CAST(CAST(sum(cw) AS DECIMAL(38,12)) AS DOUBLE), 8) AS mi
+FROM cw
+"""
+
+
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per nation (analytics.hhi_concentration):
+    HHI and top-member share from exact DECIMAL Σv, Σv², max(v)
+    partial aggs — two shuffles, no windows or joins past the
+    broadcast dims."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    j = li.join(
+        F.broadcast(s.select("s_suppkey", "s_nationkey")),
+        li.l_suppkey == F.col("s_suppkey"),
+    ).join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return analytics.hhi_concentration(
+        j.select("n_name", "l_suppkey", rev.alias("rev")),
+        "n_name",
+        "l_suppkey",
+        "rev",
+    ).orderBy("n_name")
+
+
+SQL_HHI_CONCENTRATION = """
+WITH per AS (
+  SELECT n_name AS k, l_suppkey AS i,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+           AS v
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1, 2
+), agg AS (
+  SELECT k, count(*)::BIGINT AS n_members,
+         CAST(sum(v) AS DECIMAL(38,4)) AS tot,
+         CAST(sum(CAST(CAST(v AS DECIMAL(19,4)) * v AS DECIMAL(38,8)))
+           AS DECIMAL(38,8)) AS ssq,
+         max(v) AS mx
+  FROM per GROUP BY k
+)
+SELECT k AS n_name, n_members,
+       round(ssq::DOUBLE / (tot::DOUBLE * tot::DOUBLE), 6) AS hhi,
+       round(mx::DOUBLE / tot::DOUBLE, 6) AS top_share
+FROM agg WHERE tot > 0 ORDER BY n_name
+"""
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 PMI collocations over adjacent bigrams
+    (text.pmi_collocations): unigram marginals and the bigram total as
+    window sums over the reduced bigram grain — one token scan, zero
+    joins; (pmi desc, w1, w2) totalizes the top-k cut."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    return etext.pmi_collocations(d, "text", k=30, min_count=3)
+
+
+SQL_PMI_COLLOCATIONS = r"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)),
+                               '[ \t\n\x0b\f\r]+') AS ts
+  FROM documents WHERE doc_id < 400
+), bg0 AS (
+  SELECT ts[i] AS w1, ts[i + 1] AS w2 FROM (
+    SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM d
+  )
+), bigrams AS (
+  SELECT w1, w2, count(*)::BIGINT AS c
+  FROM bg0 WHERE w1 != '' AND w2 != '' GROUP BY 1, 2
+), marg AS (
+  SELECT w1, w2, c,
+         sum(c) OVER (PARTITION BY w1) AS c1,
+         sum(c) OVER (PARTITION BY w2) AS c2,
+         sum(c) OVER () AS n
+  FROM bigrams
+)
+SELECT w1, w2, c,
+       round(ln((c::DOUBLE * n::DOUBLE) / (c1::DOUBLE * c2::DOUBLE)), 6)
+         AS pmi
+FROM marg WHERE c >= 3
+ORDER BY pmi DESC, w1, w2 LIMIT 30
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples
     # the first 50 keys.  Per the r4 verdict ask #6 the 37 keys whose
@@ -9705,6 +9820,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_curve": q_survival_curve,
         "distinctive_terms": q_distinctive_terms,
         "source_divergence": q_source_divergence,
+        "mutual_information": q_mutual_information,
+        "hhi_concentration": q_hhi_concentration,
+        "pmi_collocations": q_pmi_collocations,
         "bitext_pairs": q_bitext_pairs,
         "retrieval_ndcg": q_retrieval_ndcg,
         "zorder_cluster": q_zorder_cluster,
@@ -9990,6 +10108,9 @@ def oracle_sql() -> dict[str, str]:
         "survival_curve": SQL_SURVIVAL_CURVE,
         "distinctive_terms": SQL_DISTINCTIVE_TERMS,
         "source_divergence": SQL_SOURCE_DIVERGENCE,
+        "mutual_information": SQL_MUTUAL_INFORMATION,
+        "hhi_concentration": SQL_HHI_CONCENTRATION,
+        "pmi_collocations": SQL_PMI_COLLOCATIONS,
         "twap": SQL_TWAP,
         "window_funnel": SQL_WINDOW_FUNNEL,
         "text_normalize": SQL_TEXT_NORMALIZE,

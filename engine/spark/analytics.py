@@ -1406,3 +1406,51 @@ def survival_curve(
             F.exp(F.sum("lnq").over(w_cum).cast("double")), 6
         ).alias("survival"),
     )
+
+
+def hhi_concentration(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    value_col,
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration per group — "is this
+    nation's revenue one supplier deep?" — the market-concentration /
+    single-source-risk index: HHI = Σ share_i² ∈ (0, 1], 1 = monopoly,
+    1/n = perfectly even.
+
+    Values aggregate to the (key, member) grain as exact
+    DECIMAL(18,4); HHI needs only Σv, Σv² and max(v) per key — all
+    exact DECIMAL partial aggs (Σv² stays inside DECIMAL(38,8) by the
+    per-member 18,4 contract) — so the whole operator is TWO partial-
+    agg shuffles and zero windows/joins; the final index is a fixed
+    IEEE chain on the exact sums.  Members with non-positive group
+    totals are dropped (shares undefined).  Output: (key, n_members,
+    hhi, top_share) — top_share = the largest member's share, the
+    companion "how bad is the worst case" number.
+    """
+    v = value_col if not isinstance(value_col, str) else F.col(value_col)
+    per = (
+        df.groupBy(F.col(key_col).alias("k"), F.col(id_col).alias("i"))
+        .agg(F.sum(v.cast("decimal(18,4)")).alias("v"))
+    )
+    agg = per.groupBy("k").agg(
+        F.count("*").alias("n_members"),
+        F.sum("v").cast("decimal(38,4)").alias("tot"),
+        F.sum(
+            (F.col("v") * F.col("v")).cast("decimal(38,8)")
+        ).cast("decimal(38,8)").alias("ssq"),
+        F.max("v").alias("mx"),
+    )
+    td = F.col("tot").cast("double")
+    return (
+        agg.where(F.col("tot") > 0)
+        .select(
+            F.col("k").alias(key_col),
+            "n_members",
+            F.round(
+                F.col("ssq").cast("double") / (td * td), 6
+            ).alias("hhi"),
+            F.round(F.col("mx").cast("double") / td, 6).alias("top_share"),
+        )
+    )

@@ -1759,3 +1759,46 @@ def changepoint(
             ).alias("mean_right"),
         )
     )
+
+
+def mutual_information(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """Mutual information I(X;Y) between two categorical columns — the
+    dependence strength in nats that chi-square only tests, the
+    feature-selection / leakage-detection number ("does segment leak
+    the label?").
+
+    I = Σ_cells (c/N)·ln(c·N / (r·k)) over observed cells, with
+    marginals r, k and the grand total N as WINDOW sums over the
+    already-reduced cell table (ONE fact scan — the contingency_chi2
+    shape; the empty-partition window funnels only |X|·|Y| cells).
+    Each cell's contribution is one fixed IEEE chain on exact BIGINTs,
+    rounded to 12 dp and summed as exact DECIMAL (round-then-sum — the
+    cell-order float hazard never reaches the result).  Observed cells
+    have c ≥ 1 so no 0·ln 0 guard is needed.  Output: one row
+    (n_cells, n_total, mi) — mi ≥ 0 up to rounding, 0 iff independent.
+    """
+    o = df.groupBy(row_col, col_col).agg(F.count("*").alias("c"))
+    cell = o.select(
+        "c",
+        F.sum("c").over(Window.partitionBy(row_col)).alias("r"),
+        F.sum("c").over(Window.partitionBy(col_col)).alias("k"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    cd, rd, kd, nd = (F.col(x).cast("double") for x in ["c", "r", "k", "n"])
+    contrib = (cd / nd) * F.log((cd * nd) / (rd * kd))
+    return (
+        cell.select(
+            F.round(contrib, 12).cast("decimal(18,12)").alias("cw"),
+            "n",
+        )
+        .groupBy()
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.max("n").cast("long").alias("n_total"),
+            F.round(
+                F.sum("cw").cast("decimal(38,12)").cast("double"), 8
+            ).alias("mi"),
+        )
+    )

@@ -1790,3 +1790,70 @@ def source_divergence(
             ).alias("js"),
         )
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 30,
+    min_count: int = 3,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information — word pairs
+    that co-occur far above chance ("new york", "machine learning") —
+    the phrase-mining primitive (Mikolov-style phrase joining uses
+    exactly this score).
+
+    PMI(w1,w2) = ln(c₁₂·N / (c₁·c₂)) over ADJACENT token bigrams,
+    with the unigram marginals c₁ (as left word) and c₂ (as right
+    word) and the bigram total N all WINDOW sums over the already-
+    reduced bigram table — ONE token scan, zero joins (the marginal
+    self-joins Catalyst would re-expand into extra scans; the
+    marginal windows are per-vocab-key partition AGGREGATES, no sort).
+    ``min_count`` filters AFTER the marginals (they must count every
+    bigram) and bounds the TakeOrderedAndProject top-k input.  PMI is
+    one fixed IEEE chain on exact BIGINTs; (pmi desc, w1, w2)
+    totalizes the order.  Output: (w1, w2, c, pmi).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col("doc_id"),
+        F.split(F.trim(F.lower(F.col(text_col))), WS).alias("ts"),
+    )
+    bigrams = (
+        toks.select(
+            F.explode(
+                F.filter(
+                    F.zip_with(
+                        F.slice("ts", 1, F.greatest(F.size("ts") - 1, F.lit(0))),
+                        F.slice("ts", 2, F.greatest(F.size("ts") - 1, F.lit(0))),
+                        lambda a, b: F.struct(
+                            a.alias("w1"), b.alias("w2")
+                        ),
+                    ),
+                    lambda s: (s["w1"] != "") & (s["w2"] != ""),
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+    )
+    marg = bigrams.select(
+        "w1",
+        "w2",
+        "c",
+        F.sum("c").over(Window.partitionBy("w1")).alias("c1"),
+        F.sum("c").over(Window.partitionBy("w2")).alias("c2"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    cd, c1, c2, nd = (
+        F.col(x).cast("double") for x in ["c", "c1", "c2", "n"]
+    )
+    pmi = F.log((cd * nd) / (c1 * c2))
+    return (
+        marg.where(F.col("c") >= min_count)
+        .select("w1", "w2", "c", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(k)
+    )

@@ -1475,3 +1475,58 @@ def test_survival_curve_extinction_sentinel(spark):
     assert [(r.t, r.n_risk, r.d, r.survival) for r in got] == [
         (1, 2, 2, 0.0)
     ]
+
+
+# --------------------------------------- MI / HHI / PMI collocations
+def test_mutual_information_independence_and_identity(spark):
+    """A product-form table (counts = r·k/N exactly) has MI = 0; a
+    diagonal table over m classes has MI = ln m."""
+    import math
+    from engine.spark import diagnose
+
+    indep = []
+    for x, rx in (("a", 1), ("b", 3)):
+        for y, ky in ((0, 2), (1, 1)):
+            indep += [(x, y)] * (rx * ky)
+    df = spark.createDataFrame(indep, "x: string, y: long")
+    mi0 = diagnose.mutual_information(df, "x", "y").collect()[0]
+    assert mi0.mi == 0.0 and mi0.n_total == 12 and mi0.n_cells == 4
+    diag = [(str(i), i) for i in range(3) for _ in range(5)]
+    df2 = spark.createDataFrame(diag, "x: string, y: long")
+    mi1 = diagnose.mutual_information(df2, "x", "y").collect()[0]
+    assert abs(mi1.mi - math.log(3)) < 1e-7
+
+
+def test_hhi_concentration_hand(spark):
+    """Monopoly → 1.0; even split → 1/n; 60/20/20 → 0.44 with
+    top_share 0.6."""
+    rows = [("m", 1, 100.0),
+            ("even", 1, 50.0), ("even", 2, 50.0),
+            ("skew", 1, 60.0), ("skew", 2, 20.0), ("skew", 3, 20.0)]
+    df = spark.createDataFrame(rows, "k: string, i: long, v: double")
+    got = {
+        r.k: (r.n_members, r.hhi, r.top_share)
+        for r in analytics.hhi_concentration(df, "k", "i", "v").collect()
+    }
+    assert got == {"m": (1, 1.0, 1.0), "even": (2, 0.5, 0.5),
+                   "skew": (3, 0.44, 0.6)}
+
+
+def test_pmi_collocations_hand(spark):
+    """An exclusive pair scores ln 4 and tops pairs sharing a
+    marginal (ln 2) and the independent-ish pair (0)."""
+    import math
+    from engine.spark import text as etext
+
+    rows = [(1, "new york"), (2, "a b"), (3, "a c"), (4, "b c")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = [
+        (r.w1, r.w2, r.pmi)
+        for r in etext.pmi_collocations(df, "text", k=10, min_count=1)
+        .collect()
+    ]
+    assert got[0][:2] == ("new", "york")
+    assert abs(got[0][2] - round(math.log(4), 6)) < 1e-9
+    pmis = {(w1, w2): p for w1, w2, p in got}
+    assert abs(pmis[("a", "b")] - round(math.log(2), 6)) < 1e-9
+    assert pmis[("a", "c")] == 0.0
