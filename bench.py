@@ -487,6 +487,12 @@ RELATIONAL = [
     "autocorrelation",
     "changepoint",
     "user_streaks",
+    "survival_curve",
+    "distinctive_terms",
+    "source_divergence",
+    "mutual_information",
+    "hhi_concentration",
+    "pmi_collocations",
 ]
 
 
