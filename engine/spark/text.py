@@ -1655,14 +1655,18 @@ def distinctive_terms(
     ).where(F.col("term") != "")
     gt = toks.groupBy("g", "term").agg(F.count("*").alias("y"))
     w_term = Window.partitionBy("term")
-    w_all = Window.partitionBy()
+    # the corpus total is a broadcast single-row aggregate, NOT an
+    # empty-partition window: the (group, term) grain is vocab-sized
+    # (10^8 rows at 100 TB), far past the "metadata through one task"
+    # budget the bounded-cell windows elsewhere rely on; ReusedExchange
+    # dedupes the shared grain subtree (the Q11 discipline)
+    n_tot = gt.agg(F.sum("y").alias("n"))
     grain = gt.select(
         "g",
         "term",
         "y",
         F.sum("y").over(w_term).alias("yw"),
-        F.sum("y").over(w_all).alias("n"),
-    ).where(F.col("yw") >= min_count)
+    ).crossJoin(F.broadcast(n_tot)).where(F.col("yw") >= min_count)
     totals = gt.groupBy("g").agg(F.sum("y").alias("ns"))
     j = grain.join(F.broadcast(totals), "g")
     yd, ywd, nd, nsd = (
@@ -1839,14 +1843,17 @@ def pmi_collocations(
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("c"))
     )
+    # bigram total as a broadcast single-row agg — the bigram grain is
+    # vocab^2-sized, so an empty-partition window here would funnel it
+    # through one task (see distinctive_terms); ReusedExchange dedupes
+    n_tot = bigrams.agg(F.sum("c").alias("n"))
     marg = bigrams.select(
         "w1",
         "w2",
         "c",
         F.sum("c").over(Window.partitionBy("w1")).alias("c1"),
         F.sum("c").over(Window.partitionBy("w2")).alias("c2"),
-        F.sum("c").over(Window.partitionBy()).alias("n"),
-    )
+    ).crossJoin(F.broadcast(n_tot))
     cd, c1, c2, nd = (
         F.col(x).cast("double") for x in ["c", "c1", "c2", "n"]
     )
