@@ -9740,6 +9740,118 @@ ORDER BY pmi DESC, w1, w2 LIMIT 30
 """
 
 
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit Benford audit of event values
+    (diagnose.benford_audit): digit from the integer STRING of
+    floor(|v|) — never floor(log10), whose IEEE log10(1000)=2.999…96
+    bug misbins powers of ten; exact counts, broadcast total,
+    per-digit χ² as fixed IEEE chains."""
+    return diagnose.benford_audit(
+        _t(spark, sf_dir, "events"), "value"
+    ).orderBy("digit")
+
+
+SQL_BENFORD_AUDIT = """
+WITH iv AS (
+  SELECT CAST(floor(abs(value)) AS BIGINT) AS iv FROM events
+  WHERE value IS NOT NULL AND CAST(floor(abs(value)) AS BIGINT) >= 1
+), d AS (
+  SELECT CAST(substr(CAST(iv AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         count(*)::BIGINT AS observed
+  FROM iv GROUP BY 1
+), t AS (SELECT sum(observed)::BIGINT AS n_total FROM d)
+SELECT digit, observed,
+  round(observed::DOUBLE / n_total::DOUBLE, 6) AS ratio,
+  round(log10(1.0 + 1.0 / digit::DOUBLE), 6) AS expected_ratio,
+  round((observed::DOUBLE
+           - log10(1.0 + 1.0 / digit::DOUBLE) * n_total::DOUBLE)
+        * (observed::DOUBLE
+           - log10(1.0 + 1.0 / digit::DOUBLE) * n_total::DOUBLE)
+        / (log10(1.0 + 1.0 / digit::DOUBLE) * n_total::DOUBLE), 6)
+    AS cell_chi2
+FROM d CROSS JOIN t ORDER BY digit
+"""
+
+
+def q_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed trade-graph profile (analytics.degree_stats):
+    supplier→customer lanes plus the return-flagged reverse lanes, so
+    reciprocity is a real fraction; degrees from the deduped edge
+    grain (ReusedExchange), reciprocity via one semi-join with the
+    reversed edges."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_suppkey").cast("long").alias("s"),
+        (F.col("o_custkey") + 100000).cast("long").alias("c"),
+        "l_returnflag",
+    )
+    edges = j.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
+        j.where(F.col("l_returnflag") == "R").select(
+            F.col("c").alias("src"), F.col("s").alias("dst")
+        )
+    )
+    return analytics.degree_stats(edges)
+
+
+SQL_DEGREE_STATS = """
+WITH j AS (
+  SELECT l_suppkey::BIGINT AS s, (o_custkey + 100000)::BIGINT AS c,
+         l_returnflag
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT s AS src, c AS dst FROM j
+    UNION ALL
+    SELECT c AS src, s AS dst FROM j WHERE l_returnflag = 'R'
+  )
+), outd AS (SELECT src, count(*)::BIGINT AS d FROM e GROUP BY src),
+ind AS (SELECT dst, count(*)::BIGINT AS d FROM e GROUP BY dst),
+nn AS (SELECT count(*)::BIGINT AS n_nodes FROM
+       (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+ne AS (SELECT count(*)::BIGINT AS n_edges FROM e),
+rc AS (SELECT count(*)::BIGINT AS n_recip FROM e
+       WHERE EXISTS (SELECT 1 FROM e r
+                     WHERE r.src = e.dst AND r.dst = e.src))
+SELECT n_nodes, n_edges,
+       (SELECT max(d) FROM outd)::BIGINT AS max_out,
+       (SELECT max(d) FROM ind)::BIGINT AS max_in,
+       round(n_edges::DOUBLE / n_nodes::DOUBLE, 6) AS avg_degree,
+       round(n_recip::DOUBLE / n_edges::DOUBLE, 6) AS reciprocity
+FROM ne CROSS JOIN nn CROSS JOIN rc
+"""
+
+
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase latency histogram (analytics.conversion_latency):
+    first-touch anchoring, exact BIGINT microsecond latencies, 6-hour
+    integer buckets, per-bucket exact-sum stats."""
+    return analytics.conversion_latency(
+        _t(spark, sf_dir, "events"), "signup", "purchase", bucket_s=21600
+    ).orderBy("bucket")
+
+
+SQL_CONVERSION_LATENCY = """
+WITH a AS (
+  SELECT user_id AS u, min(epoch_us(ts)) AS ta FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+), b AS (
+  SELECT user_id AS u, epoch_us(ts) AS tb FROM events
+  WHERE event_type = 'purchase'
+), lat AS (
+  SELECT b.u, min(tb - ta) AS lat_us
+  FROM b JOIN a ON b.u = a.u WHERE tb > ta GROUP BY b.u
+)
+SELECT lat_us // 21600000000 AS bucket, count(*)::BIGINT AS n,
+  round(min(lat_us)::DOUBLE / 1e6, 6) AS min_s,
+  round(max(lat_us)::DOUBLE / 1e6, 6) AS max_s,
+  round(sum(lat_us)::DOUBLE / count(*)::DOUBLE / 1e6, 6) AS mean_s
+FROM lat GROUP BY 1 ORDER BY bucket
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples
     # the first 50 keys.  Per the r4 verdict ask #6 the 37 keys whose
@@ -9823,6 +9935,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_information": q_mutual_information,
         "hhi_concentration": q_hhi_concentration,
         "pmi_collocations": q_pmi_collocations,
+        "benford_audit": q_benford_audit,
+        "degree_stats": q_degree_stats,
+        "conversion_latency": q_conversion_latency,
         "bitext_pairs": q_bitext_pairs,
         "retrieval_ndcg": q_retrieval_ndcg,
         "zorder_cluster": q_zorder_cluster,
@@ -10111,6 +10226,9 @@ def oracle_sql() -> dict[str, str]:
         "mutual_information": SQL_MUTUAL_INFORMATION,
         "hhi_concentration": SQL_HHI_CONCENTRATION,
         "pmi_collocations": SQL_PMI_COLLOCATIONS,
+        "benford_audit": SQL_BENFORD_AUDIT,
+        "degree_stats": SQL_DEGREE_STATS,
+        "conversion_latency": SQL_CONVERSION_LATENCY,
         "twap": SQL_TWAP,
         "window_funnel": SQL_WINDOW_FUNNEL,
         "text_normalize": SQL_TEXT_NORMALIZE,

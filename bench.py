@@ -493,6 +493,9 @@ RELATIONAL = [
     "mutual_information",
     "hhi_concentration",
     "pmi_collocations",
+    "benford_audit",
+    "degree_stats",
+    "conversion_latency",
 ]
 
 

@@ -1454,3 +1454,124 @@ def hhi_concentration(
             F.round(F.col("mx").cast("double") / td, 6).alias("top_share"),
         )
     )
+
+
+def degree_stats(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """One-row structural profile of a directed edge table — the
+    pre-flight you run before committing to a graph algorithm's cost
+    model: node/edge counts, max and mean out/in degree (is there a
+    hub that will hotspot the frontier join?), and reciprocity (the
+    fraction of edges whose reverse also exists — near 1 the graph is
+    effectively undirected and CC-style algorithms apply).
+
+    Shapes: edges dedup to one partial-agg shuffle; degrees are two
+    aggregations of the SAME deduped grain (ReusedExchange — the Q11
+    discipline); reciprocity is ONE equi-semi-join of the deduped
+    edges with their own reversal on the full (src, dst) key — hash
+    join, |E| scale, never a cartesian.  All counts exact BIGINTs;
+    means are single correctly-rounded divisions.  Output: (n_nodes,
+    n_edges, max_out, max_in, avg_degree, reciprocity).
+    """
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).distinct()
+    out_d = e.groupBy("src").agg(F.count("*").alias("d"))
+    in_d = e.groupBy("dst").agg(F.count("*").alias("d"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .agg(F.count("*").alias("n_nodes"))
+    )
+    rev = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    recip = (
+        e.join(rev, ["src", "dst"], "left_semi")
+        .agg(F.count("*").alias("n_recip"))
+    )
+    tot = e.agg(F.count("*").alias("n_edges"))
+    mo = out_d.agg(F.max("d").alias("max_out"))
+    mi = in_d.agg(F.max("d").alias("max_in"))
+    return (
+        tot.crossJoin(F.broadcast(nodes))
+        .crossJoin(F.broadcast(mo))
+        .crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(recip))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "max_out",
+            "max_in",
+            F.round(
+                F.col("n_edges").cast("double")
+                / F.col("n_nodes").cast("double"),
+                6,
+            ).alias("avg_degree"),
+            F.round(
+                F.col("n_recip").cast("double")
+                / F.col("n_edges").cast("double"),
+                6,
+            ).alias("reciprocity"),
+        )
+    )
+
+
+def conversion_latency(
+    events: DataFrame,
+    from_type: str,
+    to_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Latency from a user's FIRST ``from_type`` event to their first
+    ``to_type`` event strictly after it — "how long from signup to
+    purchase?" — as an exact log-free histogram over ``bucket_s``
+    buckets plus exact micro-second summary stats per bucket.
+
+    First-touch anchoring matches event_funnel's semantics.  Shape:
+    two filtered partial aggs on the user key (each filter pushes to
+    its own columnar scan) joined on that SAME key — hash-partitioned,
+    no windows, no per-user sort; the histogram is a partial agg on
+    the bounded bucket key.  Latencies are exact BIGINT microseconds
+    (unix_micros both engines), bucket = lat_us DIV (bucket_s·10⁶) —
+    integer exact; per-bucket mean is one correctly-rounded division
+    of exact sums.  Output: (bucket, n, min_s, max_s, mean_s) with
+    the seconds values rounded to 6 dp.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    a = (
+        events.where(F.col(type_col) == from_type)
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(F.min(us).alias("ta"))
+    )
+    b = events.where(F.col(type_col) == to_type).select(
+        F.col(user_col).alias("u"), us.alias("tb")
+    )
+    lat = (
+        b.join(a, "u")
+        .where(F.col("tb") > F.col("ta"))
+        .groupBy("u")
+        .agg(F.min(F.col("tb") - F.col("ta")).alias("lat_us"))
+    )
+    div = bucket_s * 1_000_000
+    return (
+        lat.select(F.expr(f"lat_us DIV {div}").alias("bucket"), "lat_us")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("lat_us").cast("double") / 1e6, 6).alias("min_s"),
+            F.round(F.max("lat_us").cast("double") / 1e6, 6).alias("max_s"),
+            F.round(
+                F.sum("lat_us").cast("double")
+                / F.count("*").cast("double")
+                / 1e6,
+                6,
+            ).alias("mean_s"),
+        )
+    )

@@ -1802,3 +1802,46 @@ def mutual_information(
             ).alias("mi"),
         )
     )
+
+
+def benford_audit(
+    df: DataFrame, value_col: str = "value"
+) -> DataFrame:
+    """First-digit Benford's-law audit — the fabricated-numbers /
+    broken-instrumentation detector: naturally occurring magnitudes
+    put digit d first with probability log₁₀(1 + 1/d); uniform or
+    hand-typed values don't.
+
+    The first digit comes from the INTEGER STRING of floor(|v|) —
+    never ``floor(log10 v)``, whose IEEE log10(1000) = 2.999…96 bug
+    misbins exact powers of ten; values with floor(|v|) < 1 are out of
+    scope (no integer first digit) and excluded.  Counts are exact
+    BIGINTs from one partial-agg shuffle to the 9-digit grain; the
+    total rides back as a broadcast single-row aggregate; expected
+    ratios and the per-digit χ² contribution are fixed IEEE chains on
+    exact values (per-cell, never a float total — the
+    contingency_chi2 discipline).  Output per digit 1-9: (digit,
+    observed, ratio, expected_ratio, cell_chi2).
+    """
+    iv = F.floor(F.abs(F.col(value_col))).cast("long")
+    digits = (
+        df.where(F.col(value_col).isNotNull() & (iv >= 1))
+        .select(
+            F.substring(iv.cast("string"), 1, 1).cast("int").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").alias("observed"))
+    )
+    total = digits.agg(F.sum("observed").alias("n_total"))
+    j = digits.crossJoin(F.broadcast(total))
+    od = F.col("observed").cast("double")
+    nd = F.col("n_total").cast("double")
+    p = F.log10(1.0 + 1.0 / F.col("digit").cast("double"))
+    e = p * nd
+    return j.select(
+        "digit",
+        "observed",
+        F.round(od / nd, 6).alias("ratio"),
+        F.round(p, 6).alias("expected_ratio"),
+        F.round((od - e) * (od - e) / e, 6).alias("cell_chi2"),
+    )

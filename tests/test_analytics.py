@@ -1530,3 +1530,56 @@ def test_pmi_collocations_hand(spark):
     pmis = {(w1, w2): p for w1, w2, p in got}
     assert abs(pmis[("a", "b")] - round(math.log(2), 6)) < 1e-9
     assert pmis[("a", "c")] == 0.0
+
+
+# -------------------------------- benford / degrees / latency
+def test_benford_audit_power_of_ten_binning(spark):
+    """Exact powers of ten must bin under digit 1 (the floor(log10)
+    IEEE bug this op avoids), sub-1 values are out of scope, and a
+    digit-1-only sample pins ratio 1.0 against expected 0.301."""
+    from engine.spark import diagnose
+
+    vals = [1000.0, 100.0, 10.0, 1.0, 0.5, -0.9, 199.9, 1.7]
+    df = spark.createDataFrame([(v,) for v in vals], "value: double")
+    got = {r.digit: r for r in diagnose.benford_audit(df).collect()}
+    assert set(got) == {1}
+    r = got[1]
+    assert r.observed == 6 and r.ratio == 1.0
+    assert abs(r.expected_ratio - 0.30103) < 1e-6
+
+
+def test_degree_stats_hand(spark):
+    """Triangle 1→2→3→1 plus the lone reciprocal pair (1↔2 via 2→1):
+    n_nodes 3, n_edges 4, reciprocity 2/4; duplicate edges count
+    once."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 1), (2, 1)], "src: long, dst: long"
+    )
+    r = analytics.degree_stats(edges).collect()[0]
+    assert (r.n_nodes, r.n_edges) == (3, 4)
+    assert r.max_out == 2 and r.max_in == 2
+    assert r.reciprocity == 0.5
+    assert abs(r.avg_degree - 4 / 3) < 1e-6
+
+
+def test_conversion_latency_first_touch(spark):
+    """Latency anchors at the FIRST from-event and takes the first
+    to-event strictly after it; conversions before the anchor don't
+    count; per-bucket stats are exact."""
+    rows = [
+        (1, 0, "signup"), (1, 50, "signup"),        # anchor at 0
+        (1, 100, "purchase"), (1, 400, "purchase"),  # first after → 100
+        (2, 500, "purchase"), (2, 600, "signup"),    # no post-anchor buy
+        (3, 0, "signup"), (3, 7200, "purchase"),     # second bucket
+    ]
+    df = spark.createDataFrame(rows, "user_id: long, sec: long, event_type: string").select(
+        "user_id", F.timestamp_seconds(F.col("sec")).alias("ts"), "event_type"
+    )
+    got = {
+        r.bucket: (r.n, r.min_s, r.max_s, r.mean_s)
+        for r in analytics.conversion_latency(
+            df, "signup", "purchase", bucket_s=3600
+        ).collect()
+    }
+    assert got == {0: (1, 100.0, 100.0, 100.0),
+                   2: (1, 7200.0, 7200.0, 7200.0)}
