@@ -9313,8 +9313,8 @@ SELECT k AS n_name, i AS l_suppkey,
        round(v::DOUBLE, 2) AS value, rank::INTEGER AS rank,
        round(cum::DOUBLE / total::DOUBLE, 6) AS cum_share
 FROM ranked
-WHERE CAST(CAST(5 AS DECIMAL(18,4)) * (cum - v) AS DECIMAL(38,8))
-    < CAST(CAST(4 AS DECIMAL(18,4)) * total AS DECIMAL(38,8))
+WHERE CAST(5 AS DECIMAL(4,0)) * CAST(cum - v AS DECIMAL(28,4))
+    < CAST(4 AS DECIMAL(4,0)) * CAST(total AS DECIMAL(28,4))
 ORDER BY n_name, rank
 """
 
@@ -9852,6 +9852,288 @@ FROM lat GROUP BY 1 ORDER BY bucket
 """
 
 
+def q_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily stickiness DAU/MAU-30 (analytics.dau_mau): the sliding
+    COUNT DISTINCT decomposed by contribution-explode over the deduped
+    (user, day) grain — bounded ×30 fan-out, partial-aggregated, never
+    a per-day self-join; integer day arithmetic end-to-end."""
+    return analytics.dau_mau(
+        _t(spark, sf_dir, "events"), window_days=30
+    ).orderBy("day")
+
+
+SQL_DAU_MAU = """
+WITH act AS (
+  SELECT DISTINCT user_id AS u,
+         floor(epoch_us(ts) / 86400000000)::BIGINT AS day
+  FROM events
+), bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM act),
+cover AS (
+  SELECT DISTINCT c.u, c.wend
+  FROM (SELECT u, unnest(generate_series(day, day + 29)) AS wend
+        FROM act) c
+  CROSS JOIN bounds WHERE c.wend BETWEEN d0 AND d1
+),
+mau AS (SELECT wend AS day, count(*)::BIGINT AS mau FROM cover GROUP BY 1),
+dau AS (SELECT day, count(*)::BIGINT AS dau FROM act GROUP BY 1)
+SELECT m.day, coalesce(d.dau, 0)::BIGINT AS dau, m.mau,
+       round(coalesce(d.dau, 0)::DOUBLE / m.mau::DOUBLE, 6)
+         AS stickiness
+FROM mau m LEFT JOIN dau d ON m.day = d.day ORDER BY m.day
+"""
+
+
+def q_gini_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue inequality per nation (analytics.gini_index): Lorenz-
+    rank formula over the reduced (nation, supplier) rollup, Σr·v as
+    exact DECIMAL(29,4) products, the final G one fixed IEEE chain."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    j = li.join(
+        F.broadcast(s.select("s_suppkey", "s_nationkey")),
+        li.l_suppkey == F.col("s_suppkey"),
+    ).join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return analytics.gini_index(
+        j.select("n_name", "l_suppkey", rev.alias("rev")),
+        "n_name",
+        "l_suppkey",
+        "rev",
+    ).orderBy("n_name")
+
+
+SQL_GINI_INDEX = """
+WITH per AS (
+  SELECT n_name AS k, l_suppkey AS i,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+           AS v
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT k, v,
+         row_number() OVER (PARTITION BY k ORDER BY v ASC, i ASC) AS r
+  FROM per WHERE v >= 0
+), agg AS (
+  SELECT k, count(*)::BIGINT AS n,
+         CAST(sum(v) AS DECIMAL(38,4)) AS sv,
+         CAST(sum(CAST(CAST(r AS DECIMAL(10,0)) * v AS DECIMAL(38,4)))
+           AS DECIMAL(38,4)) AS srv
+  FROM ranked GROUP BY k
+)
+SELECT k AS n_name, n AS n_members,
+       round((2.0 * srv::DOUBLE - (n::DOUBLE + 1.0) * sv::DOUBLE)
+             / (n::DOUBLE * sv::DOUBLE), 6) AS gini
+FROM agg WHERE sv > 0 ORDER BY n_name
+"""
+
+
+def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week load surface per event type
+    (diagnose.seasonality_profile): epoch-anchored integer dow/hour
+    cells, exact-DECIMAL means, cell-to-key ratio as one fixed chain;
+    key totals as window sums over the ≤168-cell grain."""
+    return diagnose.seasonality_profile(
+        _t(spark, sf_dir, "events"), "event_type", "ts", F.col("value")
+    ).orderBy("event_type", "dow", "hour")
+
+
+SQL_SEASONALITY_PROFILE = """
+WITH cells AS (
+  SELECT event_type AS k,
+         (floor(epoch_us(ts) / 86400000000)::BIGINT % 7)::INTEGER
+           AS dow,
+         (floor(epoch_us(ts) / 3600000000)::BIGINT % 24)::INTEGER
+           AS hour,
+         count(*)::BIGINT AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sv
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3
+), fcells AS (
+  SELECT *, sum(n) OVER (PARTITION BY k) AS nk,
+         CAST(sum(sv) OVER (PARTITION BY k) AS DECIMAL(38,6)) AS svk
+  FROM cells
+)
+SELECT k AS event_type, dow, hour, n,
+  round(sv::DOUBLE / n::DOUBLE, 6) AS mean_value,
+  round((sv::DOUBLE / n::DOUBLE) / (svk::DOUBLE / nk::DOUBLE), 6)
+    AS ratio
+FROM fcells ORDER BY event_type, dow, hour
+"""
+
+
+def q_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 length-3 behavioral paths (analytics.path_trigrams):
+    two leads in one user-keyed window, partial agg on the bounded
+    triple key, TakeOrdered top-k; (ts, event_id) totalizes the
+    per-user order."""
+    return analytics.path_trigrams(_t(spark, sf_dir, "events"), k=20)
+
+
+SQL_PATH_TRIGRAMS = """
+WITH t AS (
+  SELECT event_type AS t1,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1, t2, t3, count(*)::BIGINT AS n
+FROM t WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+GROUP BY 1, 2, 3 ORDER BY n DESC, t1, t2, t3 LIMIT 20
+"""
+
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event burstiness per user (analytics.burstiness): exact
+    BIGINT-microsecond gaps, Σg/Σg² as exact DECIMALs, Goh-Barabási
+    B = (σ−μ)/(σ+μ) as one fixed IEEE chain."""
+    return analytics.burstiness(
+        _t(spark, sf_dir, "events"), min_gaps=5
+    ).orderBy("user_id")
+
+
+SQL_BURSTINESS = """
+WITH g AS (
+  SELECT user_id,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) - epoch_us(ts) AS g
+  FROM events
+), a AS (
+  SELECT user_id, count(*)::BIGINT AS n,
+         CAST(sum(CAST(g AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS s,
+         CAST(sum(CAST(CAST(g AS DECIMAL(19,0))
+                       * CAST(g AS DECIMAL(18,0)) AS DECIMAL(38,0)))
+           AS DECIMAL(38,0)) AS ssq
+  FROM g WHERE g IS NOT NULL GROUP BY 1
+)
+SELECT user_id, n AS n_gaps,
+  round((s::DOUBLE / n::DOUBLE) / 1e6, 6) AS mean_gap_s,
+  round((sqrt((n::DOUBLE * ssq::DOUBLE - s::DOUBLE * s::DOUBLE)
+              / (n::DOUBLE * n::DOUBLE)) - s::DOUBLE / n::DOUBLE)
+      / (sqrt((n::DOUBLE * ssq::DOUBLE - s::DOUBLE * s::DOUBLE)
+              / (n::DOUBLE * n::DOUBLE)) + s::DOUBLE / n::DOUBLE), 6)
+    AS burstiness
+FROM a WHERE n >= 5 ORDER BY user_id
+"""
+
+
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type audience Venn matrix (analytics.audience_overlap):
+    pairs generated inside per-user sorted type arrays (one scan, no
+    self-join), sizes broadcast back; the DuckDB twin IS the
+    (user,type) self-join — two derivations, same integers."""
+    return analytics.audience_overlap(
+        _t(spark, sf_dir, "events")
+    ).orderBy("type_a", "type_b")
+
+
+SQL_AUDIENCE_OVERLAP = """
+WITH ut AS (
+  SELECT DISTINCT user_id AS u, event_type AS t FROM events
+), sizes AS (
+  SELECT t, count(*)::BIGINT AS sz FROM ut GROUP BY t
+), pairs AS (
+  SELECT a.t AS type_a, b.t AS type_b, count(*)::BIGINT AS n_both
+  FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_both, sa.sz AS n_a, sb.sz AS n_b,
+  round(n_both::DOUBLE / (sa.sz + sb.sz - n_both)::DOUBLE, 6)
+    AS jaccard
+FROM pairs
+JOIN sizes sa ON type_a = sa.t
+JOIN sizes sb ON type_b = sb.t
+ORDER BY type_a, type_b
+"""
+
+
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24-observation z-score anomalies per user
+    (diagnose.rolling_zscore): exact DECIMAL frame sums, flag cut on
+    the ROUNDED z so the boundary is engine-exact."""
+    return diagnose.rolling_zscore(
+        _t(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        window=24,
+        min_n=5,
+        threshold=2.0,
+    ).orderBy("user_id", "event_id")
+
+
+SQL_ROLLING_ZSCORE = """
+WITH b AS (
+  SELECT user_id, event_id, ts, value,
+    count(value) OVER w AS n,
+    CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w
+      AS DECIMAL(38,6)) AS s,
+    CAST(sum(CAST(CAST(value AS DECIMAL(19,6))
+                  * CAST(value AS DECIMAL(18,6)) AS DECIMAL(38,6)))
+      OVER w AS DECIMAL(38,6)) AS ssq
+  FROM events WHERE value IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+), z AS (
+  SELECT user_id, event_id, ts, value,
+    (n::DOUBLE * ssq::DOUBLE - s::DOUBLE * s::DOUBLE)
+      / (n::DOUBLE * n::DOUBLE) AS var,
+    round((value - s::DOUBLE / n::DOUBLE)
+          / sqrt((n::DOUBLE * ssq::DOUBLE - s::DOUBLE * s::DOUBLE)
+                 / (n::DOUBLE * n::DOUBLE)), 6) AS z
+  FROM b WHERE n >= 5
+)
+SELECT user_id, event_id, ts, value, z
+FROM z WHERE var > 0 AND abs(z) >= 2.0
+ORDER BY user_id, event_id
+"""
+
+
+def q_stream_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of rolling_zscore
+    (streaming.stream_rolling_anomaly, applyInPandasWithState): the
+    events table is staged as three time-ranged shards fed one per
+    micro-batch; every row scores against only its past, so the
+    stream output over the in-order feed equals the batch operator
+    EXACTLY — the oracle is the shared batch SQL, no trailing-openness
+    carve-out.  The stateful fn re-derives the batch's decimal
+    quantizations from the raw doubles, so z values are
+    bit-identical."""
+    import glob
+    import os
+    import shutil
+
+    from engine.spark import streaming
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    b = ev.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1")).collect()[0]
+    span = (b.t1 - b.t0) / 3
+    cut1, cut2 = b.t0 + span, b.t0 + 2 * span
+    parts = [
+        ev.where(F.col("ts") <= F.lit(cut1)),
+        ev.where((F.col("ts") > F.lit(cut1)) & (F.col("ts") <= F.lit(cut2))),
+        ev.where(F.col("ts") > F.lit(cut2)),
+    ]
+    src = tempfile.mkdtemp(prefix="anom_src_")
+    for i, p in enumerate(parts):
+        d = tempfile.mkdtemp(prefix="anom_part_")
+        p.coalesce(1).write.mode("overwrite").parquet(d)
+        dest = f"{src}/batch-{i}.parquet"
+        shutil.copy(glob.glob(f"{d}/part-*.parquet")[0], dest)
+        os.utime(dest, (1_000_000_000 + i * 10, 1_000_000_000 + i * 10))
+        shutil.rmtree(d, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="anom_ckpt_")
+    sink = f"stream_anom_{uuid.uuid4().hex[:8]}"
+    out = streaming.stream_rolling_anomaly(
+        spark, src, ckpt, sink_table=sink, max_files_per_trigger=1
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out.orderBy("user_id", "event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples
     # the first 50 keys.  Per the r4 verdict ask #6 the 37 keys whose
@@ -9938,6 +10220,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_audit": q_benford_audit,
         "degree_stats": q_degree_stats,
         "conversion_latency": q_conversion_latency,
+        "dau_mau": q_dau_mau,
+        "gini_index": q_gini_index,
+        "seasonality_profile": q_seasonality_profile,
+        "path_trigrams": q_path_trigrams,
+        "burstiness": q_burstiness,
+        "audience_overlap": q_audience_overlap,
+        "rolling_zscore": q_rolling_zscore,
+        "stream_rolling_anomaly": q_stream_rolling_anomaly,
         "bitext_pairs": q_bitext_pairs,
         "retrieval_ndcg": q_retrieval_ndcg,
         "zorder_cluster": q_zorder_cluster,
@@ -10229,6 +10519,14 @@ def oracle_sql() -> dict[str, str]:
         "benford_audit": SQL_BENFORD_AUDIT,
         "degree_stats": SQL_DEGREE_STATS,
         "conversion_latency": SQL_CONVERSION_LATENCY,
+        "dau_mau": SQL_DAU_MAU,
+        "gini_index": SQL_GINI_INDEX,
+        "seasonality_profile": SQL_SEASONALITY_PROFILE,
+        "path_trigrams": SQL_PATH_TRIGRAMS,
+        "burstiness": SQL_BURSTINESS,
+        "audience_overlap": SQL_AUDIENCE_OVERLAP,
+        "rolling_zscore": SQL_ROLLING_ZSCORE,
+        "stream_rolling_anomaly": SQL_ROLLING_ZSCORE,
         "twap": SQL_TWAP,
         "window_funnel": SQL_WINDOW_FUNNEL,
         "text_normalize": SQL_TEXT_NORMALIZE,

@@ -496,6 +496,13 @@ RELATIONAL = [
     "benford_audit",
     "degree_stats",
     "conversion_latency",
+    "dau_mau",
+    "gini_index",
+    "seasonality_profile",
+    "path_trigrams",
+    "burstiness",
+    "audience_overlap",
+    "rolling_zscore",
 ]
 
 

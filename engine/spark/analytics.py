@@ -1247,13 +1247,18 @@ def cumulative_contribution(
         F.sum("v").over(wc).alias("cum"),
         F.sum("v").over(wt).alias("total"),
     )
-    num, den = F.lit(threshold_num).cast("decimal(18,4)"), F.lit(
+    # bounded operand types: a (18,4) x (38,4) product is precision 57,
+    # which Spark's precision-loss lane ROUNDS to scale 6 while DuckDB
+    # caps at (38,8) - a razor-edge boundary could flip between
+    # engines.  (4,0) x (28,4) = (33,4), exact in both (contract:
+    # per-group totals fit 24 integer digits).
+    num, den = F.lit(threshold_num).cast("decimal(4,0)"), F.lit(
         threshold_den
-    ).cast("decimal(18,4)")
+    ).cast("decimal(4,0)")
     return (
         ranked.where(
-            (den * (F.col("cum") - F.col("v"))).cast("decimal(38,8)")
-            < (num * F.col("total")).cast("decimal(38,8)")
+            den * (F.col("cum") - F.col("v")).cast("decimal(28,4)")
+            < num * F.col("total").cast("decimal(28,4)")
         )
         .select(
             F.col("k").alias(key_col),
@@ -1573,5 +1578,281 @@ def conversion_latency(
                 / 1e6,
                 6,
             ).alias("mean_s"),
+        )
+    )
+
+
+def dau_mau(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 30,
+) -> DataFrame:
+    """Daily stickiness — DAU / trailing-``window_days`` MAU per day —
+    the engagement ratio every product dashboard leads with.
+
+    A sliding COUNT DISTINCT is not decomposable, so MAU(d) is
+    computed by CONTRIBUTION EXPLODE: each distinct (user, day)
+    activity row covers the ``window_days`` window-end days it makes
+    that user active in (a bounded ×30 fan-out of the already-deduped
+    activity grain — linear, partial-aggregated, shuffle on the day
+    key; never a per-day self-join or a stateful scan).  The fan-out
+    then dedups (user, window_end) — a user active twice in a window
+    counts once.  Days outside the observed [min, max] activity range
+    are clipped via a broadcast bounds row.  All integer day
+    arithmetic; stickiness is one correctly-rounded division.
+    Output: (day, dau, mau, stickiness).
+    """
+    day = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp"))
+        / F.lit(86_400_000_000)
+    ).cast("long")
+    act = events.select(
+        F.col(user_col).alias("u"), day.alias("day")
+    ).distinct()
+    bounds = act.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    cover = (
+        act.select(
+            "u",
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.col("day") + F.lit(window_days - 1),
+                )
+            ).alias("wend"),
+        )
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .where((F.col("wend") >= F.col("d0")) & (F.col("wend") <= F.col("d1")))
+    )
+    mau = cover.groupBy(F.col("wend").alias("day")).agg(
+        F.count("*").alias("mau")
+    )
+    dau = act.groupBy("day").agg(F.count("*").alias("dau"))
+    return (
+        mau.join(dau, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("dau"), F.lit(0)).cast("long").alias("dau"),
+            F.col("mau").cast("long").alias("mau"),
+            F.round(
+                F.coalesce(F.col("dau"), F.lit(0)).cast("double")
+                / F.col("mau").cast("double"),
+                6,
+            ).alias("stickiness"),
+        )
+    )
+
+
+def gini_index(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    value_col,
+) -> DataFrame:
+    """Gini inequality coefficient per group over non-negative member
+    values — the companion to :func:`hhi_concentration` (HHI weights
+    the head; Gini reads the whole Lorenz curve):
+
+        G = (2·Σ rᵢ·vᵢ − (n+1)·Σv) / (n·Σv),  v ascending, r = 1…n
+
+    Values aggregate to the (key, member) grain as exact
+    DECIMAL(18,4); the rank window runs over that REDUCED member
+    table (bounded members per key — the pareto_share justification;
+    million-member keys: switch to distributed_ntile's range ranking).
+    Σr·v multiplies rank as DECIMAL(10,0) (product (29,4) — exact in
+    both engines), all sums exact DECIMAL, the final G one fixed IEEE
+    chain.  Ties order by (v, id) — Gini is tie-order invariant, the
+    id only totalizes the plan.  Groups with zero total emit nothing.
+    Output: (key, n_members, gini).
+    """
+    v = value_col if not isinstance(value_col, str) else F.col(value_col)
+    per = (
+        df.groupBy(F.col(key_col).alias("k"), F.col(id_col).alias("i"))
+        .agg(F.sum(v.cast("decimal(18,4)")).alias("v"))
+        .where(F.col("v") >= 0)
+    )
+    w = Window.partitionBy("k").orderBy(F.col("v").asc(), F.col("i").asc())
+    ranked = per.select(
+        "k",
+        "v",
+        F.row_number().over(w).cast("decimal(10,0)").alias("r"),
+    )
+    agg = ranked.groupBy("k").agg(
+        F.count("*").alias("n"),
+        F.sum("v").cast("decimal(38,4)").alias("sv"),
+        F.sum((F.col("r") * F.col("v")).cast("decimal(38,4)"))
+        .cast("decimal(38,4)")
+        .alias("srv"),
+    )
+    nd = F.col("n").cast("double")
+    sv = F.col("sv").cast("double")
+    srv = F.col("srv").cast("double")
+    return (
+        agg.where(F.col("sv") > 0)
+        .select(
+            F.col("k").alias(key_col),
+            F.col("n").cast("long").alias("n_members"),
+            F.round(
+                (2.0 * srv - (nd + 1.0) * sv) / (nd * sv), 6
+            ).alias("gini"),
+        )
+    )
+
+
+def path_trigrams(
+    events: DataFrame,
+    k: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Top-k length-3 behavioral paths — the "view → click → purchase"
+    mining behind journey analysis; the sequence-order extension of
+    :func:`transition_matrix` (which stops at pairs).
+
+    One window keyed on the user (bounded per-key frames, high-card
+    key — the running_user_value shape) carries two leads; the triple
+    counts are a partial agg on the bounded (t1, t2, t3) key and the
+    global top-k plans as TakeOrderedAndProject.  (ts, id) totalizes
+    the per-user order so same-timestamp events sequence identically
+    in both engines.  Output: (t1, t2, t3, n), count-desc.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    t = events.select(
+        F.col(type_col).alias("t1"),
+        F.lead(type_col, 1).over(w).alias("t2"),
+        F.lead(type_col, 2).over(w).alias("t3"),
+    ).where(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    return (
+        t.groupBy("t1", "t2", "t3")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "t1", "t2", "t3")
+        .limit(k)
+    )
+
+
+def burstiness(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    min_gaps: int = 5,
+) -> DataFrame:
+    """Per-key burstiness of inter-event gaps — Goh & Barabási's
+    B = (σ−μ)/(σ+μ) ∈ (−1, 1): −1 = metronome, 0 = Poisson, →1 =
+    heavy bursts — the traffic-shape classifier behind rate-limit and
+    bot detection.
+
+    Gaps are exact BIGINT microseconds from one user-keyed window
+    (lead − ts); Σg and Σg² aggregate as exact DECIMALs (g² as
+    DECIMAL(37,0) — a BIGINT square would overflow at day-scale
+    gaps); μ, σ, and B are one fixed IEEE chain on the exact sums, so
+    both engines land identical doubles.  Keys with < ``min_gaps``
+    gaps are dropped (B is noise there).  Output: (user_id, n_gaps,
+    mean_gap_s, burstiness).
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    g = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            (F.lead(us, 1).over(w) - us).alias("g"),
+        )
+        .where(F.col("g").isNotNull())
+    )
+    gd = F.col("g").cast("decimal(18,0)")
+    agg = g.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(gd).cast("decimal(38,0)").alias("s"),
+        F.sum((gd * gd).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("ssq"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    qd = F.col("ssq").cast("double")
+    mu = sd / nd
+    var = (nd * qd - sd * sd) / (nd * nd)
+    sg = F.sqrt(var)
+    return (
+        agg.where(F.col("n") >= min_gaps)
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n_gaps"),
+            F.round(mu / 1e6, 6).alias("mean_gap_s"),
+            F.round((sg - mu) / (sg + mu), 6).alias("burstiness"),
+        )
+    )
+
+
+def audience_overlap(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Pairwise audience overlap between event types — "how much of
+    the purchase audience also errors?" — the segment Venn matrix:
+    |A∩B|, |A|, |B| and the Jaccard for every unordered type pair.
+
+    ONE pass: the distinct (user, type) grain collapses to a per-user
+    SORTED type array, pairs generate INSIDE the array with nested
+    higher-order transforms (the grouped_correlation device — a
+    type-keyed self-join would rescan the grain), and per-type
+    audience sizes ride back via a broadcast join on the bounded type
+    key (ReusedExchange dedupes the shared grain subtree).  Integer
+    counts; Jaccard is one correctly-rounded division.  Output:
+    (type_a, type_b, n_both, n_a, n_b, jaccard).
+    """
+    ut = events.select(
+        F.col(user_col).alias("u"), F.col(type_col).alias("t")
+    ).distinct()
+    sizes = ut.groupBy("t").agg(F.count("*").alias("sz"))
+    arr = ut.groupBy("u").agg(F.sort_array(F.collect_set("t")).alias("ts"))
+    pairs = (
+        arr.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ts",
+                        lambda x: F.transform(
+                            F.filter("ts", lambda y: y > x),
+                            lambda y: F.struct(
+                                x.alias("type_a"), y.alias("type_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.type_a", "p.type_b")
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    sa = sizes.select(F.col("t").alias("type_a"), F.col("sz").alias("n_a"))
+    sb = sizes.select(F.col("t").alias("type_b"), F.col("sz").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
         )
     )

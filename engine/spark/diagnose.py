@@ -1845,3 +1845,120 @@ def benford_audit(
         F.round(p, 6).alias("expected_ratio"),
         F.round((od - e) * (od - e) / e, 6).alias("cell_chi2"),
     )
+
+
+def seasonality_profile(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col,
+) -> DataFrame:
+    """Hour-of-week seasonal fingerprint per key — the expected-load
+    surface behind "is Tuesday 9am unusually quiet?" alerting and
+    capacity planning.
+
+    Cells are (key, dow, hour) with dow anchored at the integer epoch
+    (day 0 = 1970-01-01, a Thursday ⇒ dow 0 = Thursday) — pure integer
+    modular arithmetic, no calendar/timezone library in either engine.
+    Per cell: n, exact-DECIMAL mean, and the cell mean's ratio to the
+    key's overall mean ((sv/n)/(SV/N), one fixed IEEE chain) — ratio
+    > 1 = hot cell.  The key totals are WINDOW sums over the reduced
+    cell table (≤168 cells per key — bounded metadata, the
+    contingency_chi2 shape).  Output: (key_col, dow, hour, n,
+    mean_value, ratio).
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    d6 = lambda c: c.cast("decimal(18,6)")
+    cells = (
+        df.select(
+            F.col(key_col).alias("k"),
+            (F.floor(us / F.lit(86_400_000_000)) % 7)
+            .cast("int")
+            .alias("dow"),
+            (F.floor(us / F.lit(3_600_000_000)) % 24)
+            .cast("int")
+            .alias("hour"),
+            d6(
+                value_col if not isinstance(value_col, str)
+                else F.col(value_col)
+            ).alias("v"),
+        )
+        .where(F.col("v").isNotNull())
+        .groupBy("k", "dow", "hour")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").cast("decimal(38,6)").alias("sv"),
+        )
+    )
+    w_key = Window.partitionBy("k")
+    full = cells.select(
+        "*",
+        F.sum("n").over(w_key).alias("nk"),
+        F.sum("sv").over(w_key).cast("decimal(38,6)").alias("svk"),
+    )
+    nd, svd = F.col("n").cast("double"), F.col("sv").cast("double")
+    nkd, svkd = F.col("nk").cast("double"), F.col("svk").cast("double")
+    return full.select(
+        F.col("k").alias(key_col),
+        "dow",
+        "hour",
+        "n",
+        F.round(svd / nd, 6).alias("mean_value"),
+        F.round((svd / nd) / (svkd / nkd), 6).alias("ratio"),
+    )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    window: int = 24,
+    min_n: int = 8,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Trailing-window z-score anomalies per key — "is THIS value
+    unusual for THIS stream lately?" — the per-entity complement of
+    :func:`anomaly_flags` (whose baseline is the key's whole history):
+    each value scores against the exact mean/variance of its own
+    previous ``window`` observations.
+
+    One key-partitioned window (high-cardinality key, bounded ROWS
+    frame — never the low-card reducer trap) carries exact DECIMAL
+    Σv and Σv² over the trailing frame; z is one fixed IEEE chain on
+    them.  The anomaly cut compares the ROUNDED z (6 dp) against the
+    threshold — both engines round the identical double, so the flag
+    boundary is exact, the same device as the pareto_share rational
+    test but for an intrinsically-float statistic.  Frames with
+    < ``min_n`` points or zero variance emit nothing.  Output:
+    (key_col, id_col, ts_col, value, z) — flagged rows only.
+    """
+    d6 = lambda c: F.col(c).cast("decimal(18,6)")
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    ).rowsBetween(-window, -1)
+    base = df.where(F.col(value_col).isNotNull()).select(
+        key_col,
+        id_col,
+        ts_col,
+        F.col(value_col).alias("value"),
+        F.count(F.col(value_col)).over(w).alias("n"),
+        F.sum(d6(value_col)).over(w).cast("decimal(38,6)").alias("s"),
+        F.sum((d6(value_col) * d6(value_col)).cast("decimal(38,6)"))
+        .over(w)
+        .cast("decimal(38,6)")
+        .alias("ssq"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    qd = F.col("ssq").cast("double")
+    mean = sd / nd
+    var = (nd * qd - sd * sd) / (nd * nd)
+    z = F.round((F.col("value") - mean) / F.sqrt(var), 6)
+    return (
+        base.where((F.col("n") >= min_n))
+        .select(key_col, id_col, ts_col, "value", z.alias("z"), var.alias("_v"))
+        .where((F.col("_v") > 0) & (F.abs(F.col("z")) >= threshold))
+        .drop("_v")
+    )

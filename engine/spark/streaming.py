@@ -1431,3 +1431,132 @@ def stream_agent_loops(
     return last.select(
         "conv_id", "s.n_turns", "s.max_run", "s.period2_run", "s.loop_flag"
     )
+
+
+# ------------------------------------------------ stream_rolling_anomaly
+
+ANOM_WINDOW = 24
+ANOM_MIN_N = 5
+ANOM_THRESHOLD = 2.0
+
+ANOM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("z", T.DoubleType()),
+    ]
+)
+ANOM_STATE_SCHEMA = T.StructType(
+    [T.StructField("vals", T.ArrayType(T.DoubleType()))]
+)
+
+
+def _anom_fn(key, pdfs, state):
+    """Per-user trailing-window z-score across micro-batches — the
+    streaming twin of ``diagnose.rolling_zscore`` with IDENTICAL
+    arithmetic: each stored value re-quantizes to DECIMAL 6 dp
+    (ROUND_HALF_UP on the exact binary double — what Spark's
+    cast(decimal(18,6)) and DuckDB's CAST do), the squared term
+    quantizes per row BEFORE summing (mirroring the per-row
+    decimal(38,6) cast), sums are exact Decimals, and the final
+    mean/var/z chain runs in the same fixed IEEE order — so a z
+    emitted here is bit-identical to the batch operator's.  State is
+    the last ≤ANOM_WINDOW raw float64 values (exactness survives the
+    round-trip because quantization re-derives from the exact stored
+    double).  Assumes per-user time order across batches (ranged
+    file-stream shards); within a batch the sort restores it."""
+    import decimal
+    import math
+
+    import pandas as pd
+
+    D = decimal.Decimal
+    Q6 = D("1e-6")
+
+    def d6(x: float) -> decimal.Decimal:
+        return D(x).quantize(Q6, rounding=decimal.ROUND_HALF_UP)
+
+    vals = list(state.get[0]) if state.exists else []
+    rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    out = []
+    for r in rows.itertuples(index=False):
+        v = float(r.value)
+        frame = vals[-ANOM_WINDOW:]
+        n = len(frame)
+        if n >= ANOM_MIN_N:
+            ds = [d6(x) for x in frame]
+            s = sum(ds)
+            ssq = sum((d * d).quantize(Q6, rounding=decimal.ROUND_HALF_UP)
+                      for d in ds)
+            nd, sd, qd = float(n), float(s), float(ssq)
+            var = (nd * qd - sd * sd) / (nd * nd)
+            if var > 0:
+                z = float(
+                    D((v - sd / nd) / math.sqrt(var)).quantize(
+                        Q6, rounding=decimal.ROUND_HALF_UP
+                    )
+                )
+                if abs(z) >= ANOM_THRESHOLD:
+                    out.append((int(key[0]), int(r.event_id), r.ts, v, z))
+        vals.append(v)
+        if len(vals) > ANOM_WINDOW:
+            vals = vals[-ANOM_WINDOW:]
+    state.update((vals,))
+    if out:
+        yield pd.DataFrame(
+            out, columns=["user_id", "event_id", "ts", "value", "z"]
+        )
+
+
+def stream_rolling_anomaly(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    sink_table: str = "stream_rolling_anomaly",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``diagnose.rolling_zscore`` (custom stateful
+    operator, applyInPandasWithState): per-user trailing-24 z-score
+    anomalies as events arrive.  Every row with ≥ANOM_MIN_N prior
+    observations scores IMMEDIATELY (the statistic needs only the
+    past), so the stream output over an in-order feed equals the batch
+    operator's output exactly — the oracle IS the batch SQL, no
+    trailing-openness carve-out.  State per user is one ≤24-double
+    array: O(active users), independent of stream length."""
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.load(events_path)
+    flagged = (
+        src.where(F.col("value").isNotNull())
+        .select("user_id", "event_id", F.col("ts").cast("timestamp"), "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _anom_fn,
+            outputStructType=ANOM_OUTPUT_SCHEMA,
+            stateStructType=ANOM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)

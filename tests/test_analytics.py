@@ -1583,3 +1583,210 @@ def test_conversion_latency_first_touch(spark):
     }
     assert got == {0: (1, 100.0, 100.0, 100.0),
                    2: (1, 7200.0, 7200.0, 7200.0)}
+
+
+# ------------------------------------ stickiness / gini / seasonality
+def test_dau_mau_hand(spark):
+    """3-day window: day 2's MAU unions days 0-2 actives; a user
+    active twice in the window counts once; stickiness = dau/mau."""
+    base = 86_400
+    rows = [(1, 0), (2, 0), (1, 1), (1, 2), (3, 2), (1, 0)]
+    df = spark.createDataFrame(rows, "user_id: long, sec: long").select(
+        "user_id", (F.col("sec") * base).alias("s")
+    ).select("user_id", F.timestamp_seconds(F.col("s")).alias("ts"))
+    got = {
+        r.day: (r.dau, r.mau, r.stickiness)
+        for r in analytics.dau_mau(df, window_days=3).collect()
+    }
+    # day0: dau {1,2}, mau {1,2}; day1: dau {1}, mau {1,2};
+    # day2: dau {1,3}, mau {1,2,3}
+    assert got == {
+        0: (2, 2, 1.0),
+        1: (1, 2, 0.5),
+        2: (2, 3, round(2 / 3, 6)),
+    }
+
+
+def test_gini_index_hand(spark):
+    """Perfect equality → 0; a 0/0/100 split of n=3 → G = 2/3; the
+    textbook rank formula checked by hand."""
+    rows = [("eq", 1, 10.0), ("eq", 2, 10.0), ("eq", 3, 10.0),
+            ("mono", 1, 0.0), ("mono", 2, 0.0), ("mono", 3, 100.0)]
+    df = spark.createDataFrame(rows, "k: string, i: long, v: double")
+    got = {
+        r.k: (r.n_members, r.gini)
+        for r in analytics.gini_index(df, "k", "i", "v").collect()
+    }
+    assert got["eq"] == (3, 0.0)
+    assert got["mono"] == (3, round(2 / 3, 6))
+
+
+def test_seasonality_profile_hand(spark):
+    """Two cells with 2× load difference: ratios 4/3 and 2/3 against
+    the key mean; epoch-anchored dow (day 0 = Thursday = dow 0)."""
+    from engine.spark import diagnose
+
+    rows = [("a", 0, 10.0), ("a", 0, 30.0),     # day0 hour0: mean 20
+            ("a", 3600, 10.0)]                  # day0 hour1: mean 10
+    df = spark.createDataFrame(rows, "k: string, sec: long, v: double").select(
+        "k", F.timestamp_seconds(F.col("sec")).alias("ts"), "v"
+    )
+    got = {
+        (r.dow, r.hour): (r.n, r.mean_value, r.ratio)
+        for r in diagnose.seasonality_profile(df, "k", "ts", "v")
+        .collect()
+    }
+    key_mean = 50.0 / 3
+    assert got[(0, 0)] == (2, 20.0, round(20.0 / key_mean, 6))
+    assert got[(0, 1)] == (1, 10.0, round(10.0 / key_mean, 6))
+
+
+# ---------------------------- paths / burstiness / overlap / rolling
+def test_path_trigrams_order_and_counts(spark):
+    """Per-user time order with event_id tie-breaks; triples count
+    across users; tail shorter than 3 contributes nothing."""
+    rows = [
+        (1, 0, 1, "a"), (1, 1, 2, "b"), (1, 2, 3, "c"), (1, 3, 4, "d"),
+        (2, 0, 5, "a"), (2, 1, 6, "b"), (2, 1, 7, "c"),  # tie → id order
+        (3, 0, 8, "x"), (3, 1, 9, "y"),                   # too short
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id: long, sec: long, event_id: long, event_type: string"
+    ).select(
+        "user_id", F.timestamp_seconds("sec").alias("ts"),
+        "event_id", "event_type",
+    )
+    got = {(r.t1, r.t2, r.t3): r.n
+           for r in analytics.path_trigrams(df, k=10).collect()}
+    assert got == {("a", "b", "c"): 2, ("b", "c", "d"): 1}
+
+
+def test_burstiness_metronome_and_bursty(spark):
+    """Equal gaps → exactly −1 (σ=0); a heavy-tailed gap stream scores
+    positive; mean gap is exact."""
+    rows = [(1, i * 10) for i in range(7)]                 # metronome
+    rows += [(2, s) for s in (0, 1, 2, 3, 4, 5, 1000)]     # bursty
+    df = spark.createDataFrame(rows, "user_id: long, sec: long").select(
+        "user_id", F.timestamp_seconds("sec").alias("ts"),
+        F.monotonically_increasing_id().alias("event_id"),
+    )
+    got = {r.user_id: r for r in analytics.burstiness(df).collect()}
+    assert got[1].burstiness == -1.0 and got[1].mean_gap_s == 10.0
+    assert got[2].burstiness > 0.3
+
+
+def test_audience_overlap_hand(spark):
+    """u1∈{a,b}, u2∈{a,b}, u3∈{a}: overlap(a,b)=2, |a|=3, |b|=2,
+    J=2/3; duplicates in the raw log collapse."""
+    rows = [(1, "a"), (1, "b"), (1, "a"),
+            (2, "a"), (2, "b"), (3, "a")]
+    df = spark.createDataFrame(rows, "user_id: long, event_type: string")
+    got = [
+        (r.type_a, r.type_b, r.n_both, r.n_a, r.n_b, r.jaccard)
+        for r in analytics.audience_overlap(df).collect()
+    ]
+    assert got == [("a", "b", 2, 3, 2, round(2 / 3, 6))]
+
+
+def test_rolling_zscore_spike_and_zero_variance(spark):
+    """A spike after a mildly-varying window flags with the
+    hand-computed z; a spike after a CONSTANT window has var=0 and
+    must emit nothing (z undefined, not infinite)."""
+    from engine.spark import diagnose
+
+    rows = [("v", i, i, float(10 + (i % 2))) for i in range(6)]
+    rows.append(("v", 6, 6, 100.0))                 # spike
+    rows += [("c", i, i + 100, 5.0) for i in range(6)]
+    rows.append(("c", 6, 106, 100.0))               # spike on constant
+    df = spark.createDataFrame(rows, "k: string, sec: long, id: long, value: double").select(
+        "k", F.timestamp_seconds("sec").alias("ts"), "id", "value"
+    )
+    got = diagnose.rolling_zscore(
+        df, "k", "ts", "id", "value", window=24, min_n=5, threshold=3.0
+    ).collect()
+    assert [r.k for r in got] == ["v"]
+    r = got[0]
+    vals = [10.0, 11.0, 10.0, 11.0, 10.0, 11.0]
+    n = len(vals)
+    s, q = sum(vals), sum(v * v for v in vals)
+    var = (n * q - s * s) / (n * n)
+    z = round((100.0 - s / n) / var**0.5, 6)
+    assert r.value == 100.0 and r.z == z
+
+
+def test_stream_rolling_anomaly_split_and_batch_parity(spark, tmp_path):
+    """Streamed trailing-window z-scores must be identical whether the
+    feed is one micro-batch or three time-ranged files (state carries
+    the window across batch edges), and must equal the batch
+    rolling_zscore operator bit-for-bit (shared decimal
+    quantizations)."""
+    import os
+
+    import pandas as pd
+
+    from engine.spark import diagnose, streaming
+
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        for i in range(8):
+            rows.append(
+                (eid, T0 + timedelta(seconds=60 * i + u), u, "view",
+                 10.0 + (i % 2) + u)
+            )
+            eid += 1
+        rows.append(
+            (eid, T0 + timedelta(seconds=600 + u), u, "view", 500.0)
+        )
+        eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+
+    one = str(tmp_path / "one")
+    os.makedirs(one, exist_ok=True)
+    pdf.to_parquet(os.path.join(one, "part-0.parquet"), index=False)
+    got_one = (
+        streaming.stream_rolling_anomaly(
+            spark, one, str(tmp_path / "ckA"), sink_table="sanom_one"
+        )
+        .orderBy("user_id", "event_id")
+        .toPandas()
+    )
+
+    split = str(tmp_path / "split")
+    os.makedirs(split, exist_ok=True)
+    third = len(pdf) // 3
+    for i, part in enumerate(
+        [pdf.iloc[:third], pdf.iloc[third : 2 * third], pdf.iloc[2 * third :]]
+    ):
+        part.to_parquet(os.path.join(split, f"part-{i}.parquet"), index=False)
+    got_split = (
+        streaming.stream_rolling_anomaly(
+            spark, split, str(tmp_path / "ckB"), sink_table="sanom_split",
+            max_files_per_trigger=1,
+        )
+        .orderBy("user_id", "event_id")
+        .toPandas()
+    )
+    assert got_one.values.tolist() == got_split.values.tolist()
+    assert len(got_one) == 2  # one spike per user
+
+    batch = (
+        diagnose.rolling_zscore(
+            spark.createDataFrame(pdf),
+            "user_id", "ts", "event_id", "value",
+            window=streaming.ANOM_WINDOW,
+            min_n=streaming.ANOM_MIN_N,
+            threshold=streaming.ANOM_THRESHOLD,
+        )
+        .select("user_id", "event_id", "value", "z")
+        .orderBy("user_id", "event_id")
+        .toPandas()
+    )
+    assert (
+        got_one[["user_id", "event_id", "value", "z"]].values.tolist()
+        == batch.values.tolist()
+    )
