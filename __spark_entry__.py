@@ -10134,6 +10134,53 @@ def q_stream_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id", "event_id")
 
 
+def q_epoch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-recipe repeat factors per document (mix.epoch_budget):
+    integer full passes + a hash-selected fractional pass whose
+    expected token mass equals the remainder; the decision is one
+    exact-integer-ratio compare against the portable-hash uniform —
+    byte-identical across engines and cluster sizes."""
+    d = _t(spark, sf_dir, "documents").where(
+        F.col("source").isin("src0", "src1", "src2")
+    ).select(
+        "source",
+        "doc_id",
+        F.when(F.trim("text") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim("text"), etext.WS)))
+        .alias("n_tokens"),
+    )
+    return mix.epoch_budget(
+        d, {"src0": 50000, "src1": 20000, "src2": 5000}
+    ).orderBy("source", "doc_id")
+
+
+SQL_EPOCH_BUDGET = f"""
+WITH d AS (
+  SELECT source, doc_id,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text),
+                  '[ \\t\\n\\x0b\\f\\r]+')) END AS n_tokens
+  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+), act AS (
+  SELECT source, sum(n_tokens)::BIGINT AS actual FROM d GROUP BY source
+), t(source, target) AS (
+  VALUES ('src0', 50000), ('src1', 20000), ('src2', 5000)
+), r AS (
+  SELECT act.source, actual, target,
+         target // actual AS rep,
+         target - (target // actual) * actual AS frac_target
+  FROM act JOIN t ON act.source = t.source
+)
+SELECT d.source, doc_id, n_tokens::BIGINT AS n_tokens,
+  (rep + CASE WHEN {_H60.format(x="'epoch:' || doc_id::VARCHAR")}
+                   / 1152921504606846976.0
+                 < frac_target::DOUBLE / actual::DOUBLE
+         THEN 1 ELSE 0 END)::BIGINT AS n_repeats
+FROM d JOIN r ON d.source = r.source
+ORDER BY d.source, doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples
     # the first 50 keys.  Per the r4 verdict ask #6 the 37 keys whose
@@ -10228,6 +10275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audience_overlap": q_audience_overlap,
         "rolling_zscore": q_rolling_zscore,
         "stream_rolling_anomaly": q_stream_rolling_anomaly,
+        "epoch_budget": q_epoch_budget,
         "bitext_pairs": q_bitext_pairs,
         "retrieval_ndcg": q_retrieval_ndcg,
         "zorder_cluster": q_zorder_cluster,
@@ -10527,6 +10575,7 @@ def oracle_sql() -> dict[str, str]:
         "audience_overlap": SQL_AUDIENCE_OVERLAP,
         "rolling_zscore": SQL_ROLLING_ZSCORE,
         "stream_rolling_anomaly": SQL_ROLLING_ZSCORE,
+        "epoch_budget": SQL_EPOCH_BUDGET,
         "twap": SQL_TWAP,
         "window_funnel": SQL_WINDOW_FUNNEL,
         "text_normalize": SQL_TEXT_NORMALIZE,

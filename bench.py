@@ -503,6 +503,7 @@ RELATIONAL = [
     "burstiness",
     "audience_overlap",
     "rolling_zscore",
+    "epoch_budget",
 ]
 
 

@@ -445,3 +445,68 @@ def leakage_safe_split(
         )
         .withColumn("split", split)
     )
+
+
+def epoch_budget(
+    docs: DataFrame,
+    targets: dict,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    seed: str = "epoch",
+) -> DataFrame:
+    """Per-document repeat factors hitting per-source TOKEN budgets —
+    the data-recipe assignment behind "2 epochs of books, 0.5 of web":
+    a source whose target exceeds its actual token mass repeats
+    ⌊target/actual⌋ times plus a deterministic hash-selected extra
+    pass whose expected token mass equals the remainder; a
+    downsampled source gets repeat 0 + the fractional selection.
+
+    The extra-pass decision is ``u < frac_target/actual`` with
+    u = portable_hash60/2⁶⁰ (the mixture_sample device — binary-power
+    division and one exact-integer-ratio compare, byte-identical
+    across engines, reruns, and cluster sizes; no per-source sort, no
+    cumulative scan).  Shape: one tiny per-source token agg joined to
+    the broadcast target list, rates broadcast back onto the corpus, a
+    codegen'd filter-free projection — corpus rows never shuffle.
+    Sources without a target are dropped (inner join — the recipe IS
+    the source list).  Output: (source, id, n_tokens, n_repeats).
+    """
+    spark = docs.sparkSession
+    tgt = F.broadcast(
+        spark.createDataFrame(
+            [(k, int(v)) for k, v in sorted(targets.items())],
+            f"{source_col}: string, target: long",
+        )
+    )
+    act = docs.groupBy(source_col).agg(
+        F.sum(F.col(tokens_col).cast("long")).alias("actual")
+    )
+    r = act.join(tgt, source_col).select(
+        source_col,
+        "actual",
+        "target",
+        F.expr("target DIV actual").alias("rep"),
+        (F.col("target") - F.expr("target DIV actual") * F.col("actual"))
+        .alias("frac_target"),
+    )
+    u = portable_hash60(
+        F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
+    ) / F.lit(_HASH_SPAN)
+    return (
+        docs.join(F.broadcast(r), source_col)
+        .select(
+            source_col,
+            id_col,
+            F.col(tokens_col).cast("long").alias("n_tokens"),
+            (
+                F.col("rep")
+                + F.when(
+                    u
+                    < F.col("frac_target").cast("double")
+                    / F.col("actual").cast("double"),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("n_repeats"),
+        )
+    )

@@ -375,3 +375,25 @@ def test_leakage_safe_split_moves_clusters_together(spark):
         assert sides == {"train", "val", "test"}
     finally:
         out.unpersist()
+
+
+# ------------------------------------------------------- epoch budget
+def test_epoch_budget_mass_and_determinism(spark):
+    """An over-budget source repeats floor(target/actual) with a
+    fractional extra pass whose expected mass is the remainder; a
+    downsampled source gets repeats in {0,1}; sources off the recipe
+    drop; reruns are byte-identical."""
+    rows = [("big", i, 100) for i in range(50)]        # actual 5000
+    rows += [("small", i, 100) for i in range(10)]     # actual 1000
+    rows += [("off", 1, 100)]
+    df = spark.createDataFrame(rows, "source: string, doc_id: long, n_tokens: long")
+    targets = {"big": 2500, "small": 2600}  # 0.5x and 2.6x
+    out1 = mix.epoch_budget(df, targets).orderBy("source", "doc_id")
+    p1 = out1.collect()
+    assert all(r.source != "off" for r in p1)
+    big = [r.n_repeats for r in p1 if r.source == "big"]
+    small = [r.n_repeats for r in p1 if r.source == "small"]
+    assert set(big) <= {0, 1} and 0 < sum(big) < 50     # ~25 of 50
+    assert set(small) <= {2, 3} and sum(small) > 20     # 2 + ~60% extra
+    p2 = mix.epoch_budget(df, targets).orderBy("source", "doc_id").collect()
+    assert p1 == p2
