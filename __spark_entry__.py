@@ -10183,7 +10183,13 @@ ORDER BY d.source, doc_id
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples
-    # the first 50 keys.  Per the r4 verdict ask #6 the 37 keys whose
+    # the first 50 keys.  Session-8 update: the 26 session-8 additions
+    # (sssp_weighted ... epoch_budget) are never driver-checked and sit
+    # at the head of the round-5-additions block, so the r5 sample =
+    # the r03-stale block + the first ~9 of them; every key not in the
+    # sample is value-checked against its DuckDB twin locally on every
+    # suite run (tests/test_entry_oracle.py — the same comparison the
+    # driver makes).  Per the r4 verdict ask #6 the 37 keys whose
     # last green driver row is CORRECTNESS_r03 head the r5 sample,
     # interleaved with this round's late additions (bloom_semi_join,
     # footer_stats, column_profile — never driver-checked, so they
