@@ -10181,6 +10181,42 @@ ORDER BY d.source, doc_id
 """
 
 
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per return flag
+    (diagnose.weighted_median): distributed ranking over the range-
+    partitioned fact — never a per-flag window sort (low-card reducer
+    trap); the crossing row found by exact BIGINT 2·cum vs W compares.
+    The DuckDB twin IS the per-key window cumsum Spark avoids."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        "l_quantity",
+    )
+    return diagnose.weighted_median(
+        li, "l_returnflag", "l_extendedprice", "rid", "l_quantity"
+    ).orderBy("l_returnflag")
+
+
+SQL_WEIGHTED_MEDIAN = """
+WITH r AS (
+  SELECT l_returnflag AS k, l_extendedprice AS v,
+         l_orderkey * 10 + l_linenumber AS i,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem WHERE CAST(l_quantity AS BIGINT) > 0
+), c AS (
+  SELECT k, v, w,
+    sum(w) OVER (PARTITION BY k ORDER BY v, i
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    sum(w) OVER (PARTITION BY k) AS tot
+  FROM r
+)
+SELECT k AS l_returnflag, tot::BIGINT AS total_w, v AS median
+FROM c WHERE 2 * cum >= tot AND 2 * (cum - w) < tot
+ORDER BY l_returnflag
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples
     # the first 50 keys.  Session-8 update: the 26 session-8 additions
@@ -10282,6 +10318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_zscore": q_rolling_zscore,
         "stream_rolling_anomaly": q_stream_rolling_anomaly,
         "epoch_budget": q_epoch_budget,
+        "weighted_median": q_weighted_median,
         "bitext_pairs": q_bitext_pairs,
         "retrieval_ndcg": q_retrieval_ndcg,
         "zorder_cluster": q_zorder_cluster,
@@ -10582,6 +10619,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_zscore": SQL_ROLLING_ZSCORE,
         "stream_rolling_anomaly": SQL_ROLLING_ZSCORE,
         "epoch_budget": SQL_EPOCH_BUDGET,
+        "weighted_median": SQL_WEIGHTED_MEDIAN,
         "twap": SQL_TWAP,
         "window_funnel": SQL_WINDOW_FUNNEL,
         "text_normalize": SQL_TEXT_NORMALIZE,

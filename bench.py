@@ -504,6 +504,7 @@ RELATIONAL = [
     "audience_overlap",
     "rolling_zscore",
     "epoch_budget",
+    "weighted_median",
 ]
 
 

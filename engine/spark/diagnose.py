@@ -1962,3 +1962,89 @@ def rolling_zscore(
         .where((F.col("_v") > 0) & (F.abs(F.col("z")) >= threshold))
         .drop("_v")
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Exact per-key WEIGHTED median (smallest value whose cumulative
+    weight reaches half the key's total — the lower weighted median)
+    via DISTRIBUTED ranking — the weight-generalized sibling of
+    :func:`grouped_median`, and like it never a per-key window sort
+    over fact rows (the low-cardinality reducer trap).
+
+    Same parallel-prefix shape as ``analytics.concurrency_peak``:
+    range-repartition on (key, value, id) so the sort spreads over all
+    shuffle partitions (frame persisted — both branches must observe
+    one boundary sample, the shared _NTILE_CACHE discipline); local
+    per-(block, key) cumulative WEIGHT sums; a P×|keys| block-total
+    histogram yields each block's starting offset and each key's total
+    W; the crossing row is the unique row with 2·(cum−w) < W ≤ 2·cum —
+    EXACT BIGINT arithmetic, no halving division, no float compare.
+    Weights must be non-negative integers (cast enforced).  Output:
+    (key_col, total_w, median).
+    """
+    order = [
+        F.col("k").asc(),
+        F.col("v").asc_nulls_last(),
+        F.col("i").asc(),
+    ]
+    spark = df.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = df.select(
+        F.col(key_col).alias("k"),
+        F.col(value_col).alias("v"),
+        F.col(id_col).alias("i"),
+        F.col(weight_col).cast("long").alias("w"),
+    ).where(F.col("w") > 0)
+    keyed = base.repartitionByRange(nparts, *order).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    keyed = _ntile_cache_put(keyed)
+    local = keyed.withColumn(
+        "lcum",
+        F.sum("w").over(
+            Window.partitionBy("pid", "k")
+            .orderBy(F.col("v").asc_nulls_last(), F.col("i").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    hist = keyed.groupBy("pid", "k").agg(F.sum("w").alias("bw"))
+    w_off = Window.partitionBy("k").orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    off = hist.select(
+        F.col("pid").alias("_pid"),
+        F.col("k").alias("_k"),
+        (F.sum("bw").over(w_off) - F.col("bw")).alias("off"),
+    )
+    tot = hist.groupBy(F.col("k").alias("_tk")).agg(
+        F.sum("bw").cast("long").alias("tot")
+    )
+    cum = (
+        local.join(
+            F.broadcast(off),
+            (F.col("pid") == F.col("_pid"))
+            & F.col("k").eqNullSafe(F.col("_k")),
+        )
+        .join(F.broadcast(tot), F.col("k").eqNullSafe(F.col("_tk")))
+        .select(
+            "k",
+            "v",
+            "w",
+            "tot",
+            (F.col("off") + F.col("lcum")).alias("cum"),
+        )
+    )
+    return cum.where(
+        (2 * F.col("cum") >= F.col("tot"))
+        & (2 * (F.col("cum") - F.col("w")) < F.col("tot"))
+    ).select(
+        F.col("k").alias(key_col),
+        F.col("tot").alias("total_w"),
+        F.col("v").alias("median"),
+    )

@@ -1790,3 +1790,37 @@ def test_stream_rolling_anomaly_split_and_batch_parity(spark, tmp_path):
         got_one[["user_id", "event_id", "value", "z"]].values.tolist()
         == batch.values.tolist()
     )
+
+
+def test_weighted_median_hand_and_bruteforce(spark):
+    """Hand case: values 1..4 with weights 1/1/1/5 → median 4 (weight
+    mass crosses half only there); lower-median convention at the
+    exact-half boundary; random differential vs a pure-Python weighted
+    median at 8 shuffle partitions (block offsets must stitch)."""
+    from engine.spark import diagnose
+    import random
+
+    rows = [("a", 1.0, 1, 1), ("a", 2.0, 2, 1), ("a", 3.0, 3, 1),
+            ("a", 4.0, 4, 5),
+            # exact half: cum(1.0)=2, W=4 → 2*2 >= 4 → median 1.0
+            ("h", 1.0, 5, 2), ("h", 9.0, 6, 2)]
+    rng = random.Random(3)
+    for j in range(300):
+        rows.append(("r", float(rng.randrange(100)), 100 + j,
+                     rng.randrange(1, 9)))
+    df = spark.createDataFrame(rows, "k: string, v: double, i: long, w: long")
+    got = {
+        r.k: (r.total_w, r.median)
+        for r in diagnose.weighted_median(df, "k", "v", "i", "w")
+        .collect()
+    }
+    assert got["a"] == (8, 4.0)
+    assert got["h"] == (4, 1.0)
+    rv = sorted((v, i, w) for k, v, i, w in rows if k == "r")
+    W = sum(w for _, _, w in rv)
+    cum = 0
+    for v, _, w in rv:
+        cum += w
+        if 2 * cum >= W:
+            assert got["r"] == (W, v)
+            break
