@@ -10217,6 +10217,41 @@ ORDER BY l_returnflag
 """
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram novelty vs everything earlier in corpus
+    order (text.ngram_novelty): each distinct gram charges its first
+    owner; one tokenize scan (ReusedExchange), one min-agg, one
+    gram-keyed join back, one rollup."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    return etext.ngram_novelty(d, n=3).orderBy("doc_id")
+
+
+SQL_NGRAM_NOVELTY = r"""
+WITH toks AS (
+  SELECT doc_id AS d,
+         regexp_split_to_array(trim(lower(text)),
+                               '[ \t\n\x0b\f\r]+') AS ts
+  FROM documents WHERE doc_id < 400
+), grams AS (
+  SELECT DISTINCT d,
+         array_to_string(ts[i : i + 2], chr(31)) AS g
+  FROM (
+    SELECT d, ts, unnest(generate_series(1, len(ts) - 2)) AS i
+    FROM toks WHERE len(ts) >= 3
+  )
+), fst AS (
+  SELECT g, min(d) AS first_d FROM grams GROUP BY g
+)
+SELECT grams.d AS doc_id, count(*)::BIGINT AS n_grams,
+  sum(CASE WHEN first_d = grams.d THEN 1 ELSE 0 END)::BIGINT
+    AS n_novel,
+  round(sum(CASE WHEN first_d = grams.d THEN 1 ELSE 0 END)::DOUBLE
+        / count(*)::DOUBLE, 6) AS novelty
+FROM grams JOIN fst USING (g)
+GROUP BY grams.d ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples
     # the first 50 keys.  Session-8 update: the 26 session-8 additions
@@ -10319,6 +10354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_rolling_anomaly": q_stream_rolling_anomaly,
         "epoch_budget": q_epoch_budget,
         "weighted_median": q_weighted_median,
+        "ngram_novelty": q_ngram_novelty,
         "bitext_pairs": q_bitext_pairs,
         "retrieval_ndcg": q_retrieval_ndcg,
         "zorder_cluster": q_zorder_cluster,
@@ -10620,6 +10656,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_rolling_anomaly": SQL_ROLLING_ZSCORE,
         "epoch_budget": SQL_EPOCH_BUDGET,
         "weighted_median": SQL_WEIGHTED_MEDIAN,
+        "ngram_novelty": SQL_NGRAM_NOVELTY,
         "twap": SQL_TWAP,
         "window_funnel": SQL_WINDOW_FUNNEL,
         "text_normalize": SQL_TEXT_NORMALIZE,

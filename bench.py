@@ -505,6 +505,7 @@ RELATIONAL = [
     "rolling_zscore",
     "epoch_budget",
     "weighted_median",
+    "ngram_novelty",
 ]
 
 

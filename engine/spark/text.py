@@ -1864,3 +1864,71 @@ def pmi_collocations(
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(k)
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against everything earlier in the
+    corpus order — what fraction of a doc's n-grams has never appeared
+    in any lower-id document?  Low novelty late in a crawl = the crawl
+    is re-reading itself; the diversity-decay curve this feeds is the
+    go/no-go for another scrape round (the corpus-level complement of
+    pairwise near-dup).
+
+    Each distinct (gram, doc) pair charges the gram's FIRST owner:
+    one explode scan to the (gram, doc) grain, one partial agg for the
+    gram's min doc id, one equi-join back on the gram key
+    (ReusedExchange dedupes the shared grain subtree — the corpus is
+    tokenized once), one per-doc rollup.  A gram repeated INSIDE a doc
+    counts once (distinct grain) — novelty is about the corpus, not
+    in-doc repetition (repetition_stats owns that).  Exact integer
+    counts; the ratio is one correctly-rounded division.  Output:
+    (doc_id, n_grams, n_novel, novelty) for docs with ≥1 gram.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("d"),
+        F.split(F.trim(F.lower(F.col(text_col))), WS).alias("ts"),
+    )
+    # filter short docs BEFORE building the index sequence:
+    # F.sequence(1, 0) would generate a DESCENDING [1, 0] (Spark picks
+    # step -1 automatically), not an empty list
+    grams = (
+        toks.where(F.size("ts") >= n)
+        .select(
+            "d",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - (n - 1)),
+                    lambda i: F.concat_ws(
+                        "\x1f", F.slice("ts", i, n)
+                    ),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    first = grams.groupBy("g").agg(F.min("d").alias("first_d"))
+    return (
+        grams.join(first, "g")
+        .groupBy(F.col("d").alias(id_col))
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_d") == F.col("d"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double")
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )

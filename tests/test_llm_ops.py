@@ -1381,3 +1381,19 @@ def test_source_divergence_properties(spark):
     assert got[("same", "same2")] == 0.0
     assert abs(got[("left", "right")] - round(math.log(2), 8)) < 1e-8
     assert 0.0 < got[("mix", "same")] < math.log(2)
+
+
+def test_ngram_novelty_first_owner_and_short_docs(spark):
+    """A gram charges its FIRST (lowest-id) owner; in-doc repeats
+    count once; docs shorter than n emit nothing."""
+    rows = [(1, "a b c d"), (2, "a b c x"), (3, "a b"),
+            (4, "a b c a b c")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {
+        r.doc_id: (r.n_grams, r.n_novel, r.novelty)
+        for r in etext.ngram_novelty(df, n=3).collect()
+    }
+    assert got[1] == (2, 2, 1.0)            # abc, bcd
+    assert got[2] == (2, 1, 0.5)            # abc seen, bcx novel
+    assert 3 not in got
+    assert got[4] == (3, 2, round(2 / 3, 6))  # abc seen; bca, cab novel
