@@ -10252,6 +10252,54 @@ GROUP BY grams.d ORDER BY doc_id
 """
 
 
+def q_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV ingestion with corrupt-row quarantine
+    (pipeline.csv_ingest_quarantine): the events table round-trips
+    through CSV on the micro-grid integer lane (floor(v·1e6+0.5) —
+    no float formatting crosses the text format), three planted
+    type-mismatch rows land in quarantine instead of killing the
+    load; the oracle recomputes the clean aggregate straight from the
+    events view plus the planted corrupt count."""
+    import shutil
+
+    from engine.spark import pipeline as epipeline
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    iv = F.floor(F.col("value") * 1e6 + 0.5).cast("long")
+    src = tempfile.mkdtemp(prefix="csv_ingest_")
+    shutil.rmtree(src)
+    ev.select(
+        F.col("event_id").cast("long"),
+        F.col("user_id").cast("long"),
+        iv.alias("iv"),
+    ).write.mode("overwrite").option("header", "false").csv(src)
+    with open(f"{src}/zzz-bad.csv", "w") as f:
+        f.write("x1,y1,z1\nx2,y2,z2\nx3,y3,z3\n")
+    clean, quarantine = epipeline.csv_ingest_quarantine(
+        spark, src, "event_id BIGINT, user_id BIGINT, iv BIGINT"
+    )
+    c = clean.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("iv").cast("long").alias("sum_iv"),
+    ).select(F.lit("clean").alias("status"), "n_rows", "sum_iv")
+    q = quarantine.agg(F.count("*").alias("n_rows")).select(
+        F.lit("corrupt").alias("status"),
+        "n_rows",
+        F.lit(None).cast("long").alias("sum_iv"),
+    )
+    return c.unionByName(q).orderBy("status")
+
+
+SQL_CSV_INGEST = """
+SELECT 'clean' AS status, count(*)::BIGINT AS n_rows,
+       sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))::BIGINT AS sum_iv
+FROM events WHERE value IS NOT NULL
+UNION ALL
+SELECT 'corrupt', 3, NULL
+ORDER BY status
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples
     # the first 50 keys.  Session-8 update: the 26 session-8 additions
@@ -10355,6 +10403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_budget": q_epoch_budget,
         "weighted_median": q_weighted_median,
         "ngram_novelty": q_ngram_novelty,
+        "csv_ingest": q_csv_ingest,
         "bitext_pairs": q_bitext_pairs,
         "retrieval_ndcg": q_retrieval_ndcg,
         "zorder_cluster": q_zorder_cluster,
@@ -10657,6 +10706,7 @@ def oracle_sql() -> dict[str, str]:
         "epoch_budget": SQL_EPOCH_BUDGET,
         "weighted_median": SQL_WEIGHTED_MEDIAN,
         "ngram_novelty": SQL_NGRAM_NOVELTY,
+        "csv_ingest": SQL_CSV_INGEST,
         "twap": SQL_TWAP,
         "window_funnel": SQL_WINDOW_FUNNEL,
         "text_normalize": SQL_TEXT_NORMALIZE,

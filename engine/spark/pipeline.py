@@ -336,3 +336,47 @@ def footer_stats(
             conf.unset("spark.sql.sources.useV1SourceList")
         else:
             conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+
+
+def csv_ingest_quarantine(
+    spark,
+    path: str,
+    schema_ddl: str,
+    corrupt_col: str = "_corrupt_record",
+):
+    """CSV ingestion with malformed-row quarantine — the PERMISSIVE-
+    mode pattern every production loader needs: rows that parse land
+    typed, rows that don't land VERBATIM in ``corrupt_col`` instead of
+    killing the job (FAILFAST) or vanishing (DROPMALFORMED).
+
+    Returns (clean_df, quarantine_df).  ``schema_ddl`` must NOT
+    mention the corrupt column — it is appended here.  Two Spark
+    caveats are handled for the caller:
+
+    * a row is corrupt only if ``corrupt_col`` is non-null — Spark
+      leaves it NULL on clean rows, so the split is one filter each;
+    * Spark DISALLOWS queries that column-prune down to only the
+      corrupt column (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_
+      COLUMN — the referenced columns would otherwise skip the very
+      parse that fills it), and the optimizer prunes regardless of
+      what the caller selects; the documented workaround is a
+      materialization boundary, so the parsed frame is CACHED here.
+      At 100 TB replace the cache with a staging write of the parsed
+      frame (same boundary, durable) — the split itself is unchanged.
+
+    Scale: the CSV scan is splittable (no multiline), schema is
+    explicit (no inference pass over 100 TB), and both outputs stream
+    from the same scan.
+    """
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.schema(f"{schema_ddl}, {corrupt_col} STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .option("header", "false")
+        .csv(path)
+    ).cache()
+    clean = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantine = df.where(F.col(corrupt_col).isNotNull())
+    return clean, quarantine

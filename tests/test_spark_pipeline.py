@@ -862,3 +862,21 @@ def test_line_dedup_stage_finds_cross_conv_boilerplate(
         portable_hash60(F.lit("> 📄 Image OCR Result:")).alias("v")
     ).first()["v"]
     assert any(fp == stub_fp for fp, _ in got)
+
+
+def test_csv_ingest_quarantine_split(spark, tmp_path):
+    """Typed rows land clean, type-mismatch rows land VERBATIM in
+    quarantine, and the two splits partition the file exactly."""
+    from engine.spark import pipeline as epipeline
+
+    p = tmp_path / "csv"
+    p.mkdir()
+    (p / "a.csv").write_text("1,10,100\n2,20,200\nbad,row,here\n")
+    clean, quar = epipeline.csv_ingest_quarantine(
+        spark, str(p), "a BIGINT, b BIGINT, c BIGINT"
+    )
+    crows = sorted((r.a, r.b, r.c) for r in clean.collect())
+    assert crows == [(1, 10, 100), (2, 20, 200)]
+    qrows = quar.collect()
+    assert len(qrows) == 1
+    assert qrows[0]._corrupt_record == "bad,row,here"
