@@ -10300,6 +10300,90 @@ ORDER BY status
 """
 
 
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust hourly trend per event type
+    (diagnose.theil_sen): pairwise slopes + median inside per-key
+    sorted arrays (no self-join, one shuffle), deterministic
+    first-200-buckets cap; the DuckDB twin is the relational
+    self-join + median() formulation."""
+    ev = _t(spark, sf_dir, "events")
+    return diagnose.theil_sen(
+        ev,
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600),
+        F.col("value"),
+        max_points=200,
+    ).orderBy("event_type")
+
+
+SQL_THEIL_SEN = """
+WITH per AS (
+  SELECT event_type AS k, floor(epoch(ts) / 3600)::BIGINT AS b,
+         CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
+           AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), capped AS (
+  SELECT k, b, v FROM (
+    SELECT k, b, v,
+           row_number() OVER (PARTITION BY k ORDER BY b) AS rn
+    FROM per
+  ) WHERE rn <= 200
+), slopes AS (
+  SELECT a.k AS k, (b2.v - a.v) / (b2.b - a.b)::DOUBLE AS s
+  FROM capped a JOIN capped b2 ON a.k = b2.k AND b2.b > a.b
+), np AS (
+  SELECT k, count(*)::BIGINT AS n_points FROM capped GROUP BY k
+)
+SELECT np.k AS event_type, n_points, count(s)::BIGINT AS n_slopes,
+       round(median(s), 6) AS slope
+FROM slopes JOIN np ON slopes.k = np.k
+GROUP BY np.k, n_points
+ORDER BY event_type
+"""
+
+
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five power-iteration steps toward the behavioral chain's
+    stationary distribution (analytics.markov_stationary): 64-bit
+    fixed-point integer arithmetic end-to-end (the pagerank device) so
+    the iterative result is bit-identical across engines; the twin
+    unrolls the same five integer steps."""
+    return analytics.markov_stationary(
+        _t(spark, sf_dir, "events"), iters=5
+    ).orderBy("event_type")
+
+
+SQL_MARKOV_STATIONARY = """
+WITH pr AS (
+  SELECT event_type AS i,
+         lead(event_type) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS j
+  FROM events
+), cnt AS (
+  SELECT i, j, count(*)::BIGINT AS n FROM pr WHERE j IS NOT NULL
+  GROUP BY 1, 2
+), p AS (
+  SELECT i, j,
+         (n * 1000000) // sum(n) OVER (PARTITION BY i) AS p_fp
+  FROM cnt
+), st AS (SELECT DISTINCT i AS s FROM p),
+kk AS (SELECT count(*)::BIGINT AS k FROM st),
+v0 AS (SELECT s, 1000000 // k AS pi_fp FROM st CROSS JOIN kk),
+v1 AS (SELECT p.j AS s, sum(v0.pi_fp * p.p_fp) // 1000000 AS pi_fp
+       FROM p JOIN v0 ON p.i = v0.s GROUP BY p.j),
+v2 AS (SELECT p.j AS s, sum(v1.pi_fp * p.p_fp) // 1000000 AS pi_fp
+       FROM p JOIN v1 ON p.i = v1.s GROUP BY p.j),
+v3 AS (SELECT p.j AS s, sum(v2.pi_fp * p.p_fp) // 1000000 AS pi_fp
+       FROM p JOIN v2 ON p.i = v2.s GROUP BY p.j),
+v4 AS (SELECT p.j AS s, sum(v3.pi_fp * p.p_fp) // 1000000 AS pi_fp
+       FROM p JOIN v3 ON p.i = v3.s GROUP BY p.j),
+v5 AS (SELECT p.j AS s, sum(v4.pi_fp * p.p_fp) // 1000000 AS pi_fp
+       FROM p JOIN v4 ON p.i = v4.s GROUP BY p.j)
+SELECT s AS event_type, pi_fp::BIGINT AS pi_fp FROM v5
+ORDER BY event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples
     # the first 50 keys.  Session-8 update: the 26 session-8 additions
@@ -10404,6 +10488,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_median": q_weighted_median,
         "ngram_novelty": q_ngram_novelty,
         "csv_ingest": q_csv_ingest,
+        "theil_sen": q_theil_sen,
+        "markov_stationary": q_markov_stationary,
         "bitext_pairs": q_bitext_pairs,
         "retrieval_ndcg": q_retrieval_ndcg,
         "zorder_cluster": q_zorder_cluster,
@@ -10707,6 +10793,8 @@ def oracle_sql() -> dict[str, str]:
         "weighted_median": SQL_WEIGHTED_MEDIAN,
         "ngram_novelty": SQL_NGRAM_NOVELTY,
         "csv_ingest": SQL_CSV_INGEST,
+        "theil_sen": SQL_THEIL_SEN,
+        "markov_stationary": SQL_MARKOV_STATIONARY,
         "twap": SQL_TWAP,
         "window_funnel": SQL_WINDOW_FUNNEL,
         "text_normalize": SQL_TEXT_NORMALIZE,

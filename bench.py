@@ -506,6 +506,8 @@ RELATIONAL = [
     "epoch_budget",
     "weighted_median",
     "ngram_novelty",
+    "theil_sen",
+    "markov_stationary",
 ]
 
 

@@ -1856,3 +1856,69 @@ def audience_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def markov_stationary(
+    events: DataFrame,
+    iters: int = 5,
+    scale: int = 1_000_000,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Approximate stationary distribution of the behavioral Markov
+    chain — "where does a user END UP spending time" — by ``iters``
+    power-iteration steps from the uniform start, entirely in 64-bit
+    FIXED-POINT integer arithmetic (the pagerank_fixedpoint device):
+    every quantity is an integer multiple of 1/scale and every step
+    uses only BIGINT sums and floor division, so the result is
+    bit-identical across engines and aggregation orders — an
+    iterative float algorithm made oracle-able.
+
+        p_ij = (n_ij · scale) DIV n_i·       (row-normalized counts)
+        π'_j = (Σ_i π_i · p_ij) DIV scale
+
+    The transition counts come from ONE lag window per key (the
+    transition_matrix shape — |states|² matrix rows regardless of
+    corpus size); each iteration is a join+agg over that metadata-
+    sized matrix, so the unrolled loop costs |states|²·iters rows
+    total.  Floor division leaks ≤|states| units of mass per step —
+    the standard fixed-point simplification, identically in the twin.
+    Output: (event_type, pi_fp) — pi_fp/scale ≈ stationary mass.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tie_col).asc()
+    )
+    pairs = (
+        events.withColumn("_next", F.lead(state_col).over(w))
+        .filter(F.col("_next").isNotNull())
+        .select(
+            F.col(state_col).alias("i"), F.col("_next").alias("j")
+        )
+    )
+    counts = pairs.groupBy("i", "j").agg(F.count("*").alias("n"))
+    row_n = F.sum("n").over(Window.partitionBy("i"))
+    p = counts.select(
+        "i",
+        "j",
+        (F.col("n") * scale).cast("long").alias("n_fp"),
+        row_n.alias("rn"),
+    ).select("i", "j", F.expr("n_fp DIV rn").alias("p_fp"))
+    states = p.select(F.col("i").alias("s")).distinct()
+    n_states = states.groupBy().agg(F.count("*").alias("k"))
+    pi = states.crossJoin(F.broadcast(n_states)).select(
+        "s", F.expr(f"CAST({scale} AS BIGINT) DIV k").alias("pi_fp")
+    )
+    for _ in range(iters):
+        pi = (
+            p.alias("p")
+            .join(pi.alias("v"), F.col("p.i") == F.col("v.s"))
+            .select(
+                F.col("p.j").alias("s"),
+                F.expr("v.pi_fp * p.p_fp").alias("m"),
+            )
+            .groupBy("s")
+            .agg(F.expr(f"sum(m) DIV {scale}").cast("long").alias("pi_fp"))
+        )
+    return pi.select(F.col("s").alias(state_col), "pi_fp")

@@ -2048,3 +2048,93 @@ def weighted_median(
         F.col("tot").alias("total_w"),
         F.col("v").alias("median"),
     )
+
+
+def theil_sen(
+    df: DataFrame,
+    key_col: str,
+    bucket_col,
+    value_col,
+    max_points: int = 200,
+) -> DataFrame:
+    """Per-key Theil-Sen robust trend — the median of all pairwise
+    slopes over the bucketed series, the outlier-immune alternative to
+    :func:`grouped_regression`'s OLS (one wild spike moves an OLS
+    slope arbitrarily; it moves the slope MEDIAN not at all until
+    spikes are a third of the data).
+
+    The series first reduces to the (key, bucket) grain (exact
+    DECIMAL bucket sums → double values), then each key keeps its
+    FIRST ``max_points`` buckets (deterministic b-order cap — the full
+    pairwise set is O(points²), so the cap bounds it at ~2·10⁴ slopes
+    per key; a cap that bites is disclosed by n_points) and the
+    pairwise slopes + their median are computed INSIDE the per-key
+    sorted array with JVM higher-order functions — no self-join, no
+    per-key fact window, one partial-agg shuffle total.  Slopes are
+    identical IEEE divisions of exact grain values in both engines;
+    the median of an even count averages the two middles (one
+    addition, one halving — exact).  Output: (key_col, n_points,
+    n_slopes, slope) for keys with ≥2 points.
+    """
+    d6 = lambda c: c.cast("decimal(18,6)")
+    per = (
+        df.select(
+            F.col(key_col).alias("k"),
+            (bucket_col if not isinstance(bucket_col, str)
+             else F.col(bucket_col)).cast("long").alias("b"),
+            d6(value_col if not isinstance(value_col, str)
+               else F.col(value_col)).alias("v"),
+        )
+        .where(F.col("v").isNotNull())
+        .groupBy("k", "b")
+        .agg(F.sum("v").cast("decimal(18,6)").alias("v"))
+    )
+    arr = per.groupBy("k").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("b", F.col("v").cast("double").alias("v"))
+                )
+            ),
+            1,
+            max_points,
+        ).alias("pts")
+    )
+    slopes = F.array_sort(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.size("pts") - 1),
+                lambda i: F.transform(
+                    F.sequence(i + 1, F.size("pts")),
+                    lambda j: (
+                        F.element_at("pts", j)["v"]
+                        - F.element_at("pts", i)["v"]
+                    )
+                    / (
+                        F.element_at("pts", j)["b"]
+                        - F.element_at("pts", i)["b"]
+                    ).cast("double"),
+                ),
+            )
+        )
+    )
+    n = F.size("sl")
+    med = F.when(
+        n % 2 == 1, F.element_at("sl", ((n + 1) / 2).cast("int"))
+    ).otherwise(
+        (
+            F.element_at("sl", (n / 2).cast("int"))
+            + F.element_at("sl", (n / 2 + 1).cast("int"))
+        )
+        / 2.0
+    )
+    return (
+        arr.where(F.size("pts") >= 2)
+        .select("k", F.size("pts").alias("n_points"), slopes.alias("sl"))
+        .select(
+            F.col("k").alias(key_col),
+            "n_points",
+            n.alias("n_slopes"),
+            F.round(med, 6).alias("slope"),
+        )
+    )

@@ -1824,3 +1824,53 @@ def test_weighted_median_hand_and_bruteforce(spark):
         if 2 * cum >= W:
             assert got["r"] == (W, v)
             break
+
+
+# ---------------------------------------- theil-sen / markov chain
+def test_theil_sen_robust_to_spike(spark):
+    """A clean slope-2 line with one wild spike: OLS would bend, the
+    slope MEDIAN stays exactly 2; even-count median averages the two
+    middle slopes; the point cap is disclosed via n_points."""
+    from engine.spark import diagnose
+
+    rows = [("a", b, 2.0 * b) for b in range(1, 8)]
+    rows.append(("a", 8, 1000.0))           # spike
+    df = spark.createDataFrame(rows, "k: string, b: long, v: double")
+    got = diagnose.theil_sen(df, "k", "b", "v").collect()[0]
+    assert got.n_points == 8 and got.n_slopes == 28
+    assert got.slope == 2.0                 # median immune to 7 spiked slopes
+    capped = diagnose.theil_sen(df, "k", "b", "v", max_points=4).collect()[0]
+    assert capped.n_points == 4 and capped.n_slopes == 6
+    assert capped.slope == 2.0
+
+
+def test_markov_stationary_hand_chain(spark):
+    """A two-state chain a→b, b→a (period-2 but uniform-start
+    symmetric): fixed-point mass stays split 50/50; a sticky state
+    accumulates mass — checked against the exact integer recurrence."""
+    rows = []
+    eid = 0
+    # user 1: strict alternation a b a b a b
+    for i, t in enumerate(["a", "b"] * 3):
+        rows.append((1, i, eid, t)); eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id: long, sec: long, event_id: long, event_type: string"
+    ).select("user_id", F.timestamp_seconds("sec").alias("ts"),
+             "event_id", "event_type")
+    got = {r.event_type: r.pi_fp
+           for r in analytics.markov_stationary(df, iters=4).collect()}
+    assert got == {"a": 500000, "b": 500000}
+    # sticky: a→a (3x), a→b (1x), b→a (1x)
+    rows2 = [(1, i, 100 + i, t) for i, t in
+             enumerate(["a", "a", "a", "a", "b", "a"])]
+    df2 = spark.createDataFrame(
+        rows2, "user_id: long, sec: long, event_id: long, event_type: string"
+    ).select("user_id", F.timestamp_seconds("sec").alias("ts"),
+             "event_id", "event_type")
+    got2 = {r.event_type: r.pi_fp
+            for r in analytics.markov_stationary(df2, iters=3).collect()}
+    # exact integer recurrence: p(a->a)=750000, p(a->b)=250000, p(b->a)=1e6
+    pa, pb = 500000, 500000
+    for _ in range(3):
+        pa, pb = (pa * 750000 + pb * 1000000) // 1000000, (pa * 250000) // 1000000
+    assert got2 == {"a": pa, "b": pb}
