@@ -10384,6 +10384,31 @@ ORDER BY event_type
 """
 
 
+def q_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state dwell times (analytics.dwell_time): exact microsecond
+    forward gaps from one user-keyed window, bounded-state partial
+    agg, exact-sum means."""
+    return analytics.dwell_time(_t(spark, sf_dir, "events")).orderBy(
+        "state"
+    )
+
+
+SQL_DWELL_TIME = """
+WITH g AS (
+  SELECT event_type AS state,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) - epoch_us(ts) AS dwell_us
+  FROM events
+)
+SELECT state, count(*)::BIGINT AS n_visits,
+       count(dwell_us)::BIGINT AS n_dwells,
+       round(sum(dwell_us)::DOUBLE / 1e6, 6) AS total_dwell_s,
+       round(sum(dwell_us)::DOUBLE / count(dwell_us)::DOUBLE / 1e6, 6)
+         AS mean_dwell_s
+FROM g GROUP BY state ORDER BY state
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples
     # the first 50 keys.  Session-8 update: the 26 session-8 additions
@@ -10490,6 +10515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_ingest": q_csv_ingest,
         "theil_sen": q_theil_sen,
         "markov_stationary": q_markov_stationary,
+        "dwell_time": q_dwell_time,
         "bitext_pairs": q_bitext_pairs,
         "retrieval_ndcg": q_retrieval_ndcg,
         "zorder_cluster": q_zorder_cluster,
@@ -10795,6 +10821,7 @@ def oracle_sql() -> dict[str, str]:
         "csv_ingest": SQL_CSV_INGEST,
         "theil_sen": SQL_THEIL_SEN,
         "markov_stationary": SQL_MARKOV_STATIONARY,
+        "dwell_time": SQL_DWELL_TIME,
         "twap": SQL_TWAP,
         "window_funnel": SQL_WINDOW_FUNNEL,
         "text_normalize": SQL_TEXT_NORMALIZE,

@@ -508,6 +508,7 @@ RELATIONAL = [
     "ngram_novelty",
     "theil_sen",
     "markov_stationary",
+    "dwell_time",
 ]
 
 

@@ -1922,3 +1922,46 @@ def markov_stationary(
             .agg(F.expr(f"sum(m) DIV {scale}").cast("long").alias("pi_fp"))
         )
     return pi.select(F.col("s").alias(state_col), "pi_fp")
+
+
+def dwell_time(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    state_col: str = "event_type",
+) -> DataFrame:
+    """Per-state dwell time — how long users SIT in each state before
+    their next event — the duration companion to
+    :func:`transition_matrix` (which counts where they go) and the
+    input behind "users stall on the error screen" findings.
+
+    An event's dwell is the exact BIGINT-microsecond gap to the SAME
+    user's next event (one user-keyed window, (ts, id)-totalized
+    order; each user's last event has no forward gap and contributes
+    visits but no dwell — the twap convention).  One partial agg on
+    the bounded state key; means are single correctly-rounded
+    divisions of exact sums.  Output: (state, n_visits, n_dwells,
+    total_dwell_s, mean_dwell_s).
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    g = events.select(
+        F.col(state_col).alias("state"),
+        (F.lead(us, 1).over(w) - us).alias("dwell_us"),
+    )
+    return g.groupBy("state").agg(
+        F.count("*").alias("n_visits"),
+        F.count("dwell_us").alias("n_dwells"),
+        F.round(
+            F.sum("dwell_us").cast("double") / 1e6, 6
+        ).alias("total_dwell_s"),
+        F.round(
+            F.sum("dwell_us").cast("double")
+            / F.count("dwell_us").cast("double")
+            / 1e6,
+            6,
+        ).alias("mean_dwell_s"),
+    )

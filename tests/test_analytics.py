@@ -1874,3 +1874,18 @@ def test_markov_stationary_hand_chain(spark):
     for _ in range(3):
         pa, pb = (pa * 750000 + pb * 1000000) // 1000000, (pa * 250000) // 1000000
     assert got2 == {"a": pa, "b": pb}
+
+
+def test_dwell_time_hand(spark):
+    """Dwell = forward gap to the same user's next event regardless of
+    its state; the last event per user counts a visit but no dwell."""
+    rows = [(1, 0, 1, "a"), (1, 10, 2, "b"), (1, 40, 3, "a"),
+            (2, 0, 4, "a")]
+    df = spark.createDataFrame(
+        rows, "user_id: long, sec: long, event_id: long, event_type: string"
+    ).select("user_id", F.timestamp_seconds("sec").alias("ts"),
+             "event_id", "event_type")
+    got = {r.state: (r.n_visits, r.n_dwells, r.total_dwell_s, r.mean_dwell_s)
+           for r in analytics.dwell_time(df).collect()}
+    assert got["a"] == (3, 1, 10.0, 10.0)   # visit at 40 and user2 open
+    assert got["b"] == (1, 1, 30.0, 30.0)
