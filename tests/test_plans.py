@@ -1262,3 +1262,55 @@ def test_embedding_drift_one_exchange_per_snapshot(spark):
     assert "CartesianProduct" not in plan, plan
     # partial agg before the exchange (map-side combine)
     assert "partial_sum" in plan or "partial_count" in plan, plan
+
+
+# ------------------------------------------- session-8 plan shapes
+def test_audience_overlap_no_self_join_no_cartesian(spark):
+    """The pair matrix comes from in-array transforms over per-user
+    type sets — no fact self-join, no cartesian; the audience sizes
+    ride broadcast joins on the bounded type key."""
+    df = entry_mod.q_audience_overlap(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_weighted_median_no_per_key_fact_sort_window(spark):
+    """The crossing-row search must never plan as a per-flag window
+    sort over fact rows: every data-sized Window partitions on
+    (pid, k) — the bounded range-partition blocks — and offsets/totals
+    ride BroadcastExchanges."""
+    df = entry_mod.q_weighted_median(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    for ln in plan.splitlines():
+        if "Window [" in ln and "lcum" in ln:
+            assert "pid" in ln, ln
+
+
+def test_distinctive_terms_broadcast_totals_single_tokenize(spark):
+    """Group totals and the corpus total ride broadcasts (never an
+    empty-partition window over the vocab-sized grain), and the token
+    explode subtree is shared, not duplicated per branch."""
+    df = entry_mod.q_distinctive_terms(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    # the per-term window partitions on the term key, never empty
+    for ln in plan.splitlines():
+        if "Window [" in ln and "yw" in ln:
+            assert "term" in ln, ln
+
+
+def test_survival_curve_windows_only_on_life_table(spark):
+    """The KM windows (risk depletion, log cumsum) read the one-row-
+    per-lifetime life table: every window input sits BELOW an
+    aggregate of the per-user grain, and the global end rides a
+    broadcast single-row agg."""
+    df = entry_mod.q_survival_curve(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
