@@ -10409,6 +10409,40 @@ FROM g GROUP BY state ORDER BY state
 """
 
 
+def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt level+trend forecast (analytics.holt_linear):
+    alpha = beta = 1/2 so every smoothing step is a pure exponent
+    decrement plus identically-rounded IEEE adds — the DuckDB
+    recursive-CTE twin reproduces every double bit-for-bit (the ewma
+    device, extended to a two-component state)."""
+    return analytics.holt_linear(_t(spark, sf_dir, "events")).orderBy(
+        "user_id"
+    )
+
+
+SQL_HOLT_LINEAR = """
+WITH RECURSIVE seq AS (
+  SELECT user_id AS k,
+         row_number() OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS i,
+         value AS x
+  FROM events WHERE value IS NOT NULL
+), nn AS (SELECT k, max(i) AS n FROM seq GROUP BY k),
+f AS (
+  SELECT k, 1 AS i, x AS l, 0.0::DOUBLE AS b FROM seq WHERE i = 1
+  UNION ALL
+  SELECT f.k, f.i + 1,
+         0.5 * s.x + 0.5 * (f.l + f.b),
+         0.5 * ((0.5 * s.x + 0.5 * (f.l + f.b)) - f.l) + 0.5 * f.b
+  FROM f JOIN seq s ON s.k = f.k AND s.i = f.i + 1
+)
+SELECT f.k AS user_id, nn.n::BIGINT AS n_obs, f.l AS level,
+       f.b AS trend, f.l + f.b AS forecast
+FROM f JOIN nn ON f.k = nn.k AND f.i = nn.n
+ORDER BY user_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's oracle gate samples
     # the first 50 keys.  Session-8 update: the 26 session-8 additions
@@ -10516,6 +10550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen": q_theil_sen,
         "markov_stationary": q_markov_stationary,
         "dwell_time": q_dwell_time,
+        "holt_linear": q_holt_linear,
         "bitext_pairs": q_bitext_pairs,
         "retrieval_ndcg": q_retrieval_ndcg,
         "zorder_cluster": q_zorder_cluster,
@@ -10822,6 +10857,7 @@ def oracle_sql() -> dict[str, str]:
         "theil_sen": SQL_THEIL_SEN,
         "markov_stationary": SQL_MARKOV_STATIONARY,
         "dwell_time": SQL_DWELL_TIME,
+        "holt_linear": SQL_HOLT_LINEAR,
         "twap": SQL_TWAP,
         "window_funnel": SQL_WINDOW_FUNNEL,
         "text_normalize": SQL_TEXT_NORMALIZE,

@@ -509,6 +509,7 @@ RELATIONAL = [
     "theil_sen",
     "markov_stationary",
     "dwell_time",
+    "holt_linear",
 ]
 
 

@@ -1965,3 +1965,79 @@ def dwell_time(
             6,
         ).alias("mean_dwell_s"),
     )
+
+
+def holt_linear(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key Holt double exponential smoothing (level + trend) with
+    α = β = 1/2 — the one-step forecaster :func:`ewma` can't be (an
+    EWMA lags any trending series; Holt's trend term tracks it):
+
+        l₁ = x₁,  b₁ = 0
+        lᵢ = 0.5·xᵢ + 0.5·(lᵢ₋₁ + bᵢ₋₁)
+        bᵢ = 0.5·(lᵢ − lᵢ₋₁) + 0.5·bᵢ₋₁
+
+    BIT-DETERMINISTIC by the ewma device: both smoothing constants
+    are the binary power 1/2 (pure exponent decrements, no mantissa
+    rounding on the scale step) and each remaining add/subtract rounds
+    identically under IEEE-754 in any engine, so the DuckDB twin — a
+    recursive CTE replaying the identical chain — reproduces every
+    double exactly.  The fold runs as a JVM higher-order ``aggregate``
+    over each key's time-sorted array (one shuffle; per-key sequence
+    lengths bounded — the ewma assumption).  Output: (key, n_obs,
+    level, trend, forecast = level + trend), unrounded doubles.
+    """
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(tie_col).alias("tie"),
+                F.col(value_col).alias("x"),
+            )
+        )
+    )
+    folded = F.aggregate(
+        F.slice(F.col("_arr"), 2, F.greatest(F.size("_arr") - 1, F.lit(0))),
+        F.struct(
+            F.element_at(F.col("_arr"), 1)["x"].alias("l"),
+            F.lit(0.0).alias("b"),
+        ),
+        lambda acc, e: F.struct(
+            (F.lit(0.5) * e["x"] + F.lit(0.5) * (acc["l"] + acc["b"]))
+            .alias("l"),
+            (
+                F.lit(0.5)
+                * (
+                    (
+                        F.lit(0.5) * e["x"]
+                        + F.lit(0.5) * (acc["l"] + acc["b"])
+                    )
+                    - acc["l"]
+                )
+                + F.lit(0.5) * acc["b"]
+            ).alias("b"),
+        ),
+    )
+    return (
+        events.where(F.col(value_col).isNotNull())
+        .groupBy(key_col)
+        .agg(arr.alias("_arr"))
+        .filter(F.size("_arr") > 0)
+        .select(
+            key_col,
+            F.size("_arr").cast("long").alias("n_obs"),
+            folded.alias("_f"),
+        )
+        .select(
+            key_col,
+            "n_obs",
+            F.col("_f.l").alias("level"),
+            F.col("_f.b").alias("trend"),
+            (F.col("_f.l") + F.col("_f.b")).alias("forecast"),
+        )
+    )

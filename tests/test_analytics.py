@@ -1889,3 +1889,24 @@ def test_dwell_time_hand(spark):
            for r in analytics.dwell_time(df).collect()}
     assert got["a"] == (3, 1, 10.0, 10.0)   # visit at 40 and user2 open
     assert got["b"] == (1, 1, 30.0, 30.0)
+
+
+def test_holt_linear_python_mirror_and_trend_tracking(spark):
+    """The JVM fold must equal the identical Python fold BIT-FOR-BIT,
+    and on a clean linear series the trend component approaches the
+    true slope (the thing a plain EWMA can never do)."""
+    xs = [2.0 * i for i in range(1, 13)]
+    rows = [(1, i, i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(
+        rows, "user_id: long, sec: long, event_id: long, value: double"
+    ).select("user_id", F.timestamp_seconds("sec").alias("ts"),
+             "event_id", "value")
+    got = analytics.holt_linear(df).collect()[0]
+    l, b = xs[0], 0.0
+    for x in xs[1:]:
+        l2 = 0.5 * x + 0.5 * (l + b)
+        b = 0.5 * (l2 - l) + 0.5 * b
+        l = l2
+    assert (got.level, got.trend, got.forecast) == (l, b, l + b)
+    assert abs(got.trend - 2.0) < 0.1
+    assert got.n_obs == 12
