@@ -1154,6 +1154,31 @@ def trigram_postings(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def trigram_postings_for(
+    docs: DataFrame, grams: list[str], text_col: str = "text"
+) -> DataFrame:
+    """Posting rows restricted to a KNOWN gram set — value-identical to
+    ``trigram_postings(docs).filter(tg.isin(grams))`` (a doc's distinct
+    trigram set contains g iff ``instr(lower(text), g) > 0``), but
+    computed with |grams| substring probes per document instead of
+    materializing and exploding every trigram of the corpus and then
+    discarding all but |grams| of them.  This is the query-time analog
+    of a pruned index read: only the requested posting lists are ever
+    produced.  Probe count is bounded by the caller (query trigrams),
+    so the per-doc cost is O(|grams| · len) JVM ``instr`` scans with
+    zero per-trigram string allocation."""
+    lit_grams = F.array(*[F.lit(g) for g in sorted(set(grams))])
+    tokd = docs.filter(F.length(text_col) >= 3).select(
+        "doc_id", F.lower(F.col(text_col)).alias("_t")
+    )
+    return tokd.select(
+        "doc_id",
+        F.explode(
+            F.filter(lit_grams, lambda g: F.instr(F.col("_t"), g) > 0)
+        ).alias("tg"),
+    )
+
+
 def substring_search(
     docs: DataFrame,
     query: str,
@@ -1190,11 +1215,10 @@ def substring_search(
             .filter(F.col("first_pos") > 0)
         )
     qgrams = sorted({q[i : i + 3] for i in range(len(q) - 2)})
-    post = trigram_postings(docs, text_col)
     need = qgrams
     if prune_grams is not None and prune_grams < len(qgrams):
         dfs = (
-            post.filter(F.col("tg").isin(qgrams))
+            trigram_postings_for(docs, qgrams, text_col)
             .groupBy("tg")
             .agg(F.count("*").alias("df"))
             .collect()
@@ -1207,7 +1231,7 @@ def substring_search(
             ).filter(F.lit(False))
         need = sorted(qgrams, key=lambda g: (by_df[g], g))[:prune_grams]
     cand = (
-        post.filter(F.col("tg").isin(need))
+        trigram_postings_for(docs, need, text_col)
         .groupBy("doc_id")
         .agg(F.countDistinct("tg").alias("_ng"))
         .filter(F.col("_ng") == len(need))
