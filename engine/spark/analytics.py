@@ -1471,41 +1471,74 @@ def degree_stats(
     fraction of edges whose reverse also exists — near 1 the graph is
     effectively undirected and CC-style algorithms apply).
 
-    Shapes: edges dedup to one partial-agg shuffle; degrees are two
-    aggregations of the SAME deduped grain (ReusedExchange — the Q11
-    discipline); reciprocity is ONE equi-semi-join of the deduped
-    edges with their own reversal on the full (src, dst) key — hash
-    join, |E| scale, never a cartesian.  All counts exact BIGINTs;
-    means are single correctly-rounded divisions.  Output: (n_nodes,
-    n_edges, max_out, max_in, avg_degree, reciprocity).
+    Shape (one pass, two shuffles — down from seven derivation legs
+    each re-deriving the deduped edge set): group raw edges once on
+    the UNORDERED pair (least, greatest) with direction-presence
+    flags — that single partial-agg shuffle yields dedup (max of the
+    flags), edge count (sum of present directions), and reciprocity
+    (both directions present, self-loops reciprocal by definition)
+    without ever joining the edge set with its own reversal.  Degrees
+    come from exploding each unordered pair into its two endpoints
+    with 0/1 out/in increments — one more partial-agg shuffle keyed
+    on node gives out/in degree, node count, and both maxima.  All
+    counts exact BIGINTs; means are single correctly-rounded
+    divisions.  Output: (n_nodes, n_edges, max_out, max_in,
+    avg_degree, reciprocity) — value-identical to the
+    distinct-then-five-legs formulation (the oracle twin).
     """
-    e = edges.select(
-        F.col(src_col).cast("long").alias("src"),
-        F.col(dst_col).cast("long").alias("dst"),
-    ).distinct()
-    out_d = e.groupBy("src").agg(F.count("*").alias("d"))
-    in_d = e.groupBy("dst").agg(F.count("*").alias("d"))
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .agg(F.count("*").alias("n_nodes"))
+    s = F.col(src_col).cast("long")
+    d = F.col(dst_col).cast("long")
+    pairs = edges.select(
+        F.least(s, d).alias("lo"),
+        F.greatest(s, d).alias("hi"),
+        (s <= d).alias("f"),   # edge lo→hi present (self-loops: both)
+        (s >= d).alias("r"),   # edge hi→lo present
     )
-    rev = e.select(
-        F.col("dst").alias("src"), F.col("src").alias("dst")
+    und = pairs.groupBy("lo", "hi").agg(
+        F.max("f").alias("f"), F.max("r").alias("r")
     )
-    recip = (
-        e.join(rev, ["src", "dst"], "left_semi")
-        .agg(F.count("*").alias("n_recip"))
+    self_loop = F.col("lo") == F.col("hi")
+    fwd = F.col("f").cast("int")
+    rev = F.col("r").cast("int")
+    stats_e = und.select(
+        F.when(self_loop, F.lit(1)).otherwise(fwd + rev).alias("_ne"),
+        F.when(self_loop, F.lit(1))
+        .otherwise(F.when(F.col("f") & F.col("r"), F.lit(2)).otherwise(0))
+        .alias("_nr"),
+    ).agg(
+        F.sum("_ne").cast("long").alias("n_edges"),
+        F.sum("_nr").cast("long").alias("n_recip"),
     )
-    tot = e.agg(F.count("*").alias("n_edges"))
-    mo = out_d.agg(F.max("d").alias("max_out"))
-    mi = in_d.agg(F.max("d").alias("max_in"))
+    # endpoint increments: lo is a source iff lo→hi, a sink iff hi→lo;
+    # hi mirrored, zeroed on self-loops so the single loop edge is not
+    # double-counted (lo's entry already carries out=1, in=1)
+    not_loop = (~self_loop).cast("int")
+    ends = und.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("lo").alias("node"),
+                    fwd.alias("o"),
+                    rev.alias("i"),
+                ),
+                F.struct(
+                    F.col("hi").alias("node"),
+                    (rev * not_loop).alias("o"),
+                    (fwd * not_loop).alias("i"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.node", "e.o", "e.i")
+    deg = ends.groupBy("node").agg(
+        F.sum("o").alias("od"), F.sum("i").alias("id")
+    )
+    stats_n = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.max("od").cast("long").alias("max_out"),
+        F.max("id").cast("long").alias("max_in"),
+    )
     return (
-        tot.crossJoin(F.broadcast(nodes))
-        .crossJoin(F.broadcast(mo))
-        .crossJoin(F.broadcast(mi))
-        .crossJoin(F.broadcast(recip))
+        stats_e.crossJoin(F.broadcast(stats_n))
         .select(
             "n_nodes",
             "n_edges",

@@ -1562,6 +1562,19 @@ def test_degree_stats_hand(spark):
     assert abs(r.avg_degree - 4 / 3) < 1e-6
 
 
+def test_degree_stats_self_loop(spark):
+    """Self-loop semantics under the unordered-pair formulation: (1,1)
+    is ONE edge, reciprocal by definition, contributing out=1 in=1 to
+    its node exactly once (not doubled via the hi endpoint)."""
+    edges = spark.createDataFrame(
+        [(1, 1), (1, 1), (1, 2)], "src: long, dst: long"
+    )
+    r = analytics.degree_stats(edges).collect()[0]
+    assert (r.n_nodes, r.n_edges) == (2, 2)
+    assert r.max_out == 2 and r.max_in == 1
+    assert r.reciprocity == 0.5
+
+
 def test_conversion_latency_first_touch(spark):
     """Latency anchors at the FIRST from-event and takes the first
     to-event strictly after it; conversions before the anchor don't

@@ -290,6 +290,37 @@ def test_grouped_median_matches_definition(spark):
         assert got[k][1] == statistics.median(vals), k
 
 
+def test_grouped_median_weighted_matches_rowlevel(spark):
+    """The run-length-compressed ranking must be bit-identical to
+    row-level grouped_median on the expanded rows — heavy ties (few
+    distinct values, uneven weights), odd and even n, runs spanning
+    range-partition boundaries."""
+    import random
+
+    from engine.spark import diagnose
+
+    rng = random.Random(13)
+    rows = []
+    for key in ("a", "b", "c"):
+        n = {"a": 101, "b": 100, "c": 1}[key]
+        for i in range(n):
+            # ~12 distinct values per key → long runs
+            rows.append((key, float(rng.randint(0, 11)) / 8.0, i))
+    df = spark.createDataFrame(rows, "k: string, v: double, id: long")
+    want = {
+        (r.k, r.n, r.median)
+        for r in diagnose.grouped_median(df, "k", "v", "id").collect()
+    }
+    counts = df.groupBy("k", "v").agg(F.count("*").alias("c"))
+    got = {
+        (r.k, r.n, r.median)
+        for r in diagnose.grouped_median_weighted(
+            counts, "k", "v", "c"
+        ).collect()
+    }
+    assert got == want
+
+
 def test_mad_flags_hand_computed(spark):
     """Values 1..9 plus one wild outlier: median/MAD by hand, the
     outlier flagged, nothing else."""
