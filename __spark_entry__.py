@@ -37,8 +37,50 @@ from engine.spark import (
 from engine.spark import text as etext
 
 
+# Tables whose consumers are EXPRESSION-BOUND (regex suites,
+# tokenize+explode, per-vector HOF folds, mapInPandas parse) rather
+# than exchange-bound.  The sf tables are single parquet files with
+# few (often ONE) row groups, and a row group is the minimum scan
+# split — so a scan yields 1-6 tasks however many cores exist and
+# everything pipelined into it runs near-serial.  For these two
+# tables one trivially-cheap round-robin exchange buys full-width
+# execution of all downstream expression work (measured: 2-8× per
+# query).  Fact/event tables are deliberately NOT redistributed:
+# their queries open with a keyed exchange or partial agg anyway, so
+# an upfront round-robin is pure added shuffle (measured regressions
+# on mad_flags/sessionize/dau_mau).
+_REDIST_TABLES = frozenset({"documents", "embeddings"})
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name not in _REDIST_TABLES:
+        return df
+    # Scale-adaptive by construction: target = defaultParallelism (not
+    # a constant), applied only when the scan is under-partitioned and
+    # small enough that moving it is noise (< SPARK_GRAFT_REDIST_MAX_MB,
+    # default 64 MB — a multi-file table at real scale parallelizes by
+    # itself and skips this).  Results are unaffected: row order is
+    # the only thing that changes.
+    import glob as _glob
+    import os as _os
+
+    try:
+        nbytes = sum(
+            _os.path.getsize(p)
+            for p in _glob.glob(f"{sf_dir}/{name}.parquet")
+        ) or sum(
+            _os.path.getsize(_os.path.join(r, f))
+            for r, _, fs in _os.walk(f"{sf_dir}/{name}.parquet")
+            for f in fs
+        )
+    except OSError:
+        return df
+    max_mb = float(_os.environ.get("SPARK_GRAFT_REDIST_MAX_MB", "64"))
+    n = spark.sparkContext.defaultParallelism
+    if nbytes < max_mb * 1024 * 1024 and df.rdd.getNumPartitions() < n:
+        df = df.repartition(n)
+    return df
 
 
 # ---------------------------------------------------------------- extraction

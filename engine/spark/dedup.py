@@ -1201,30 +1201,50 @@ def sorted_neighborhood_pairs(
     cand = same.unionByName(adj).select(
         "doc_a", "doc_b", (F.col("_rb") - F.col("_ra")).alias("rank_gap")
     )
-    toks = word_tokens(docs, text_col)
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
-    shared = (
-        cand.join(
-            toks.select(F.col("doc_id").alias("doc_a"), "tok"), "doc_a"
-        )
-        .join(
-            toks.select(F.col("doc_id").alias("doc_b"), "tok"),
-            ["doc_b", "tok"],
-        )
-        .groupBy("doc_a", "doc_b", "rank_gap")
-        .agg(F.count("*").alias("shared"))
-    )
+    # Refine on ATTACHED distinct-token ARRAYS, not exploded token
+    # tables: the old shape joined each candidate against a (doc, tok)
+    # table twice — an O(candidates × tokens-per-doc) intermediate
+    # (~30× the candidate count) through two shuffle joins.  Attaching
+    # the per-doc array (a zero-shuffle projection off the corpus) by
+    # doc id and intersecting JVM-side computes the same distinct
+    # shared count per pair with candidate-sized joins only.  Pairs
+    # with zero shared tokens (and token-less docs) are filtered
+    # explicitly — the old inner explode-join dropped them implicitly.
+    tokarr = docs.select(
+        "doc_id",
+        F.array_remove(
+            F.array_distinct(
+                F.split(F.trim(F.lower(F.col(text_col))), text.WS)
+            ),
+            "",
+        ).alias("_tk"),
+    ).select("doc_id", "_tk", F.size("_tk").alias("_ntok"))
     return (
-        shared.join(
-            sizes.select(F.col("doc_id").alias("doc_a"),
-                         F.col("n_tok").alias("_na")),
+        cand.join(
+            tokarr.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("_tk").alias("_ta"),
+                F.col("_ntok").alias("_na"),
+            ),
             "doc_a",
         )
         .join(
-            sizes.select(F.col("doc_id").alias("doc_b"),
-                         F.col("n_tok").alias("_nb")),
+            tokarr.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("_tk").alias("_tb"),
+                F.col("_ntok").alias("_nb"),
+            ),
             "doc_b",
         )
+        .select(
+            "doc_a",
+            "doc_b",
+            "rank_gap",
+            "_na",
+            "_nb",
+            F.size(F.array_intersect("_ta", "_tb")).alias("shared"),
+        )
+        .filter(F.col("shared") >= 1)
         .withColumn(
             "union_sz", F.col("_na") + F.col("_nb") - F.col("shared")
         )

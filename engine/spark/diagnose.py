@@ -2111,6 +2111,19 @@ def weighted_median(
         F.col(id_col).alias("i"),
         F.col(weight_col).cast("long").alias("w"),
     ).where(F.col("w") > 0)
+    # Run-length compress to the (key, value) grain before the range
+    # shuffle (one map-side-combined partial agg): the crossing row is
+    # determined by cumulative weight alone, so summing the weights of
+    # equal values selects the SAME median value and total — while the
+    # range shuffle, the per-block window and the persisted frame all
+    # shrink by the value-repetition ratio (10× on the lineitem price
+    # fact).  The id tie-break becomes vacuous (values are distinct
+    # per key after compression), so a constant stands in for it.
+    base = (
+        base.groupBy("k", "v")
+        .agg(F.sum("w").alias("w"))
+        .withColumn("i", F.lit(0).cast("long"))
+    )
     keyed = base.repartitionByRange(nparts, *order).withColumn(
         "pid", F.spark_partition_id()
     )

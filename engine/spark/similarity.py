@@ -33,6 +33,36 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine with PRE-MATERIALIZED norms: dot/(na·nb) — bit-identical
+    to :func:`cosine` when na/nb carry the :func:`_norm` values (the
+    division tree is unchanged and IEEE multiplication rounds the same
+    either way).  Array HOFs evaluate interpreted (outside whole-stage
+    codegen), so in pair-stage expressions the two O(d) norm folds —
+    re-run for every PAIR — dominate; callers project each side's norm
+    once per row instead."""
+    return _dot(a, b) / (na * nb)
+
+
+def _norms_lit(centroids: list[list[float]]) -> Column:
+    """Per-centroid norms as one folded double-array literal, computed
+    on the driver with the exact left-fold ``acc + x*x`` then sqrt that
+    :func:`_norm` evaluates per row — same IEEE ops in the same order,
+    so the literal is bit-identical to evaluating _norm(centroid) in
+    the JVM, and O(n_centroids · d) work moves from per-corpus-row to
+    once at plan build."""
+    import math
+
+    out = []
+    for c in centroids:
+        acc = 0.0
+        for x in c:
+            xx = float(x)
+            acc = acc + xx * xx
+        out.append(math.sqrt(acc))
+    return F.lit(out)
+
+
 def brute_force_topk(
     emb: DataFrame,
     n_queries: int = 10,
@@ -42,18 +72,24 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: queries (vec_id < n_queries) broadcast against
     the full corpus — one scan, no shuffle of the big side before the
-    per-query window."""
+    per-query window.  Norms are materialized once per corpus row and
+    once per query (cosine_pre), not re-folded per pair."""
     base = emb.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("v")
-    )
+    ).select(F.col(id_col), "v", _norm(F.col("v")).alias("_nv"))
     q = base.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("_nv").alias("_nq"),
     )
     joined = base.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
     scored = joined.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine_sim"),
+        F.round(
+            cosine_pre(F.col("qv"), F.col("v"), F.col("_nq"), F.col("_nv")),
+            6,
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
@@ -75,24 +111,56 @@ def _centroids_lit(centroids: list[list[float]]) -> Column:
     return F.lit([[float(x) for x in c] for c in centroids])
 
 
-def _argmin_cluster(vec: Column, cents: Column) -> Column:
+def _argmin_cluster(
+    vec: Column,
+    cents: Column,
+    cent_norms: Column | None = None,
+    vec_norm: Column | None = None,
+) -> Column:
     """Nearest-centroid id for a vector column against a centroids ARRAY
     COLUMN — a pure projection, computed per row with zero shuffle.
     Distance = 1 − cosine; ties break on centroid id via struct ordering
     (deterministic).  Defined as the first probe so the corpus-side
     assignment and the query-side probing can never desynchronize (the
     IVF oracle's parity depends on them agreeing)."""
-    return F.element_at(_probe_clusters(vec, cents, 1), 1)
-
-
-def _probe_clusters(vec: Column, cents: Column, n_probe: int) -> Column:
-    """The n_probe nearest centroid ids, nearest first."""
-    scored = F.transform(
-        cents,
-        lambda c, i: F.struct(
-            (F.lit(1.0) - cosine(vec, c)).alias("dist"), i.alias("cid")
-        ),
+    return F.element_at(
+        _probe_clusters(vec, cents, 1, cent_norms, vec_norm), 1
     )
+
+
+def _probe_clusters(
+    vec: Column,
+    cents: Column,
+    n_probe: int,
+    cent_norms: Column | None = None,
+    vec_norm: Column | None = None,
+) -> Column:
+    """The n_probe nearest centroid ids, nearest first.
+
+    ``cent_norms`` (aligned :func:`_norms_lit` literal) and
+    ``vec_norm`` (a MATERIALIZED per-row _norm column — materialized,
+    or the lambda re-evaluates the O(d) fold per centroid) replace the
+    per-element norm folds with one literal lookup and one column
+    read; the distance value is bit-identical (see cosine_pre)."""
+    if cent_norms is not None:
+        nv = vec_norm if vec_norm is not None else _norm(vec)
+        scored = F.transform(
+            cents,
+            lambda c, i: F.struct(
+                (
+                    F.lit(1.0)
+                    - cosine_pre(vec, c, nv, F.element_at(cent_norms, i + 1))
+                ).alias("dist"),
+                i.alias("cid"),
+            ),
+        )
+    else:
+        scored = F.transform(
+            cents,
+            lambda c, i: F.struct(
+                (F.lit(1.0) - cosine(vec, c)).alias("dist"), i.alias("cid")
+            ),
+        )
     return F.transform(
         F.slice(F.array_sort(scored), 1, n_probe), lambda s: s["cid"]
     )
@@ -124,8 +192,14 @@ def ivf_centroids(
         r["v"]
         for r in base.orderBy(id_col).limit(n_centroids).collect()
     ]
-    assigned = base.withColumn(
-        "cid", _argmin_cluster(F.col("v"), _centroids_lit(seeds))
+    assigned = base.select(
+        "v", _norm(F.col("v")).alias("_nv")
+    ).withColumn(
+        "cid",
+        _argmin_cluster(
+            F.col("v"), _centroids_lit(seeds), _norms_lit(seeds),
+            F.col("_nv"),
+        ),
     )
     per_dim = assigned.select(
         "cid", F.posexplode("v").alias("d", "x")
@@ -165,9 +239,12 @@ def ivf_topk(
     equi-join on the cluster id — the cluster id is also the natural
     repartition/bucketing key for the inverted lists at 100 TB.
     Recall/cost trades off via n_probe."""
-    cents = _centroids_lit(ivf_centroids(emb, dim, n_centroids, id_col, vec_col))
+    cl = ivf_centroids(emb, dim, n_centroids, id_col, vec_col)
     base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-    return _ivf_query(base, cents, n_probe, n_queries, k, id_col)
+    return _ivf_query(
+        base, _centroids_lit(cl), n_probe, n_queries, k, id_col,
+        _norms_lit(cl),
+    )
 
 
 def _ivf_query(
@@ -177,17 +254,29 @@ def _ivf_query(
     n_queries: int,
     k: int,
     id_col: str,
+    cent_norms: Column | None = None,
 ) -> DataFrame:
     """Shared IVF query path: assign `base` (id, v) to the given frozen
-    centroid literal, probe, exact-cosine re-rank."""
-    corpus = base.withColumn("cid", _argmin_cluster(F.col("v"), cents))
+    centroid literal, probe, exact-cosine re-rank.  Row norms are
+    materialized once (corpus and query side) and centroid norms ride
+    in as a literal — the re-rank cosine never re-folds a norm per
+    candidate pair (cosine_pre, bit-identical)."""
+    based = base.select(
+        F.col(id_col), "v", _norm(F.col("v")).alias("_nv")
+    )
+    corpus = based.withColumn(
+        "cid", _argmin_cluster(F.col("v"), cents, cent_norms, F.col("_nv"))
+    )
     q = (
-        base.filter(F.col(id_col) < n_queries)
+        based.filter(F.col(id_col) < n_queries)
         .select(
             F.col(id_col).alias("query_id"),
             F.col("v").alias("qv"),
+            F.col("_nv").alias("_nq"),
             F.explode(
-                _probe_clusters(F.col("v"), cents, n_probe)
+                _probe_clusters(
+                    F.col("v"), cents, n_probe, cent_norms, F.col("_nv")
+                )
             ).alias("cid"),
         )
     )
@@ -201,7 +290,12 @@ def _ivf_query(
     scored = joined.select(
         F.col("q.query_id").alias("query_id"),
         F.col(f"c.{id_col}").alias("neighbor_id"),
-        F.round(cosine(F.col("q.qv"), F.col("c.v")), 6).alias("cosine_sim"),
+        F.round(
+            cosine_pre(
+                F.col("q.qv"), F.col("c.v"), F.col("q._nq"), F.col("c._nv")
+            ),
+            6,
+        ).alias("cosine_sim"),
     )
     # no dedup needed: each corpus vector lives in exactly one inverted
     # list and a query's probe clusters are distinct by construction
@@ -341,11 +435,23 @@ def cosine_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     scored = cand.join(
-        base.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a"
+        base.select(
+            F.col("id").alias("id_a"),
+            F.col("v").alias("va"),
+            _norm(F.col("v")).alias("_na"),
+        ),
+        "id_a",
     ).join(
-        base.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b"
+        base.select(
+            F.col("id").alias("id_b"),
+            F.col("v").alias("vb"),
+            _norm(F.col("v")).alias("_nb"),
+        ),
+        "id_b",
     )
-    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    sim = F.round(
+        cosine_pre(F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb")), 6
+    )
     return scored.select("id_a", "id_b", sim.alias("cosine_sim")).filter(
         F.col("cosine_sim") >= F.lit(float(threshold))
     )
@@ -365,12 +471,15 @@ def lsh_ann_topk(
     key is also the natural repartition/bucketing key."""
     base = emb.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    ).select(
+        F.col(id_col), "v", _norm(F.col("v")).alias("_nv")
     ).withColumn(
         "bucket", lsh_bucket_col(F.col("v"), _hyperplanes_lit(dim, n_planes))
     )
     q = base.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"),
         F.col("v").alias("qv"),
+        F.col("_nv").alias("_nq"),
         F.col("bucket").alias("qbucket"),
     )
     joined = base.join(
@@ -381,7 +490,10 @@ def lsh_ann_topk(
     scored = joined.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine_sim"),
+        F.round(
+            cosine_pre(F.col("qv"), F.col("v"), F.col("_nq"), F.col("_nv")),
+            6,
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
@@ -488,6 +600,7 @@ def quantized_lists(
     cents: Column,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cent_norms: Column | None = None,
 ) -> DataFrame:
     """The int8 inverted lists — the ONLY corpus-wide structure the
     quantized IVF probe scans: one zero-shuffle projection derives the
@@ -497,9 +610,14 @@ def quantized_lists(
     vs 4 bytes/dim float32 — the 4× that keeps 10^10-vector lists
     memory-resident (ratio asserted on real parquet by
     test_quantized_lists_memory_ratio)."""
-    base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    base = emb.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    ).select(F.col(id_col), "v", _norm(F.col("v")).alias("_nv"))
     return (
-        base.withColumn("cid", _argmin_cluster(F.col("v"), cents))
+        base.withColumn(
+            "cid",
+            _argmin_cluster(F.col("v"), cents, cent_norms, F.col("_nv")),
+        )
         .withColumn("mn", F.array_min("v"))
         .withColumn("mx", F.array_max("v"))
         .select(
@@ -548,24 +666,32 @@ def ivf_quantized_topk(
     ivf_topk) and shortlist truncation under int8 scoring error
     (bounded by the half-step dequantization error, see
     test_quantized_topk_recall); both knobs are explicit."""
-    cents = _centroids_lit(
-        ivf_centroids(emb, dim, n_centroids, id_col, vec_col)
-    )
+    cl = ivf_centroids(emb, dim, n_centroids, id_col, vec_col)
+    cents = _centroids_lit(cl)
+    cn = _norms_lit(cl)
     base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-    lists = quantized_lists(emb, cents, id_col, vec_col)
+    lists = quantized_lists(emb, cents, id_col, vec_col, cn)
 
     q = (
-        base.filter(F.col(id_col) < n_queries)
+        base.select(F.col(id_col), "v", _norm(F.col("v")).alias("_nv"))
+        .filter(F.col(id_col) < n_queries)
         .select(
             F.col(id_col).alias("query_id"),
             F.col("v").alias("qv"),
+            F.col("_nv").alias("_nq"),
             F.explode(
-                _probe_clusters(F.col("v"), cents, n_probe)
+                _probe_clusters(
+                    F.col("v"), cents, n_probe, cn, F.col("_nv")
+                )
             ).alias("cid"),
         )
     )
     c = lists.alias("c")
     qq = q.alias("q")
+    # dequantized vector MATERIALIZED before scoring: inside one
+    # expression ``cosine`` would expand it twice (dot + norm) — two
+    # O(d) array builds per candidate; the query norm rides in from the
+    # broadcast side (cosine_pre, bit-identical)
     approx = (
         c.join(
             F.broadcast(qq),
@@ -575,13 +701,20 @@ def ivf_quantized_topk(
         .select(
             F.col("q.query_id").alias("query_id"),
             F.col("q.qv").alias("qv"),
+            F.col("q._nq").alias("_nq"),
             F.col(f"c.{id_col}").alias("neighbor_id"),
+            dequantize_col(
+                F.col("c.codes"), F.col("c.mn"), F.col("c.mx")
+            ).alias("_dv"),
+        )
+        .select(
+            "query_id",
+            "qv",
+            "neighbor_id",
             F.round(
-                cosine(
-                    F.col("q.qv"),
-                    dequantize_col(
-                        F.col("c.codes"), F.col("c.mn"), F.col("c.mx")
-                    ),
+                cosine_pre(
+                    F.col("qv"), F.col("_dv"), F.col("_nq"),
+                    _norm(F.col("_dv")),
                 ),
                 6,
             ).alias("approx_sim"),
@@ -671,13 +804,14 @@ def ivf_incremental_topk(
     ann_recall — retraining cadence is an operational decision, not an
     engine one.
     """
-    cents = _centroids_lit(
-        ivf_centroids(corpus, dim, n_centroids, id_col, vec_col)
-    )
+    cl = ivf_centroids(corpus, dim, n_centroids, id_col, vec_col)
     allv = corpus.unionByName(batch).select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("v")
     )
-    return _ivf_query(allv, cents, n_probe, n_queries, k, id_col)
+    return _ivf_query(
+        allv, _centroids_lit(cl), n_probe, n_queries, k, id_col,
+        _norms_lit(cl),
+    )
 
 
 def semantic_dedup(
@@ -708,13 +842,15 @@ def semantic_dedup(
     SemDeDup trade: quantization error bounds the miss rate); the
     embedding_dupes LSH path is the recall-oriented alternative.
     """
-    cents = _centroids_lit(
-        ivf_centroids(emb, dim, n_centroids, id_col, vec_col)
-    )
+    cl = ivf_centroids(emb, dim, n_centroids, id_col, vec_col)
+    cents = _centroids_lit(cl)
     base = emb.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).select("id", "v", _norm(F.col("v")).alias("_nv"))
+    assigned = base.withColumn(
+        "cid",
+        _argmin_cluster(F.col("v"), cents, _norms_lit(cl), F.col("_nv")),
     )
-    assigned = base.withColumn("cid", _argmin_cluster(F.col("v"), cents))
     a = assigned.alias("a")
     b = assigned.alias("b")
     dropped = (
@@ -724,7 +860,13 @@ def semantic_dedup(
             & (F.col("a.id") < F.col("b.id")),
         )
         .filter(
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+            F.round(
+                cosine_pre(
+                    F.col("a.v"), F.col("b.v"),
+                    F.col("a._nv"), F.col("b._nv"),
+                ),
+                6,
+            )
             >= F.lit(float(threshold))
         )
         .select(F.col("b.id").alias("id"))
@@ -769,15 +911,20 @@ def hard_negative_topk(
     Columns: (query_id, neighbor_id, cosine_sim, rank)."""
     base = emb.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("v")
-    )
+    ).select(F.col(id_col), "v", _norm(F.col("v")).alias("_nv"))
     q = base.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("_nv").alias("_nq"),
     )
     joined = base.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
     scored = joined.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine_sim"),
+        F.round(
+            cosine_pre(F.col("qv"), F.col("v"), F.col("_nq"), F.col("_nv")),
+            6,
+        ).alias("cosine_sim"),
     ).filter(F.col("cosine_sim") < dup_threshold)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
@@ -836,12 +983,26 @@ def centroid_classify(
             F.col(label_col).alias("true_label"),
             F.col(vec_col).cast("array<double>").alias("v"),
         )
-        .crossJoin(F.broadcast(cent))
+        .select(
+            id_col, "true_label", "v", _norm(F.col("v")).alias("_nv")
+        )
+        .crossJoin(
+            F.broadcast(
+                cent.select(
+                    "pred_label", "cv", _norm(F.col("cv")).alias("_nc")
+                )
+            )
+        )
         .select(
             id_col,
             "true_label",
             "pred_label",
-            F.round(cosine(F.col("v"), F.col("cv")), 6).alias("cos"),
+            F.round(
+                cosine_pre(
+                    F.col("v"), F.col("cv"), F.col("_nv"), F.col("_nc")
+                ),
+                6,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy(id_col).orderBy(
@@ -903,10 +1064,10 @@ def bitext_margin_pairs(
     """
     s = src.select(
         F.col(id_col).alias("src_id"), _as_double(F.col(vec_col)).alias("sv")
-    )
+    ).select("src_id", "sv", _norm(F.col("sv")).alias("_ns"))
     t = tgt.select(
         F.col(id_col).alias("tgt_id"), _as_double(F.col(vec_col)).alias("tv")
-    )
+    ).select("tgt_id", "tv", _norm(F.col("tv")).alias("_nt"))
     if candidates is None:
         pairs = s.join(F.broadcast(t))
     else:
@@ -915,11 +1076,21 @@ def bitext_margin_pairs(
             .join(s, "src_id")
             .join(F.broadcast(t), "tgt_id")
         )
-    # exact micro-unit encoding of the 6-dp cosine
+    # exact micro-unit encoding of the 6-dp cosine; norms materialized
+    # once per side, not re-folded per pair (cosine_pre, bit-identical)
     scored = pairs.select(
         "src_id",
         "tgt_id",
-        F.round(F.round(cosine(F.col("sv"), F.col("tv")), 6) * 1e6, 0)
+        F.round(
+            F.round(
+                cosine_pre(
+                    F.col("sv"), F.col("tv"), F.col("_ns"), F.col("_nt")
+                ),
+                6,
+            )
+            * 1e6,
+            0,
+        )
         .cast("long")
         .alias("ci"),
     )
