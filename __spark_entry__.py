@@ -5094,6 +5094,7 @@ def q_stream_agent_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"stream_loops_{uuid.uuid4().hex[:8]}"
     out = streaming.stream_agent_loops(spark, src, ckpt, sink_table=sink)
     shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(src, ignore_errors=True)  # staged source, drained
     return out.orderBy("conv_id")
 
 
@@ -9013,7 +9014,13 @@ def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the FULL pair graph: the row-for-row match IS the
     incremental == from-scratch invariance."""
     dd = _doubled_docs(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(dd, num_perm=32, bands=16)
+    # the pair graph feeds BOTH halves (old-cluster build and new
+    # batch); a lazy local checkpoint materializes the MinHash
+    # signature pipeline once per run instead of once per consumer —
+    # within-query reuse, recomputed on every invocation
+    pairs = dedup.minhash_lsh_pairs(dd, num_perm=32, bands=16).localCheckpoint(
+        eager=False
+    )
     parity = F.pmod(F.col("doc_a") + F.col("doc_b"), F.lit(2))
     clusters_old = dedup.dup_clusters(dd, pairs.filter(parity == 0))
     return dedup.incremental_clusters(
@@ -10182,6 +10189,7 @@ def q_stream_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src, ckpt, sink_table=sink, max_files_per_trigger=1
     )
     shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(src, ignore_errors=True)  # staged source, drained
     return out.orderBy("user_id", "event_id")
 
 

@@ -578,7 +578,16 @@ def connected_components(
     else:
 
         def _ckpt(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint()
+            # LAZY local checkpoint: materialization rides the round's
+            # convergence-checksum aggregate (which computes every
+            # partition), so each round runs ONE job instead of an
+            # eager-checkpoint job plus the checksum job — the rounds
+            # are fixed-overhead-bound on contracted graphs, so
+            # halving the job count nearly halves the loop cost.  The
+            # durable .checkpoint() branch above stays eager: the
+            # finally-block restores the checkpoint dir on the promise
+            # nothing still needs it.
+            return df.localCheckpoint(eager=False)
 
     try:
         return _cc_rounds(pairs, a_col, b_col, max_rounds, _ckpt)

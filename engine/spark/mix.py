@@ -470,7 +470,11 @@ def epoch_budget(
     the broadcast target list, rates broadcast back onto the corpus, a
     codegen'd filter-free projection — corpus rows never shuffle.
     Sources without a target are dropped (inner join — the recipe IS
-    the source list).  Output: (source, id, n_tokens, n_repeats).
+    the source list).  Contract: a targeted source whose actual token
+    mass is zero (or all-NULL) is dropped too, rather than emitting
+    NULL repeat factors from a div-by-zero (advisor r5) — an empty
+    source cannot absorb a token budget.  Output: (source, id,
+    n_tokens, n_repeats).
     """
     spark = docs.sparkSession
     tgt = F.broadcast(
@@ -479,8 +483,10 @@ def epoch_budget(
             f"{source_col}: string, target: long",
         )
     )
-    act = docs.groupBy(source_col).agg(
-        F.sum(F.col(tokens_col).cast("long")).alias("actual")
+    act = (
+        docs.groupBy(source_col)
+        .agg(F.sum(F.col(tokens_col).cast("long")).alias("actual"))
+        .where(F.col("actual") > 0)
     )
     r = act.join(tgt, source_col).select(
         source_col,

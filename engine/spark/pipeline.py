@@ -377,6 +377,16 @@ def csv_ingest_quarantine(
         .option("header", "false")
         .csv(path)
     ).cache()
+    # bounded-cache discipline (advisor r5): a repeated call would
+    # otherwise accumulate cached parsed frames in executor storage for
+    # the session's lifetime; evict the previous call's frame — its
+    # consumers have either materialized or will recompute from source
+    while _QUARANTINE_CACHE:
+        _QUARANTINE_CACHE.pop().unpersist()
+    _QUARANTINE_CACHE.append(df)
     clean = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
     quarantine = df.where(F.col(corrupt_col).isNotNull())
     return clean, quarantine
+
+
+_QUARANTINE_CACHE: list = []

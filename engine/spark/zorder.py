@@ -65,7 +65,12 @@ def micro(c: Column) -> Column:
 def exact_floordiv(a: Column, b: Column) -> Column:
     """Integer floor-division for non-negative operands that is
     bit-identical in Spark and DuckDB: subtract the remainder, then one
-    exact double division whose result is an integer < 2^53."""
+    double division.  EXACT only while the numerator (a - a%b) stays
+    below 2^53 — beyond that the BIGINT→double cast rounds and the
+    quotient can be off by one vs the true floor (advisor r5); both
+    engines run the identical IEEE chain, so cross-engine parity and
+    monotonicity hold at any magnitude, but callers needing the true
+    floor past 2^53 should use an integer `div` on both engines."""
     return ((a - a % b) / b).cast("long")
 
 
