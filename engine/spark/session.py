@@ -27,11 +27,18 @@ def get_spark(
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
-        # post-shuffle coalescing underestimates string-heavy partitions
-        # (compressed shuffle bytes) and serialises the doc-assembly agg
-        # onto a handful of reducers — measured 3.5x slower; keep AQE for
-        # skew handling but size reducers by shuffle.partitions instead
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        # Post-shuffle coalescing re-enabled in round 6: with
+        # parallelismFirst=true (default) AQE merges only sub-
+        # minPartitionSize partitions and never drops below the default
+        # parallelism, so the round-2 failure mode (string-heavy
+        # doc-assembly agg serialised onto a few reducers via
+        # compressed-size underestimates) no longer occurs — re-measured
+        # r6: extraction unchanged within host noise across repeated
+        # A/B (388-404k vs 385-420k turns/s), while iterative queries
+        # whose contracted rounds emit near-empty partitions gain
+        # 15-30% (dup_clusters 3.9→2.7 s, incremental_clusters
+        # 7.4→5.1 s, mad_flags 4.0→3.5 s at 10× local data).
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
