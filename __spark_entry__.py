@@ -88,6 +88,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _PAYLOAD_SUFFIX = "\n\n![img-1.jpeg](img-1.jpeg)\n"
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin an under-partitioned frame to the session's core
+    count before expression-heavy per-row work (the _t contract for
+    frames _t cannot see — e.g. a fact-table projection feeding a JSON
+    parse).  Scale-adaptive: no-op when the input already has at least
+    defaultParallelism partitions; results unaffected (row order
+    only)."""
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        df = df.repartition(n)
+    return df
+
+
 def _docs_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -2830,7 +2843,12 @@ def q_json_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(9000001, "corrupt", "not json"), (9000002, "corrupt", None)],
         "event_id: long, event_type: string, props: string",
     )
-    u = e.unionByName(bad)
+    # JSON text parse is the cost; spread the one-row-group scan so it
+    # runs full-width (aggregation output is unchanged).  Spread the
+    # SCAN side before the union: the planted createDataFrame side
+    # already carries defaultParallelism empty slices, which would mask
+    # the one-partition scan from the under-partitioned check.
+    u = _spread(spark, e).unionByName(bad)
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
     return (
         u.groupBy("event_type")
@@ -3128,7 +3146,7 @@ def q_variant_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(9000001, "corrupt", "not json"), (9000002, "corrupt", None)],
         "event_id: long, event_type: string, props: string",
     )
-    u = e.unionByName(bad)
+    u = _spread(spark, e).unionByName(bad)  # see json_fields
     k = F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "long")
     return (
         u.groupBy("event_type")
