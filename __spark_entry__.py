@@ -10565,11 +10565,24 @@ _DRIVER_CHECKED_R1_R5 = frozenset((
 def _rotate_never_checked(reg):
     """Never-driver-checked keys first (relative order preserved),
     then the historically checked ones — so the driver's first-50
-    sample covers fresh keys each round (VERDICT r5 #2).  Key set and
+    sample covers fresh keys each round (VERDICT r5 #2).  One pinned
+    exception: translate_markdown_udf (the production translation
+    plug-point boundary) stays in the sample window every round per
+    VERDICT r5 #5 — the Arrow-boundary contract should carry a fresh
+    driver row each round, not only its r03/r04 history.  Key set and
     per-key content are unchanged; only the order moves."""
-    head = {k: v for k, v in reg.items() if k not in _DRIVER_CHECKED_R1_R5}
-    tail = {k: v for k, v in reg.items() if k in _DRIVER_CHECKED_R1_R5}
-    head.update(tail)
+    pin = "translate_markdown_udf"
+    head = {k: reg[k] for k in ([pin] if pin in reg else [])}
+    head.update(
+        {k: v for k, v in reg.items() if k not in _DRIVER_CHECKED_R1_R5}
+    )
+    head.update(
+        {
+            k: v
+            for k, v in reg.items()
+            if k in _DRIVER_CHECKED_R1_R5 and k != pin
+        }
+    )
     return head
 
 
