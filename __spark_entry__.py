@@ -37,50 +37,8 @@ from engine.spark import (
 from engine.spark import text as etext
 
 
-# Tables whose consumers are EXPRESSION-BOUND (regex suites,
-# tokenize+explode, per-vector HOF folds, mapInPandas parse) rather
-# than exchange-bound.  The sf tables are single parquet files with
-# few (often ONE) row groups, and a row group is the minimum scan
-# split — so a scan yields 1-6 tasks however many cores exist and
-# everything pipelined into it runs near-serial.  For these two
-# tables one trivially-cheap round-robin exchange buys full-width
-# execution of all downstream expression work (measured: 2-8× per
-# query).  Fact/event tables are deliberately NOT redistributed:
-# their queries open with a keyed exchange or partial agg anyway, so
-# an upfront round-robin is pure added shuffle (measured regressions
-# on mad_flags/sessionize/dau_mau).
-_REDIST_TABLES = frozenset({"documents", "embeddings"})
-
-
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name not in _REDIST_TABLES:
-        return df
-    # Scale-adaptive by construction: target = defaultParallelism (not
-    # a constant), applied only when the scan is under-partitioned and
-    # small enough that moving it is noise (< SPARK_GRAFT_REDIST_MAX_MB,
-    # default 64 MB — a multi-file table at real scale parallelizes by
-    # itself and skips this).  Results are unaffected: row order is
-    # the only thing that changes.
-    import glob as _glob
-    import os as _os
-
-    try:
-        nbytes = sum(
-            _os.path.getsize(p)
-            for p in _glob.glob(f"{sf_dir}/{name}.parquet")
-        ) or sum(
-            _os.path.getsize(_os.path.join(r, f))
-            for r, _, fs in _os.walk(f"{sf_dir}/{name}.parquet")
-            for f in fs
-        )
-    except OSError:
-        return df
-    max_mb = float(_os.environ.get("SPARK_GRAFT_REDIST_MAX_MB", "64"))
-    n = spark.sparkContext.defaultParallelism
-    if nbytes < max_mb * 1024 * 1024 and df.rdd.getNumPartitions() < n:
-        df = df.repartition(n)
-    return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 # ---------------------------------------------------------------- extraction
@@ -90,11 +48,21 @@ _PAYLOAD_SUFFIX = "\n\n![img-1.jpeg](img-1.jpeg)\n"
 
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Round-robin an under-partitioned frame to the session's core
-    count before expression-heavy per-row work (the _t contract for
-    frames _t cannot see — e.g. a fact-table projection feeding a JSON
-    parse).  Scale-adaptive: no-op when the input already has at least
-    defaultParallelism partitions; results unaffected (row order
-    only)."""
+    count — applied PER QUERY, only where the downstream work is
+    expression-bound (regex suites, tokenize+explode, per-vector HOF
+    folds, JSON parse, mapInPandas parse).  The sf tables are single
+    parquet files with one row group for documents/embeddings/events,
+    and a row group is the minimum scan split — so those scans yield
+    ONE task however many cores exist, serializing everything
+    pipelined into them; one tiny exchange buys full-width execution
+    (measured 2-8× on the heavy consumers).  Deliberately NOT a
+    blanket rule in _t: a cheap projection/agg query pays the exchange
+    without recouping it (measured +0.3-1.3 s flat tax per query when
+    documents was redistributed table-wide), and fact tables' queries
+    open with a keyed exchange anyway.  Scale-adaptive: no-op when
+    the input already has at least defaultParallelism partitions
+    (multi-file tables at real scale skip this); results unaffected —
+    row order is the only thing that changes."""
     n = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < n:
         df = df.repartition(n)
@@ -102,7 +70,9 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
 
 
 def _docs_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    # every consumer runs the mapInPandas structural parse downstream —
+    # the heaviest per-row work in the repo — so the spread always pays
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     return d.select(
         F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("conv_id"),
         F.lit(0).alias("turn_idx"),
@@ -1055,7 +1025,7 @@ FROM b GROUP BY lang
 
 
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     q = etext.quality_frame(d)
     return q.select(
         "doc_id",
@@ -1170,7 +1140,7 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic (h·BASE + tok mod M) is re-derived by DuckDB's
     list_reduce — order-sensitivity and modular arithmetic both under
     the hard signal."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         etext.fingerprint(F.col("text")).alias("fingerprint_md5"),
@@ -1371,7 +1341,7 @@ ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(spark, _t(spark, sf_dir, "embeddings"))
     out = similarity.brute_force_topk(e, n_queries=8, k=5)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
@@ -1720,7 +1690,7 @@ def q_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     against full precision by an id equi-join.  The DuckDB twin
     retrains the quantizer, re-derives the codes with the identical
     floor(+0.5) arithmetic, and must match value-exactly."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(spark, _t(spark, sf_dir, "embeddings"))
     out = similarity.ivf_quantized_topk(
         e, dim=64, n_centroids=8, n_probe=2, n_queries=8, k=5, shortlist=20
     )
@@ -3623,7 +3593,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs replaced by typed placeholders.  Zero-shuffle projection —
     three regexp_count + three regexp_replace in whole-stage codegen;
     patterns are shared verbatim with the oracle (Java-regex ∩ RE2)."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
     planted = spark.createDataFrame(
         [
             (9000001, "contact bob@example.com or +1 (555) 123-4567 today"),
@@ -3673,7 +3643,7 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted rows fire every branch (ZW/NBSP, punct runs, control+CR,
     and an untouched row proving changed=false).  Patterns shared
     verbatim with the oracle (Java ∩ RE2, no backreferences)."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
     planted = spark.createDataFrame(
         [
             (
@@ -3771,7 +3741,7 @@ GROUP BY 1, 2
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style repetition quality signals: duplicate-token and
     duplicate-bigram fractions + heaviest-token share, per document."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
     planted = spark.createDataFrame(
         [
             (9000001, "spam spam spam spam spam spam"),
@@ -3883,7 +3853,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically from the corpus itself (first 20 tokens of docs
     3 and 7, re-keyed +1000000) so both engines construct the identical
     eval set and the planted leakage is guaranteed."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
     toks = F.split(F.trim(F.lower(F.col("text"))), etext.WS)
     bench = d.where(F.col("doc_id").isin(3, 7)).select(
         (F.col("doc_id") + 1000000).alias("bench_id"),
@@ -4933,7 +4903,7 @@ def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     same recall but lower NDCG.  Gain and reciprocal-rank tables are
     Python-precomputed integer micro-units inlined as literals on BOTH
     engines — no libm log2 in either plan."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(spark, _t(spark, sf_dir, "embeddings"))
     truth = similarity.brute_force_topk(e, n_queries=8, k=5)
     system = similarity.lsh_ann_topk(
         e, dim=64, n_queries=8, k=5, n_planes=4
@@ -5639,7 +5609,7 @@ def q_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     only.  The oracle is the plain full-scan contains filter — a hash
     match proves the index path is lossless."""
     return etext.substring_search(
-        _t(spark, sf_dir, "documents"),
+        _spread(spark, _t(spark, sf_dir, "documents")),
         query="vector table",
         prune_grams=2,
     ).orderBy("doc_id")
@@ -7744,7 +7714,7 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard ≥ 1/2 refine.  Planted rows 9000001-3 share the prefix
     'the quick brown ' so they sort adjacent and pass the refine;
     9000004 sorts elsewhere and pairs with nothing."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
     planted = spark.createDataFrame(
         [
             (9000001, "the quick brown fox jumps over the lazy dog"),
@@ -7898,7 +7868,7 @@ def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights and the BIGINT dot product matches exactly.  Production
     use passes a real trained (fid, w_milli) table; the broadcast-join
     inference shape is identical."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
     toks = d.select(
         "doc_id",
         F.explode(
@@ -8399,7 +8369,7 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative vocabulary — reproducible across engines because shard
     assignment is the portable md5 hash."""
     return etext.vocab_growth(
-        _t(spark, sf_dir, "documents"), n_shards=16, seed="vg"
+        _spread(spark, _t(spark, sf_dir, "documents")), n_shards=16, seed="vg"
     ).orderBy("shard")
 
 
@@ -8475,7 +8445,7 @@ def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-dim means, fold-cosine assignment, argmax per vector — the
     embedding-separability audit."""
     return similarity.centroid_classify(
-        _t(spark, sf_dir, "embeddings")
+        _spread(spark, _t(spark, sf_dir, "embeddings"))
     ).orderBy("true_label", "pred_label")
 
 
@@ -8517,7 +8487,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds as CTE stages with DuckDB's identical non-overlapping
     replace."""
     merges = etext.bpe_train(
-        _t(spark, sf_dir, "documents"), rounds=4
+        _spread(spark, _t(spark, sf_dir, "documents")), rounds=4
     )
     return spark.createDataFrame(
         merges,
